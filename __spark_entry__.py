@@ -1,38 +1,708 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: a full BFS crawl of the deterministic synthetic
+web graph (seeds -> frontier -> seen anti-join -> politeness -> fetch ->
+extraction -> edges), returning the edges DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data ops (dedup / similarity / text
+analysis), each runnable on /root/testdata/sf*/ and checked against a
+DuckDB oracle. Hash-valued outputs use the cross-engine md5-based 60-bit
+hash (xcrawl3r_spark/functions/hashing.py) so values match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from xcrawl3r_spark.config import CrawlConfig  # noqa: E402
+from xcrawl3r_spark.functions import urls as U  # noqa: E402
+from xcrawl3r_spark.functions.hashing import md5_long, md5_long_sql  # noqa: E402
+from xcrawl3r_spark.operators import dedupops, simsearch, textops  # noqa: E402
+from xcrawl3r_spark.operators.dedup import anti_join_seen, build_bloom  # noqa: E402
+from xcrawl3r_spark.operators.politeness import politeness_select  # noqa: E402
+from xcrawl3r_spark.plans.crawl import Crawler  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from xcrawl3r_spark.session import ship_package
+
+    ship_package(spark)  # UDF stages need the package on workers
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship crawl
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: depth-2 crawl of the synthetic web graph (seed expansion,
+    Bloom-accelerated seen anti-join, per-host politeness, salted fetch
+    join, mapInPandas extraction). Returns the edges DataFrame."""
+    from xcrawl3r_spark.sources import datagen as G
+
+    p = G.GraphParams(hosts=8, pages_per_host=16)
+    cfg = CrawlConfig(domains=["test"], include_subdomains=True, depth=2)
+    res = Crawler(spark, cfg).crawl(
+        G.seeds_df(spark, p, n_seeds=3), G.pages_df(spark, p, distributed=False)
+    )
+    return res.edges
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark side
+# ---------------------------------------------------------------------------
+
+SCOPE_CFG = CrawlConfig(domains=["test"], include_subdomains=True)
+
+_EXTS = ["html", "css", "png", "js", "mp4", "txt"]
+
+
+def _doc_url(mod3_offsite: bool = True):
+    """Deterministic URL built from documents rows (in/out of scope mix)."""
+    return F.concat(
+        F.lit("https://"), F.col("source"),
+        F.when((F.col("doc_id") % 3) == 0, F.lit(".test/p/")).otherwise(
+            F.lit(".example.org/p/")),
+        F.col("doc_id"),
+    )
+
+
+def q_f1_scope_filter(spark, sf_dir):
+    """F1: scope-regex filter (xcrawl3r.go:352-356,409-413) over generated
+    URLs — keeps only *.test hosts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("url", _doc_url())
+        .filter(F.col("url").rlike(SCOPE_CFG.scope_pattern()))
+        .select("doc_id", "url")
+    )
+
+
+def q_f3_ext_gate(spark, sf_dir):
+    """F3/F4: media-abort + is-file classification by path extension
+    (xcrawl3r.go:68-81,419-420) — the engine's real column builders."""
+    docs = _t(spark, sf_dir, "documents")
+    ext = F.element_at(F.array(*[F.lit(e) for e in _EXTS]),
+                       (F.col("doc_id") % 6).cast("int") + 1)
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".test/f/"),
+                   F.col("doc_id"), F.lit("."), ext)
+    return docs.select(
+        "doc_id", url.alias("url"),
+        U.is_file_col(url).alias("is_file"),
+        U.is_media_col(url).alias("is_media"),
+        U.is_image_col(url).alias("is_image"),
+    )
+
+
+def q_f6_canonicalize(spark, sf_dir):
+    """F6: default-https canonicalization (vectorized pandas UDF) of
+    scheme-less mixed-case host inputs (xcrawl3r.go:378-380)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.upper(F.col("source")), F.lit(".TEST/p/"), F.col("doc_id"))
+    canon = U.canonicalize_udf()
+    return docs.select("doc_id", canon(raw).alias("canon_url"))
+
+
+def q_f6_hash_distinct(spark, sf_dir):
+    """F6 hash leg: xxhash64 keys are injective on this data — distinct
+    hash count equals distinct name count (oracle counts names)."""
+    part = _t(spark, sf_dir, "part")
+    return part.agg(
+        F.countDistinct(F.xxhash64("p_name")).alias("n_distinct"),
+    )
+
+
+def q_d1_anti_join(spark, sf_dir):
+    """D1: seen-set membership as left-anti join — orders with no
+    lineitem (colly storage semantics, xcrawl3r.go:347)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+                    "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_d1_bloom_anti_join(spark, sf_dir):
+    """D1 Bloom leg: the engine's partitioned-Bloom + exact anti-join path
+    must equal the plain anti-join (no false negatives)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "dedup_key", F.xxhash64("o_orderkey"))
+    seen = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.xxhash64("l_orderkey").alias("dedup_key")).distinct()
+    )
+    bloom = build_bloom(
+        seen.select(F.col("dedup_key").alias("url_hash")), 8, 1 << 18, 7)
+    return anti_join_seen(
+        orders, seen, key="dedup_key", bloom=bloom,
+        bloom_partitions=8, bloom_bits=1 << 18, bloom_hashes=7,
+    ).select("o_orderkey", "o_totalprice")
+
+
+def q_d3_emit_vs_visit(spark, sf_dir):
+    """D3: emit-per-occurrence vs deduped visits — per event_type, total
+    emits vs distinct visitors (xcrawl3r.go:117-124)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_emits"),
+        F.countDistinct("user_id").alias("n_visits"),
+    )
+
+
+def q_a1_politeness_topk(spark, sf_dir):
+    """A1: the engine's politeness window (budget top-k per host) applied
+    to events (host=user_id, priority=event_id), budget=5."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("s").alias("seed_id"),
+        F.col("user_id").cast("string").alias("host"),
+        F.col("event_id").alias("url_hash"),
+        F.lit(1).alias("depth"),
+        "user_id", "event_id",
+    )
+    selected, _ = politeness_select(ev, budget=5)
+    return selected.select("user_id", "event_id")
+
+
+def q_a5_priority_order(spark, sf_dir):
+    """A5: deterministic priority ordering — top-3 orders per customer by
+    (totalprice desc, orderkey)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_a6_metrics_agg(spark, sf_dir):
+    """A6: crawl metrics aggregate shape (per-host counts) — TPC-H Q1-ish
+    over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_e1_regex_extract(spark, sf_dir):
+    """E1: regex extract-all + explode (xcrawl3r.go:108 FindAllString) —
+    token frequency of s-words in documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(r"\b(s[a-z]+)\b"), 1)
+            ).alias("token")
+        )
+        .groupBy("token").agg(F.count("*").alias("n"))
+    )
+
+
+def q_e5_seed_expansion(spark, sf_dir):
+    """E5/E6: robots + 12-sitemap seed expansion (xcrawl3r.go:241-264) via
+    the engine's native seed_frontier over distinct sources as seeds."""
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.select(
+        F.col("source").alias("seed_id"),
+        F.concat(F.col("source"), F.lit(".test")).alias("url"),
+    ).distinct()
+    crawler = Crawler(spark, CrawlConfig(domains=["test"], include_subdomains=True))
+    return crawler.seed_frontier(seeds).select(
+        F.col("seed_id").alias("source"), "url", "depth")
+
+
+def q_e6_union_sets(spark, sf_dir):
+    """E4-E6 union-merge shape: customer ∪ supplier key union with
+    source-count (frontier merge semantics)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("id"))
+    return (
+        c.withColumn("src", F.lit("customer"))
+        .unionByName(s.withColumn("src", F.lit("supplier")))
+        .groupBy("id").agg(F.count("*").alias("n_sources"))
+    )
+
+
+def q_j1_broadcast_join(spark, sf_dir):
+    """§2.5 broadcast join: region ⋈ nation ⋈ customer rollup (small dims
+    explicitly broadcast, as the engine does for robots/politeness state)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+    )
+
+
+# -- training-data ops ------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedupops.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedupops.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedupops.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedupops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_text_tokens(spark, sf_dir):
+    return textops.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _queries_emb(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"))
+    )
+    return emb, qs
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb, qs = _queries_emb(spark, sf_dir)
+    return simsearch.cosine_topk(emb, qs, k=10)
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    emb, qs = _queries_emb(spark, sf_dir)
+    return simsearch.lsh_bucket_topk(emb, qs, dims=64, k=10)
+
+
+def q_sim_near_dup(spark, sf_dir):
+    emb, _ = _queries_emb(spark, sf_dir)
+    return simsearch.embedding_near_dup(emb, dims=64, threshold=0.25)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "f1_scope_filter": q_f1_scope_filter,
+        "f3_ext_gate": q_f3_ext_gate,
+        "f6_canonicalize": q_f6_canonicalize,
+        "f6_hash_distinct": q_f6_hash_distinct,
+        "d1_anti_join": q_d1_anti_join,
+        "d1_bloom_anti_join": q_d1_bloom_anti_join,
+        "d3_emit_vs_visit": q_d3_emit_vs_visit,
+        "a1_politeness_topk": q_a1_politeness_topk,
+        "a5_priority_order": q_a5_priority_order,
+        "a6_metrics_agg": q_a6_metrics_agg,
+        "e1_regex_extract": q_e1_regex_extract,
+        "e5_seed_expansion": q_e5_seed_expansion,
+        "e6_union_sets": q_e6_union_sets,
+        "j1_broadcast_join": q_j1_broadcast_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_near_dup": q_sim_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL — DuckDB side (tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+def _scope_sql_pattern() -> str:
+    return SCOPE_CFG.scope_pattern().replace("'", "''")
+
+
+_DOC_URL_SQL = (
+    "concat('https://', source, "
+    "case when doc_id % 3 = 0 then '.test/p/' else '.example.org/p/' end, "
+    "doc_id)"
+)
+
+_TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textops.STOPWORDS) + "]"
+
+
+def _ext_url_sql() -> str:
+    arr = "[" + ", ".join(f"'{e}'" for e in _EXTS) + "]"
+    return (
+        f"concat('https://', source, '.test/f/', doc_id, '.', "
+        f"{arr}[cast(doc_id % 6 as int) + 1])"
+    )
+
+
+def _minhash_oracle() -> str:
+    nb, rb = dedupops.N_BANDS, dedupops.ROWS_PER_BAND
+    k = dedupops.SHINGLE_K
+    mins = ", ".join(
+        "min({h}) as mh{i}".format(h=md5_long_sql(f"concat('{i}:', sh)"), i=i)
+        for i in range(nb * rb)
+    )
+    band_rows = " union all ".join(
+        "select doc_id, {b} as band, {key} as band_key from mins".format(
+            b=b,
+            key=md5_long_sql(
+                "concat_ws(':', '{b}', {cols})".format(
+                    b=b,
+                    cols=", ".join(
+                        f"cast(mh{b * rb + r} as varchar)" for r in range(rb)
+                    ),
+                )
+            ),
+        )
+        for b in range(nb)
+    )
+    return f"""
+with tok as (
+  select doc_id, {_TOKENS_SQL} as toks from documents
+), shing as (
+  select doc_id, unnest(list_distinct(
+    case when len(toks) >= {k}
+         then list_transform(range(1, len(toks) - {k - 1} + 1),
+                             i -> array_to_string(toks[i:i+{k - 1}], ' '))
+         else [] end)) as sh
+  from tok
+), mins as (
+  select doc_id, {mins} from shing group by doc_id
+), bands as (
+  {band_rows}
+)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b
+from bands a join bands b on a.band = b.band and a.band_key = b.band_key
+where a.doc_id < b.doc_id
+"""
+
+
+def _simhash_oracle() -> str:
+    bits = dedupops.SIMHASH_BITS
+    h = md5_long_sql("token")
+    return f"""
+with tok as (
+  select doc_id, unnest({_TOKENS_SQL}) as token from documents
+), th as (
+  select doc_id, {h} as h from tok
+), bitsum as (
+  select doc_id, b, sum(case when (h >> b) & 1 = 1 then 1 else -1 end) as s
+  from th cross join (select unnest(range({bits})) as b) bs
+  group by doc_id, b
+)
+select doc_id,
+       sum(case when s > 0 then (cast(1 as bigint) << b) else cast(0 as bigint) end) as simhash
+from bitsum group by doc_id
+"""
+
+
+def _jaccard_oracle(threshold: float = 0.2) -> str:
+    k = dedupops.SHINGLE_K
+    return f"""
+with tok as (
+  select doc_id, {_TOKENS_SQL} as toks from documents
+), shing as (
+  select doc_id, unnest(list_distinct(
+    case when len(toks) >= {k}
+         then list_transform(range(1, len(toks) - {k - 1} + 1),
+                             i -> array_to_string(toks[i:i+{k - 1}], ' '))
+         else [] end)) as sh
+  from tok
+), sizes as (
+  select doc_id, count(*) as n_sh from shing group by doc_id
+), shared as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
+  from shing a join shing b on a.sh = b.sh and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+)
+select doc_a, doc_b,
+       round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) as jaccard
+from shared
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) >= {threshold}
+"""
+
+
+def _langid_oracle() -> str:
+    rows = ", ".join(
+        "('{lang}', [{m}])".format(
+            lang=lang, m=", ".join(f"'{m}'" for m in markers))
+        for lang, markers in sorted(textops.LANG_MARKERS.items())
+    )
+    return f"""
+with tok as (
+  select doc_id, lang, {_TOKENS_SQL} as toks from documents
+), scores as (
+  select doc_id, lang, l.lang_code,
+         len(list_filter(toks, t -> list_contains(l.markers, t))) as score
+  from tok cross join (select * from (values {rows}) v(lang_code, markers)) l
+), ranked as (
+  select *, row_number() over (partition by doc_id
+                               order by score desc, lang_code) as rn
+  from scores
+)
+select doc_id, lang, lang_code as lang_pred, cast(score as int) as marker_hits
+from ranked where rn = 1
+"""
+
+
+def _cosine_oracle(lsh: bool = False) -> str:
+    dot = (
+        "(select sum(x * y) from (select unnest(list_transform(a.embedding, v -> cast(v as double))) as x, "
+        "unnest(list_transform(q.q_emb, v -> cast(v as double))) as y) z)"
+    )
+    na = "sqrt((select sum(x * x) from (select unnest(list_transform(a.embedding, v -> cast(v as double))) as x) z))"
+    nq = "sqrt((select sum(y * y) from (select unnest(list_transform(q.q_emb, v -> cast(v as double))) as y) z))"
+    bucket_join = ""
+    if lsh:
+        bucket_join = "and bucket_of(a.embedding) = bucket_of(q.q_emb)"
+    return f"""
+with q as (
+  select vec_id as query_id, embedding as q_emb from embeddings where vec_id < 5
+), scored as (
+  select q.query_id, a.vec_id,
+         round({dot} / ({na} * {nq}), 6) as cosine
+  from embeddings a cross join q
+)
+select query_id, vec_id, cosine, rank from (
+  select *, row_number() over (partition by query_id
+                               order by cosine desc, vec_id) as rank
+  from scored
+) where rank <= 10
+{bucket_join}
+"""
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    """LSH bucket id of an embedding column — same deterministic ±1
+    planes as simsearch.plane_sign."""
+    terms = []
+    for p in range(simsearch.N_PLANES):
+        signs = "[" + ", ".join(
+            str(float(simsearch.plane_sign(p, j))) for j in range(64)) + "]"
+        proj = (
+            f"(select sum(x * y) from (select "
+            f"unnest(list_transform({vec_expr}, v -> cast(v as double))) as x, "
+            f"unnest({signs}) as y) z)"
+        )
+        terms.append(
+            f"case when {proj} > 0 then cast({1 << p} as bigint) else 0 end")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_topk_oracle() -> str:
+    dot = (
+        "(select sum(x * y) from (select unnest(list_transform(a.embedding, v -> cast(v as double))) as x, "
+        "unnest(list_transform(q.q_emb, v -> cast(v as double))) as y) z)"
+    )
+    na = "sqrt((select sum(x * x) from (select unnest(list_transform(a.embedding, v -> cast(v as double))) as x) z))"
+    nq = "sqrt((select sum(y * y) from (select unnest(list_transform(q.q_emb, v -> cast(v as double))) as y) z))"
+    return f"""
+with corpus as (
+  select vec_id, embedding, {_bucket_sql('embedding')} as bucket from embeddings
+), q as (
+  select vec_id as query_id, embedding as q_emb,
+         {_bucket_sql('embedding')} as bucket
+  from embeddings where vec_id < 5
+), scored as (
+  select q.query_id, a.vec_id,
+         round({dot} / ({na} * {nq}), 6) as cosine
+  from corpus a join q on a.bucket = q.bucket
+)
+select query_id, vec_id, cosine, rank from (
+  select *, row_number() over (partition by query_id
+                               order by cosine desc, vec_id) as rank
+  from scored
+) where rank <= 10
+"""
+
+
+def _near_dup_oracle(threshold: float = 0.25) -> str:
+    dot = (
+        "(select sum(x * y) from (select unnest(list_transform(a.embedding, v -> cast(v as double))) as x, "
+        "unnest(list_transform(b.embedding, v -> cast(v as double))) as y) z)"
+    )
+    na = "sqrt((select sum(x * x) from (select unnest(list_transform(a.embedding, v -> cast(v as double))) as x) z))"
+    nb = "sqrt((select sum(y * y) from (select unnest(list_transform(b.embedding, v -> cast(v as double))) as y) z))"
+    return f"""
+with corpus as (
+  select vec_id, embedding, {_bucket_sql('embedding')} as bucket from embeddings
+)
+select distinct a.vec_id as vec_a, b.vec_id as vec_b,
+       round({dot} / ({na} * {nb}), 6) as cosine
+from corpus a join corpus b on a.bucket = b.bucket and a.vec_id < b.vec_id
+where round({dot} / ({na} * {nb}), 6) >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    scope = _scope_sql_pattern()
+    sitemaps = ", ".join(f"'{p}'" for p in U.SITEMAP_PATHS)
+    norm_text = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    return {
+        "f1_scope_filter": f"""
+            select doc_id, {_DOC_URL_SQL} as url from documents
+            where regexp_matches({_DOC_URL_SQL}, '{scope}')
+        """,
+        "f3_ext_gate": f"""
+            with u as (select doc_id, {_ext_url_sql()} as url from documents)
+            select doc_id, url,
+              regexp_matches(coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1), ''),
+                             '\\.({U.FILE_EXTS})$') as is_file,
+              regexp_matches(coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1), ''),
+                             '\\.({U.MEDIA_EXTS})$') as is_media,
+              regexp_matches(coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1), ''),
+                             '\\.({U.IMAGE_EXTS})$') as is_image
+            from u
+        """,
+        "f6_canonicalize": """
+            select doc_id,
+                   concat('https://', lower(concat(upper(source), '.TEST')),
+                          '/p/', doc_id) as canon_url
+            from documents
+        """,
+        "f6_hash_distinct": "select count(distinct p_name) as n_distinct from part",
+        "d1_anti_join": """
+            select o_orderkey, o_totalprice from orders o
+            where not exists (select 1 from lineitem l
+                              where l.l_orderkey = o.o_orderkey)
+        """,
+        "d1_bloom_anti_join": """
+            select o_orderkey, o_totalprice from orders o
+            where not exists (select 1 from lineitem l
+                              where l.l_orderkey = o.o_orderkey)
+        """,
+        "d3_emit_vs_visit": """
+            select event_type, count(*) as n_emits,
+                   count(distinct user_id) as n_visits
+            from events group by event_type
+        """,
+        "a1_politeness_topk": """
+            select user_id, event_id from (
+              select user_id, event_id,
+                     row_number() over (partition by user_id
+                                        order by event_id) as rn
+              from events) t
+            where rn <= 5
+        """,
+        "a5_priority_order": """
+            select o_custkey, o_orderkey, rn from (
+              select o_custkey, o_orderkey,
+                     row_number() over (partition by o_custkey
+                                        order by o_totalprice desc,
+                                                 o_orderkey) as rn
+              from orders) t
+            where rn <= 3
+        """,
+        "a6_metrics_agg": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(avg(l_discount), 6) as avg_disc,
+                   count(*) as count_order
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+        "e1_regex_extract": r"""
+            with ex as (
+              select unnest(regexp_extract_all(text, '\b(s[a-z]+)\b', 1)) as token
+              from documents
+            )
+            select token, count(*) as n from ex group by token
+        """,
+        "e5_seed_expansion": f"""
+            with seeds as (select distinct source from documents),
+            paths as (select unnest(['', '/robots.txt', {sitemaps}]) as p)
+            select source, concat('https://', source, '.test', p) as url,
+                   1 as depth
+            from seeds cross join paths
+        """,
+        "e6_union_sets": """
+            select id, count(*) as n_sources from (
+              select c_custkey as id from customer
+              union all
+              select s_suppkey as id from supplier) t
+            group by id
+        """,
+        "j1_broadcast_join": """
+            select r_name, count(*) as n_customers,
+                   round(avg(c_acctbal), 4) as avg_acctbal
+            from customer c
+            join nation n on c.c_nationkey = n.n_nationkey
+            join region r on n.n_regionkey = r.r_regionkey
+            group by r_name
+        """,
+        "dedup_exact": f"""
+            select {md5_long_sql(norm_text)} as content_fp,
+                   min(doc_id) as keeper, count(*) as n_copies
+            from documents group by 1
+        """,
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_ngram_jaccard": _jaccard_oracle(),
+        "text_tokens": f"""
+            select doc_id, len({_TOKENS_SQL}) as n_tokens,
+                   list_sum(list_transform({_TOKENS_SQL},
+                       t -> cast(ceil(length(t) / 4.0) as bigint))) as n_subwords
+            from documents
+        """,
+        "text_quality": f"""
+            with t as (select doc_id, n_chars, text, {_TOKENS_SQL} as toks
+                       from documents)
+            select doc_id, n_chars, len(toks) as n_tokens,
+              round((length(trim(text)) - (len(toks) - 1)) / len(toks), 6)
+                as mean_word_len,
+              round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                    / len(toks), 6) as stopword_ratio,
+              round(least(1.0, len(toks) / 100.0) * 0.5
+                    + least(1.0, len(list_filter(toks,
+                        x -> list_contains({_STOP_SQL}, x))) / len(toks)
+                        * 5.0) * 0.5, 6) as quality
+            from t
+        """,
+        "text_langid": _langid_oracle(),
+        "text_fingerprint": f"""
+            select doc_id, {md5_long_sql(norm_text)} as fp from documents
+        """,
+        "sim_cosine_topk": _cosine_oracle(),
+        "sim_lsh_topk": _lsh_topk_oracle(),
+        "sim_near_dup": _near_dup_oracle(),
+    }

@@ -1,0 +1,79 @@
+"""D1 Bloom + anti-join property tests (SURVEY §5.4): the Bloom pre-filter
+has zero false negatives, and the Bloom-accelerated anti-join is exactly
+the plain set difference."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from xcrawl3r_spark.operators.dedup import (
+    _bloom_positions,
+    _set_bits,
+    _test_bits,
+    anti_join_seen,
+    bloom_probe_maybe_seen,
+    build_bloom,
+)
+
+BITS, K, PARTS = 1 << 12, 5, 4
+
+
+@given(
+    seen=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=200, unique=True),
+    probe=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=200),
+)
+@settings(max_examples=50, deadline=None)
+def test_bitset_no_false_negatives(seen, probe):
+    """numpy-level: every inserted hash tests positive in every position."""
+    nbytes = BITS // 8
+    bitsets = {p: np.zeros(nbytes, dtype=np.uint8) for p in range(PARTS)}
+    arr = np.array(seen, dtype=np.int64) if seen else np.array([], dtype=np.int64)
+    pids = (arr % PARTS + PARTS) % PARTS
+    for p in range(PARTS):
+        sub = arr[pids == p]
+        for pos in _bloom_positions(sub, BITS, K):
+            _set_bits(bitsets[p], pos)
+    parr = np.array(probe, dtype=np.int64) if probe else np.array([], dtype=np.int64)
+    ppids = (parr % PARTS + PARTS) % PARTS
+    seen_set = set(seen)
+    for i, (h, p) in enumerate(zip(parr, ppids)):
+        hit = all(
+            _test_bits(bitsets[int(p)], pos)[0]
+            for pos in _bloom_positions(np.array([h], dtype=np.int64), BITS, K)
+        )
+        if h in seen_set:
+            assert hit, f"false negative for {h}"
+
+
+def test_spark_bloom_anti_join_equals_exact(spark):
+    seen_keys = [(i * 7919,) for i in range(500)]
+    cand_keys = [(i * 13,) for i in range(1000)]
+    seen = spark.createDataFrame(seen_keys, "dedup_key long")
+    cand = spark.createDataFrame(cand_keys, "dedup_key long")
+    exact = {r["dedup_key"]
+             for r in cand.join(seen, "dedup_key", "left_anti").collect()}
+    bloom = build_bloom(
+        seen.withColumnRenamed("dedup_key", "url_hash"), PARTS, BITS, K)
+    got = {r["dedup_key"] for r in anti_join_seen(
+        cand, seen, key="dedup_key", bloom=bloom,
+        bloom_partitions=PARTS, bloom_bits=BITS, bloom_hashes=K).collect()}
+    assert got == exact
+
+
+def test_bloom_probe_flags_all_seen(spark):
+    seen = spark.createDataFrame([(i,) for i in range(300)], "url_hash long")
+    bloom = build_bloom(seen, PARTS, BITS, K)
+    probed = bloom_probe_maybe_seen(seen, bloom, PARTS, BITS, K)
+    assert probed.filter("not maybe_seen").count() == 0  # no false negatives
+
+
+def test_bloom_actually_prunes(spark):
+    """FPR sanity: disjoint probes should mostly test negative."""
+    seen = spark.createDataFrame([(i,) for i in range(1000)], "url_hash long")
+    fresh = spark.createDataFrame(
+        [(i + 10_000_000,) for i in range(1000)], "url_hash long")
+    bloom = build_bloom(seen, PARTS, 1 << 16, 7)
+    probed = bloom_probe_maybe_seen(fresh, bloom, PARTS, 1 << 16, 7)
+    fpr = probed.filter("maybe_seen").count() / 1000
+    assert fpr < 0.05, f"FPR {fpr} too high"

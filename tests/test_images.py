@@ -1,0 +1,72 @@
+"""Image payload branch (E7/S9): codec round-trips, phash, PSNR invariant,
+decode_and_verify over the synthetic images table, lineage rows."""
+
+import numpy as np
+
+from xcrawl3r_spark.functions.imagecodec import (
+    decode_image, decode_png, encode_image, encode_png, phash64, psnr,
+    synth_pixels,
+)
+from xcrawl3r_spark.operators.images import decode_and_verify, lineage
+from xcrawl3r_spark.sources import datagen as G
+
+
+def test_png_roundtrip_lossless():
+    px = synth_pixels("abc", 33, 17)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_xjpg_roundtrip_psnr():
+    px = synth_pixels("def", 64, 64)
+    dec = decode_image(encode_image(px, "jpeg"), "jpeg")
+    assert dec.shape == px.shape
+    assert psnr(px, dec) >= 40.0
+    assert not np.array_equal(dec, px)  # genuinely lossy
+
+
+def test_phash_stable_and_discriminative():
+    a = synth_pixels("a", 32, 32)
+    assert phash64(a) == phash64(a.copy())
+    b = synth_pixels("completely-different", 32, 32)
+    assert phash64(a) != phash64(b)
+    # phash robust to mild lossy noise
+    dec = decode_image(encode_image(a, "jpeg"), "jpeg")
+    assert bin(phash64(a) ^ phash64(dec)).count("1") <= 4
+
+
+def test_decode_and_verify_table(spark):
+    p = G.GraphParams(hosts=3, pages_per_host=8)
+    df = G.images_df(spark, p, distributed=False)
+    out = decode_and_verify(df)
+    rows = out.collect()
+    assert len(rows) == p.hosts * p.pages_per_host
+    assert all(r["pixel_ok"] for r in rows)
+    assert all(r["caption_ok"] for r in rows)
+    assert all(r["phash_ok"] for r in rows)
+    assert all(r["phash_recomputed"] == r["phash"]
+               for r in rows if r["fmt"] == "png")
+    assert all(r["decoded_w"] == r["w"] and r["decoded_h"] == r["h"] for r in rows)
+    lossy = [r for r in rows if r["fmt"] == "jpeg"]
+    assert lossy and all(r["psnr_db"] >= 40.0 for r in lossy)
+
+    lin = lineage(out).collect()
+    assert sum(r["n_rows"] for r in lin) == len(rows)
+    assert sum(r["n_ok"] for r in lin) == len(rows)
+    assert all(r["part_id"] >= 0 for r in lin)
+
+
+def test_corrupted_payload_flagged(spark):
+    p = G.GraphParams(hosts=2, pages_per_host=3)
+    rows = list(G.images_rows(p))
+    rows[0]["bytes"] = b"garbage"
+    rows[1]["caption"] = "wrong caption"
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "url"]
+    df = spark.createDataFrame(
+        [[r[c] for c in cols] for r in rows], G.IMAGES_SCHEMA + ", url string"
+    )
+    out = {r["image_id"]: r for r in decode_and_verify(df).collect()}
+    assert not out[rows[0]["image_id"]]["pixel_ok"]
+    assert not out[rows[1]["image_id"]]["caption_ok"]
+    good = [r for r in out.values()
+            if r["image_id"] not in (rows[0]["image_id"], rows[1]["image_id"])]
+    assert all(r["pixel_ok"] and r["caption_ok"] for r in good)

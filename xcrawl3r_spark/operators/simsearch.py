@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>):
+
+- ``cosine_topk``: brute-force cosine top-k — the exact baseline. Dot
+  products via ``F.aggregate``/``F.zip_with`` (sequential left-fold in
+  doubles: deterministic, engine-portable).
+- ``lsh_bucket_topk``: sign-random-projection LSH buckets (deterministic
+  ±1 hyperplanes derived from md5 parity — no RNG) -> candidates share a
+  bucket -> exact re-rank within bucket. The scale path: the cross join
+  becomes a bucket equi-join.
+- ``embedding_near_dup``: pairs with cosine >= threshold, LSH-blocked.
+
+Scores are rounded to 6 dp so the DuckDB oracle (same fold order, same
+doubles) hashes identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 4  # LSH bucket bits (16 buckets; scale with corpus size)
+
+
+def _vec_d(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_cols(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def plane_sign(plane: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane entry: parity of md5('p<plane>_<dim>').
+    Pure function — identical in the SQL oracle."""
+    h = hashlib.md5(f"p{plane}_{dim}".encode()).hexdigest()
+    return 1 if int(h[-1], 16) % 2 == 1 else -1
+
+
+def bucket_col(vec: Column, dims: int, n_planes: int = N_PLANES) -> Column:
+    """LSH bucket id: bit p = 1 iff sum_j sign(p,j) * v_j > 0."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        signs = [plane_sign(p, j) for j in range(dims)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def cosine_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact brute-force top-k neighbors per query.
+
+    embeddings: (vec_id, embedding); queries: (query_id, q_embedding).
+    Broadcast the (small) query side; the corpus streams map-side —
+    the canonical exact-ANN baseline at any scale.
+    """
+    corpus = embeddings.select("vec_id", _vec_d("embedding").alias("v"))
+    qs = queries.select("query_id", _vec_d("q_embedding").alias("q"))
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_cols(F.col("q"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame, queries: DataFrame, dims: int, k: int = 10,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """LSH-bucketed ANN: exact re-rank within the query's bucket only.
+    Recall < 1 by design; the bucket equi-join replaces the cross join."""
+    corpus = embeddings.select(
+        "vec_id", _vec_d("embedding").alias("v")
+    ).withColumn("bucket", bucket_col(F.col("v"), dims, n_planes))
+    qs = queries.select(
+        "query_id", _vec_d("q_embedding").alias("q")
+    ).withColumn("bucket", bucket_col(F.col("q"), dims, n_planes))
+    scored = corpus.join(F.broadcast(qs), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_cols(F.col("q"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, dims: int, threshold: float = 0.95,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), LSH-blocked:
+    only pairs sharing a bucket are scored (at web scale this is the
+    difference between a bucket join and an n^2 cross join)."""
+    base = embeddings.select(
+        "vec_id", _vec_d("embedding").alias("v")
+    ).withColumn("bucket", bucket_col(F.col("v"), dims, n_planes))
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(cosine_cols(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

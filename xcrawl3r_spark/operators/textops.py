@@ -1,0 +1,110 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All native ``pyspark.sql.functions`` (JVM-side, whole-stage codegen) — no
+Python in the hot path. Each operator has a DuckDB-oracle twin in
+``__spark_entry__.oracle_sql`` built from the same constants below, so the
+two engines compute identical values by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker tokens per language for the n-gram/stopword language-ID heuristic.
+# The heuristic is the operator under test; the lists are arbitrary fixed
+# constants shared with the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("de", "shi", "le", "he"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+)
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (ceil(chars/4) per
+    token, the classic ~4-chars-per-token heuristic) per document."""
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+        ).alias("n_subwords"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / mean-word-length / stopword-ratio quality features +
+    composite score. Rounded to 6 dp (both engines round identically)."""
+    toks = tokens_col()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_wlen = F.round((F.length(F.trim("text")) - (n - 1)) / n, 6)
+    raw_ratio = n_stop / n
+    stop_ratio = F.round(raw_ratio, 6)
+    # composite uses the UNROUNDED ratio: a pre-rounded term lands the
+    # score exactly half-way at the 6th decimal, where engines' rounding
+    # modes disagree
+    score = F.round(
+        F.least(F.lit(1.0), n / F.lit(100.0)) * 0.5
+        + F.least(F.lit(1.0), raw_ratio * F.lit(5.0)) * 0.5,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars"),
+        n.alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language-ID heuristic: predicted language = argmax
+    of marker-token counts, ties broken by language code (deterministic)."""
+    toks = tokens_col()
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        cnt = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(cnt.alias("score"), F.lit(lang).alias("lang")))
+    # argmax with lang-code tie-break: max of (score, reversed-lang) structs
+    # won't give lexicographic-smallest lang on ties, so sort desc by score
+    # then asc by lang via array_sort on (-score, lang)
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang"))
+            for s in scores
+        ])
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        ranked[0]["lang"].alias("lang_pred"),
+        (-ranked[0]["neg"]).cast("int").alias("marker_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: 60-bit hash of whitespace-normalized lowered
+    text (md5-based — matches the DuckDB oracle exactly)."""
+    from xcrawl3r_spark.functions.hashing import md5_long
+
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return docs.select("doc_id", md5_long(norm).alias("fp"))

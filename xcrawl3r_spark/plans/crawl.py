@@ -1,0 +1,306 @@
+"""The crawl plan: batch BFS over a priority frontier.
+
+Public API mirrors the reference's one-constructor-one-method surface
+(pkg/xcrawl3r/xcrawl3r.go:387 ``New``, :34 ``Crawl``):
+
+    Crawler(spark, cfg).crawl(seeds_df, pages_df) -> CrawlResult
+
+Per-iteration dataflow (SURVEY §3.4):
+
+    frontier[i] --(within-batch dedup, min depth)--> candidates
+      --(Bloom probe + exact left-anti vs seen)-->  new URLs          D1/D2
+      --(media split: image exts -> payload branch, marked seen)-->   F3
+      --(robots allow/deny broadcast join, optional)-->               north
+      --(per-(seed,host) budget top-k; overflow requeued)-->          A1
+      --(salted repartition, fetch = left join vs pages)-->           S4
+      --(mapInPandas extraction: href/src/regex + .min. variants)--> E1-E4
+      --(scope rlike)--> edges append (emit-per-occurrence)          F1/D3
+      frontier[i+1] = extracted ∪ overflow, depth-gated              A4
+
+All loop state is localCheckpoint()-ed each iteration (breaks Catalyst
+lineage growth); with ``cfg.checkpoint_dir`` every iteration also commits
+frontier/seen/edges/images/errors snapshots through SnapshotStore, and
+``Crawler.resume()`` continues bit-identically from the last commit
+(deterministic data plane: no wall clock, no RNG).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xcrawl3r_spark.config import CrawlConfig
+from xcrawl3r_spark.functions import urls as U
+from xcrawl3r_spark.operators.dedup import anti_join_seen, build_bloom
+from xcrawl3r_spark.operators.extract import extract_links
+from xcrawl3r_spark.operators.politeness import (
+    politeness_select,
+    robots_filter,
+    salted_repartition,
+)
+from xcrawl3r_spark.sinks.tables import SnapshotStore
+
+FRONTIER_COLS = ["seed_id", "url", "url_hash", "dedup_key", "host", "depth"]
+
+
+@dataclass
+class CrawlResult:
+    edges: DataFrame    # seed_id, src_url, url, kind, depth, iter
+    seen: DataFrame     # seed_id, url, url_hash, dedup_key, host, depth, iter
+    images: DataFrame   # seed_id, url, iter
+    errors: DataFrame   # seed_id, url, error, stage, iter
+    iterations: int = 0
+
+
+class Crawler:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig | None = None):
+        from xcrawl3r_spark.session import ship_package
+
+        self.spark = spark
+        ship_package(spark)  # workers need the package for UDF stages
+        self.cfg = cfg or CrawlConfig()
+        self.store = (
+            SnapshotStore(spark, self.cfg.checkpoint_dir)
+            if self.cfg.checkpoint_dir
+            else None
+        )
+
+    # -- column helpers -------------------------------------------------
+    def _dedup_key(self) -> F.Column:
+        """64-bit dedup key. Per-seed scope = fresh collector per seed
+        (xcrawl3r.go:52); hash-only membership mirrors colly's FNV-64
+        InMemoryStorage (hash set, not string set)."""
+        if self.cfg.global_dedup:
+            return F.xxhash64("url")
+        return F.xxhash64("seed_id", "url")
+
+    def _with_keys(self, df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("dedup_key", self._dedup_key())
+            .withColumn("host", F.lower(F.try_parse_url("url", F.lit("HOST"))))
+        )
+
+    # -- seed expansion (F6 + E4-E6), fully native ----------------------
+    def seed_frontier(self, seeds: DataFrame) -> DataFrame:
+        """seeds(seed_id, url) -> depth-1 frontier with robots/sitemap/.min.
+        expansions (xcrawl3r.go:225-267). Canonicalization is a vectorized
+        pandas UDF; expansion is native explode (no driver loop — seed
+        lists can be arbitrarily large)."""
+        canon = U.canonicalize_udf()
+        base = (
+            seeds.filter(F.length(F.trim("url")) > 0)          # F5
+            .withColumn("url", canon("url"))
+            .filter(F.col("url").isNotNull())
+        )
+        scheme = F.substring_index("url", "://", 1)
+        # netloc incl. port (Go's url.Host keeps the port; parse_url HOST
+        # drops it, so slice the string instead)
+        netloc = F.substring_index(F.substring_index("url", "://", -1), "/", 1)
+        root = F.concat(scheme, F.lit("://"), netloc)
+        targets = F.array(F.col("url"))
+        # seed .min. variant (visit-only, xcrawl3r.go:237-239)
+        targets = F.when(
+            F.col("url").contains(".min."),
+            F.array_append(targets, F.regexp_replace("url", r"\.min\.", ".")),
+        ).otherwise(targets)
+        if self.cfg.expand_seeds:
+            expansions = F.array(
+                F.concat(root, F.lit("/robots.txt")),
+                *[F.concat(root, F.lit(p)) for p in U.SITEMAP_PATHS],
+            )
+            targets = F.concat(targets, expansions)
+        exploded = (
+            base.select("seed_id", F.explode(targets).alias("url"))
+            .withColumn("depth", F.lit(1))
+        )
+        return self._with_keys(exploded).select(*FRONTIER_COLS)
+
+    # -- the BFS loop ----------------------------------------------------
+    def crawl(
+        self,
+        seeds: DataFrame,
+        pages: DataFrame,
+        robots: DataFrame | None = None,
+        start_iteration: int = 1,
+        initial_frontier: DataFrame | None = None,
+        initial_seen: DataFrame | None = None,
+        max_iterations: int = 1000,
+    ) -> CrawlResult:
+        cfg, spark = self.cfg, self.spark
+        scope = cfg.scope_pattern()
+        sp = cfg.shuffle_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        empty = {
+            "edges": spark.createDataFrame(
+                [], "seed_id string, src_url string, url string, kind string, "
+                    "depth int, iter int"),
+            "images": spark.createDataFrame([], "seed_id string, url string, iter int"),
+            "errors": spark.createDataFrame(
+                [], "seed_id string, url string, error string, stage string, iter int"),
+        }
+        seen_schema = ", ".join(f"{c} {t}" for c, t in [
+            ("seed_id", "string"), ("url", "string"), ("url_hash", "long"),
+            ("dedup_key", "long"), ("host", "string"), ("depth", "int"),
+            ("iter", "int")])
+
+        if initial_frontier is not None:
+            frontier = initial_frontier
+        else:
+            # seeds pass through the same scope gate as everything else
+            # (colly URLFilters applies to seed visits too, xcrawl3r.go:273)
+            frontier = self.seed_frontier(seeds).filter(F.col("url").rlike(scope))
+        frontier = frontier.localCheckpoint(eager=True)
+        seen = (
+            initial_seen
+            if initial_seen is not None
+            else spark.createDataFrame([], seen_schema)
+        ).localCheckpoint(eager=True)
+
+        edges_parts: list[DataFrame] = []
+        images_parts: list[DataFrame] = []
+        errors_parts: list[DataFrame] = []
+        pages_k = pages.withColumnRenamed("url", "page_url")
+        it = start_iteration
+
+        while it <= max_iterations and not frontier.isEmpty():
+            # (1) within-batch dedup at min depth (FIFO-first-visit parity).
+            # Keyed on dedup_key so global mode collapses cross-seed dups in
+            # the same batch; representative row = lexicographic min of
+            # (depth, seed_id, ...) — deterministic.
+            cand = (
+                frontier.groupBy("dedup_key")
+                .agg(F.min(F.struct("depth", "seed_id", "url", "url_hash",
+                                    "host")).alias("_s"))
+                .select("dedup_key", "_s.*")
+            )
+            # (2) seen anti-join, Bloom-accelerated
+            bloom = None
+            if cfg.bloom_enabled and not seen.isEmpty():
+                bloom = build_bloom(
+                    seen.select(F.col("dedup_key").alias("url_hash")),
+                    cfg.bloom_partitions, cfg.bloom_bits, cfg.bloom_hashes,
+                )
+            new = anti_join_seen(
+                cand, seen, key="dedup_key", bloom=bloom,
+                bloom_partitions=cfg.bloom_partitions,
+                bloom_bits=cfg.bloom_bits, bloom_hashes=cfg.bloom_hashes,
+            )
+            # (3) media split: visited-marked but never fetched (F3);
+            # image exts feed the payload branch (north rule)
+            new = new.withColumn("_media", U.is_media_col(F.col("url")))
+            media = new.filter("_media").drop("_media")
+            fetchable = new.filter(~F.col("_media")).drop("_media")
+            images_it = media.filter(U.is_image_col(F.col("url"))).select(
+                "seed_id", "url", F.lit(it).alias("iter"))
+            # (4) robots enforcement (north rule, off by default)
+            if cfg.obey_robots and robots is not None:
+                fetchable = robots_filter(fetchable, robots)
+            # (5) politeness budget: top-k per (seed, host); overflow requeues
+            if cfg.parallelism > 0:
+                selected, overflow = politeness_select(fetchable, cfg.parallelism)
+            else:
+                selected, overflow = fetchable, fetchable.limit(0)
+            # (6) mark seen: every scheduled request, incl. media-aborted
+            seen_it = (
+                selected.unionByName(media)
+                .select("seed_id", "url", "url_hash", "dedup_key", "host", "depth")
+                .withColumn("iter", F.lit(it))
+            )
+            # (7) fetch = equi-join vs pages (sandbox stand-in for HTTP),
+            # salted repartition to spread hot hosts
+            sched = salted_repartition(selected, cfg.skew_salt, sp)
+            fetched = sched.join(
+                pages_k.hint("merge"), sched.url == pages_k.page_url, "left"
+            ).drop("page_url")
+            errors_it = (
+                fetched.filter(F.col("body").isNull() | (F.col("status") != 200))
+                .select("seed_id", "url",
+                        F.coalesce(F.concat(F.lit("status "), F.col("status")),
+                                   F.lit("fetch failed")).alias("error"),
+                        F.lit("fetch").alias("stage"), F.lit(it).alias("iter"))
+            )
+            ok = fetched.filter(F.col("body").isNotNull() & (F.col("status") == 200))
+            ok = ok.withColumn("is_file", U.is_file_col(F.col("url")))
+            # (8) extraction (Arrow-batched) + scope filter on emits/visits
+            extracted = extract_links(ok).filter(F.col("url").rlike(scope))
+            extracted = extracted.localCheckpoint(eager=True)
+            edges_it = (
+                extracted.filter(F.col("kind") != "minvisit")
+                .withColumn("iter", F.lit(it))
+            )
+            # (9) next frontier: children at depth+1, depth-gated (A4),
+            # plus politeness overflow (same depth, just delayed)
+            child = extracted.select(
+                "seed_id", F.col("url"), (F.col("depth") + 1).alias("depth")
+            )
+            if cfg.depth > 0:
+                child = child.filter(F.col("depth") <= cfg.depth)
+            frontier_next = self._with_keys(child).select(*FRONTIER_COLS)
+            frontier = frontier_next.unionByName(
+                overflow.select(*FRONTIER_COLS)
+            ).localCheckpoint(eager=True)
+
+            seen = seen.unionByName(seen_it).localCheckpoint(eager=True)
+            edges_parts.append(edges_it.localCheckpoint(eager=True))
+            images_parts.append(images_it.localCheckpoint(eager=True))
+            errors_parts.append(errors_it.localCheckpoint(eager=True))
+
+            if self.store is not None:
+                self.store.commit(seen_it, "seen", it)
+                self.store.commit(edges_parts[-1], "edges", it)
+                self.store.commit(images_parts[-1], "images", it)
+                self.store.commit(errors_parts[-1], "errors", it)
+                self.store.commit(frontier, "frontier", it)
+            it += 1
+
+        def cat(parts, key):
+            if not parts:
+                return empty[key]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        return CrawlResult(
+            edges=cat(edges_parts, "edges"),
+            seen=seen,
+            images=cat(images_parts, "images"),
+            errors=cat(errors_parts, "errors"),
+            iterations=it - start_iteration,
+        )
+
+    def resume(
+        self, seeds: DataFrame, pages: DataFrame, robots: DataFrame | None = None
+    ) -> CrawlResult:
+        """Continue a checkpointed crawl from its last committed iteration.
+
+        Re-runs nothing that committed; the deterministic data plane makes
+        the combined output bit-identical to an uninterrupted run."""
+        if self.store is None:
+            raise ValueError("resume() requires cfg.checkpoint_dir")
+        last = self.store.last_iteration("frontier")
+        if last is None:
+            return self.crawl(seeds, pages, robots)
+        frontier = self.store.read_iteration("frontier", last)
+        seen = self.store.read("seen", upto=last)
+        res = self.crawl(
+            seeds, pages, robots,
+            start_iteration=last + 1,
+            initial_frontier=frontier,
+            initial_seen=seen,
+        )
+        # stitch committed history with the new tail
+        edges = self.store.read("edges")
+        images = self.store.read("images")
+        errors = self.store.read("errors")
+        return CrawlResult(
+            edges=edges if edges is not None else res.edges,
+            seen=res.seen,
+            images=images if images is not None else res.images,
+            errors=errors if errors is not None else res.errors,
+            iterations=res.iterations + last,
+        )

@@ -1,0 +1,73 @@
+"""SparkSession factory with the engine's recommended conf.
+
+Scale posture: AQE on (runtime re-plan + skew-join backstop), Arrow on
+(every Python stage is Arrow-batched), shuffle partitions sized to the
+local core count for tests — on a real cluster set
+``spark.sql.shuffle.partitions`` ~ 2-3x total cores and let AQE coalesce.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``xcrawl3r_spark`` importable on executor Python workers.
+
+    Driver-side ``sys.path`` does not propagate to workers, so any
+    pandas-UDF / mapInPandas stage referencing package modules fails with
+    ModuleNotFoundError when the host app runs outside the repo dir (the
+    ``spark-submit --py-files`` problem). This zips the package once and
+    ``addPyFile``s it — the in-process equivalent of ``--py-files``.
+    """
+    import tempfile
+    import zipfile
+
+    import xcrawl3r_spark
+
+    pkgdir = os.path.dirname(os.path.abspath(xcrawl3r_spark.__file__))
+    root = os.path.dirname(pkgdir)
+    zpath = os.path.join(tempfile.gettempdir(), "xcrawl3r_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _, files in os.walk(pkgdir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+
+
+def get_spark(
+    app: str = "xcrawl3r_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    if shuffle_partitions is None:
+        n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
