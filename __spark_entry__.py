@@ -38,6 +38,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t, but repartitioned to the session's shuffle parallelism.
+
+    The sf* test parquets are single-row-group files, so Spark reads them
+    as ONE split and any compute-heavy map stage (minhash signatures,
+    shingling, simhash bit explode) runs on one core. On a real cluster a
+    100 TB table has thousands of natural splits and this repartition is a
+    no-op by construction; locally the one-file shuffle (<1 MB) buys full
+    parallelism for the expensive projection that follows."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return _t(spark, sf_dir, name).repartition(n)
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship crawl
 # ---------------------------------------------------------------------------
@@ -263,16 +276,16 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dedupops.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return dedupops.minhash_lsh_pairs(_t_wide(spark, sf_dir, "documents"))
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedupops.simhash(_t(spark, sf_dir, "documents"))
+    return dedupops.simhash(_t_wide(spark, sf_dir, "documents"))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedupops.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2)
+        _t_wide(spark, sf_dir, "documents"), threshold=0.2)
 
 
 def q_text_tokens(spark, sf_dir):
@@ -376,8 +389,11 @@ def _ext_url_sql() -> str:
 def _minhash_oracle() -> str:
     nb, rb = dedupops.N_BANDS, dedupops.ROWS_PER_BAND
     k = dedupops.SHINGLE_K
+    p = dedupops.MINHASH_PRIME
     mins = ", ".join(
-        "min({h}) as mh{i}".format(h=md5_long_sql(f"concat('{i}:', sh)"), i=i)
+        "min(({a} * hv + {b}) % {p}) as mh{i}".format(
+            a=dedupops.minhash_perm(i)[0], b=dedupops.minhash_perm(i)[1],
+            p=p, i=i)
         for i in range(nb * rb)
     )
     band_rows = " union all ".join(
@@ -404,8 +420,10 @@ with tok as (
                              i -> array_to_string(toks[i:i+{k - 1}], ' '))
          else [] end)) as sh
   from tok
+), hashed as (
+  select doc_id, {md5_long_sql('sh')} % {p} as hv from shing
 ), mins as (
-  select doc_id, {mins} from shing group by doc_id
+  select doc_id, {mins} from hashed group by doc_id
 ), bands as (
   {band_rows}
 )

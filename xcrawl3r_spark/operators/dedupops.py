@@ -16,6 +16,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -25,6 +27,23 @@ N_BANDS = 8
 ROWS_PER_BAND = 4
 SHINGLE_K = 3
 SIMHASH_BITS = 60  # fits a signed BIGINT in both engines
+
+# MinHash permutation domain: largest prime < 2^31. Shingle hashes are
+# folded into [0, P) once; the i-th minhash is min((a_i*h + b_i) mod P).
+# a_i, h < 2^31 so a_i*h + b_i < 2^62 — no signed-64 overflow in Spark or
+# DuckDB (DuckDB errors on BIGINT overflow rather than wrapping, so this
+# bound is load-bearing for the oracle).
+MINHASH_PRIME = 2147483629
+
+
+def minhash_perm(i: int) -> tuple[int, int]:
+    """Deterministic affine-permutation params (a_i, b_i) for minhash i —
+    plan-time Python constants, identical in the Spark plan and the DuckDB
+    oracle SQL."""
+    a = int(hashlib.md5(f"mha:{i}".encode()).hexdigest()[:8], 16) % (
+        MINHASH_PRIME - 1) + 1
+    b = int(hashlib.md5(f"mhb:{i}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+    return a, b
 
 
 def shingles_col(text: Column | str = "text", k: int = SHINGLE_K) -> Column:
@@ -50,16 +69,31 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_BANDS * ROWS_PER_BAND) -> DataFrame:
-    """doc_id -> minhash_i for i in [0, n_hashes): min over shingles of
-    md5_long('i:' || shingle). Map-side only (no shuffle)."""
-    sh = shingles_col()
-    cols = [
-        F.array_min(
-            F.transform(sh, lambda s: md5_long(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    return docs.select("doc_id", *cols)
+    """doc_id -> minhash_i for i in [0, n_hashes).
+
+    Each shingle is md5-hashed ONCE and folded into [0, MINHASH_PRIME);
+    the n_hashes signatures are affine permutations (a_i*h + b_i) mod P of
+    that one hash — n_hashes times fewer md5 evaluations than hashing per
+    (i, shingle). Shape: explode(shingles) -> hash -> groupBy(doc_id) with
+    n_hashes ``min`` aggregates. The mins run in a whole-stage-codegen'd
+    hash aggregate (array higher-order functions are interpreted, ~5x
+    slower), and map-side partial aggregation shrinks the shuffle to one
+    row per doc per partition. Docs with zero shingles (< k tokens) have
+    no signature (explode drops them).
+    """
+    hv = (md5_long("sh") % F.lit(MINHASH_PRIME)).alias("hv")
+    ex = docs.select(
+        "doc_id", F.explode(shingles_col()).alias("sh")
+    ).select("doc_id", hv)
+    aggs = []
+    for i in range(n_hashes):
+        a, b = minhash_perm(i)
+        aggs.append(
+            F.min(
+                (F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"mh{i}")
+        )
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -67,11 +101,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of >=1 band.
 
-    band_key = md5_long(band || ':' || concat of the band's minhashes);
-    pairs from a per-(band, key) self-join, deduped, doc_a < doc_b.
+    band_key = md5_long(band || ':' || concat of the band's minhashes).
+    All band keys are computed in ONE projection and exploded (a union of
+    per-band projections would re-evaluate the signature plan n_bands
+    times); pairs from a per-(band, key) self-join, deduped, doc_a < doc_b.
     """
     sig = minhash_signatures(docs, n_bands * rows_per_band)
-    bands = None
+    entries = []
     for b in range(n_bands):
         key = md5_long(
             F.concat_ws(
@@ -80,8 +116,13 @@ def minhash_lsh_pairs(
                   for r in range(rows_per_band)],
             )
         )
-        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
-        bands = part if bands is None else bands.unionByName(part)
+        entries.append(
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*entries)).alias("e"))
+        .select("doc_id", "e.band", "e.band_key")
+    )
     a = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b_ = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (
