@@ -93,6 +93,29 @@ def build_bloom(
     return {pid: bs.tobytes() for pid, bs in merged.items()}
 
 
+def merge_blooms(
+    dst: dict[int, bytes] | None, src: dict[int, bytes]
+) -> dict[int, bytes]:
+    """OR ``src`` partition bitsets into ``dst`` (incremental maintenance).
+
+    Bloom filters are monotone — the union of two filters over disjoint
+    row sets is the filter over the union — so the crawl loop builds each
+    iteration's filter from the NEW seen rows only and folds it in, instead
+    of rescanning the whole seen set every iteration (which is quadratic
+    over the crawl's lifetime)."""
+    if dst is None:
+        return dict(src)
+    out = dict(dst)
+    for pid, raw in src.items():
+        if pid in out:
+            a = np.frombuffer(out[pid], dtype=np.uint8)
+            b = np.frombuffer(raw, dtype=np.uint8)
+            out[pid] = (a | b).tobytes()
+        else:
+            out[pid] = raw
+    return out
+
+
 def bloom_probe_maybe_seen(
     df: DataFrame, bloom: dict[int, bytes], partitions: int, bits: int, k: int,
     key: str = "url_hash",
@@ -146,6 +169,7 @@ def anti_join_seen(
     bloom_partitions: int = 8,
     bloom_bits: int = 1 << 20,
     bloom_hashes: int = 7,
+    keys_unique: bool = False,
 ) -> DataFrame:
     """candidates \\ seen on ``key`` (D1). Per-seed scope (D2) is folded
     into the key upstream: dedup_key = xxhash64(seed_id, url) — the same
@@ -154,8 +178,18 @@ def anti_join_seen(
     With a Bloom filter: definitely-new rows bypass the shuffle entirely;
     only maybe-seen rows are anti-joined exactly. Equivalent to the plain
     anti-join by the no-false-negative property (property-tested).
+
+    ``keys_unique``: the crawl loop only ever inserts post-anti-join,
+    batch-deduped rows, so seen keys are unique by construction — skip the
+    distinct's full-seen shuffle in that case.
     """
-    seen_keys = seen.select(key).distinct()
+    if bloom is not None and not bloom:
+        # empty filter (nothing seen yet): every candidate is new — skip
+        # both the Python probe round-trip and the join entirely
+        return candidates
+    seen_keys = seen.select(key)
+    if not keys_unique:
+        seen_keys = seen_keys.distinct()
     if bloom is None:
         return candidates.join(seen_keys, key, "left_anti")
     probed = bloom_probe_maybe_seen(

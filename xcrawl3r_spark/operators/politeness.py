@@ -41,21 +41,51 @@ def priority_cols(df: DataFrame) -> DataFrame:
     )
 
 
+def politeness_flag(
+    frontier: DataFrame, budget: int, skew_salt: int = 0
+) -> DataFrame:
+    """Add boolean ``_sel``: True for the per-(seed,host) top-``budget``
+    rows by the deterministic order (depth, url_hash).
+
+    Returned as ONE flagged frame (rather than two filtered branches) so
+    the caller can checkpoint the window result once and derive
+    selected/overflow as cheap filters.
+
+    Skew: with ``skew_salt`` > 0 the top-k runs in two phases — a partial
+    top-``budget`` per (seed, host, pmod(url_hash, salt)) bucket, then the
+    exact window over the <= salt*budget survivors per host. A hot host
+    holding 30% of the frontier never serializes one shuffle partition;
+    the result is identical to the single-window top-k (any global top-k
+    row is in its bucket's top-k).
+    """
+    order = [F.col("depth"), F.col("url_hash")]
+    if skew_salt > 1:
+        wb = Window.partitionBy(
+            "seed_id", "host", F.pmod(F.col("url_hash"), F.lit(skew_salt))
+        ).orderBy(*order)
+        pre = frontier.withColumn("_brn", F.row_number().over(wb))
+        survivors = pre.filter(F.col("_brn") <= budget)
+        losers = pre.filter(F.col("_brn") > budget).drop("_brn").withColumn(
+            "_sel", F.lit(False))
+        w = Window.partitionBy("seed_id", "host").orderBy(*order)
+        ranked = survivors.drop("_brn").withColumn(
+            "_sel", F.row_number().over(w) <= budget)
+        return ranked.unionByName(losers)
+    w = Window.partitionBy("seed_id", "host").orderBy(*order)
+    return frontier.withColumn("_sel", F.row_number().over(w) <= budget)
+
+
 def politeness_select(
-    frontier: DataFrame, budget: int
+    frontier: DataFrame, budget: int, skew_salt: int = 0
 ) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (selected, overflow) by per-(seed,host) top-k.
 
     Returns DataFrames with identical schemas; overflow re-enters the next
     iteration's frontier unchanged (same depth — delay, not drop).
     """
-    w = (
-        Window.partitionBy("seed_id", "host")
-        .orderBy(F.col("depth"), F.col("url_hash"))
-    )
-    ranked = frontier.withColumn("_rn", F.row_number().over(w))
-    selected = ranked.filter(F.col("_rn") <= budget).drop("_rn")
-    overflow = ranked.filter(F.col("_rn") > budget).drop("_rn")
+    ranked = politeness_flag(frontier, budget, skew_salt)
+    selected = ranked.filter(F.col("_sel")).drop("_sel")
+    overflow = ranked.filter(~F.col("_sel")).drop("_sel")
     return selected, overflow
 
 

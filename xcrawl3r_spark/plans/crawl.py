@@ -26,19 +26,23 @@ frontier/seen/edges/images/errors snapshots through SnapshotStore, and
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xcrawl3r_spark.config import CrawlConfig
 from xcrawl3r_spark.functions import urls as U
-from xcrawl3r_spark.operators.dedup import anti_join_seen, build_bloom
+from xcrawl3r_spark.operators.dedup import (
+    anti_join_seen,
+    build_bloom,
+    merge_blooms,
+)
 from xcrawl3r_spark.operators.extract import extract_links
 from xcrawl3r_spark.operators.politeness import (
-    politeness_select,
+    politeness_flag,
     robots_filter,
-    salted_repartition,
 )
 from xcrawl3r_spark.sinks.tables import SnapshotStore
 
@@ -52,6 +56,8 @@ class CrawlResult:
     images: DataFrame   # seed_id, url, iter
     errors: DataFrame   # seed_id, url, error, stage, iter
     iterations: int = 0
+    #: per-iteration wall-clock phase timings + row counts (A6 metrics)
+    metrics: list[dict] = field(default_factory=list)
 
 
 class Crawler:
@@ -131,9 +137,6 @@ class Crawler:
     ) -> CrawlResult:
         cfg, spark = self.cfg, self.spark
         scope = cfg.scope_pattern()
-        sp = cfg.shuffle_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
         empty = {
             "edges": spark.createDataFrame(
                 [], "seed_id string, src_url string, url string, kind string, "
@@ -154,19 +157,42 @@ class Crawler:
             # (colly URLFilters applies to seed visits too, xcrawl3r.go:273)
             frontier = self.seed_frontier(seeds).filter(F.col("url").rlike(scope))
         frontier = frontier.localCheckpoint(eager=True)
-        seen = (
+        seen0 = (
             initial_seen
             if initial_seen is not None
             else spark.createDataFrame([], seen_schema)
         ).localCheckpoint(eager=True)
 
+        # seen = lazy union of per-iteration increments (each a cheap filter
+        # over a checkpointed parent); collapsed every SEEN_COLLAPSE_EVERY
+        # iterations so the anti-join plan never grows unboundedly.
+        SEEN_COLLAPSE_EVERY = 8
+        seen_parts: list[DataFrame] = [seen0]
+        seen = seen0
+
+        # Incremental Bloom over dedup_key: fold in each iteration's NEW
+        # rows only (merge_blooms), never rescan the whole seen set.
+        bloom: dict[int, bytes] | None = None
+        if cfg.bloom_enabled:
+            bloom = (
+                build_bloom(
+                    seen0.select(F.col("dedup_key").alias("url_hash")),
+                    cfg.bloom_partitions, cfg.bloom_bits, cfg.bloom_hashes,
+                )
+                if initial_seen is not None
+                else {}
+            )
+
         edges_parts: list[DataFrame] = []
         images_parts: list[DataFrame] = []
         errors_parts: list[DataFrame] = []
+        metrics: list[dict] = []
         pages_k = pages.withColumnRenamed("url", "page_url")
         it = start_iteration
 
         while it <= max_iterations and not frontier.isEmpty():
+            m: dict = {"iter": it}
+            t0 = time.perf_counter()
             # (1) within-batch dedup at min depth (FIFO-first-visit parity).
             # Keyed on dedup_key so global mode collapses cross-seed dups in
             # the same batch; representative row = lexicographic min of
@@ -177,18 +203,18 @@ class Crawler:
                                     "host")).alias("_s"))
                 .select("dedup_key", "_s.*")
             )
-            # (2) seen anti-join, Bloom-accelerated
-            bloom = None
-            if cfg.bloom_enabled and not seen.isEmpty():
-                bloom = build_bloom(
-                    seen.select(F.col("dedup_key").alias("url_hash")),
-                    cfg.bloom_partitions, cfg.bloom_bits, cfg.bloom_hashes,
-                )
+            # (2) seen anti-join, Bloom-accelerated. Checkpointed ONCE —
+            # every downstream branch (media/politeness/seen/fetch) derives
+            # from this materialization instead of re-running the
+            # dedup+probe+anti-join chain.
             new = anti_join_seen(
                 cand, seen, key="dedup_key", bloom=bloom,
                 bloom_partitions=cfg.bloom_partitions,
                 bloom_bits=cfg.bloom_bits, bloom_hashes=cfg.bloom_hashes,
-            )
+                keys_unique=True,
+            ).localCheckpoint(eager=True)
+            m["t_new"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
             # (3) media split: visited-marked but never fetched (F3);
             # image exts feed the payload branch (north rule)
             new = new.withColumn("_media", U.is_media_col(F.col("url")))
@@ -199,9 +225,16 @@ class Crawler:
             # (4) robots enforcement (north rule, off by default)
             if cfg.obey_robots and robots is not None:
                 fetchable = robots_filter(fetchable, robots)
-            # (5) politeness budget: top-k per (seed, host); overflow requeues
+            # (5) politeness budget: top-k per (seed, host), salted two-phase
+            # window (hot hosts never serialize one partition); overflow
+            # requeues. Flagged frame checkpointed once, selected/overflow
+            # are filters on it.
             if cfg.parallelism > 0:
-                selected, overflow = politeness_select(fetchable, cfg.parallelism)
+                flagged = politeness_flag(
+                    fetchable, cfg.parallelism, cfg.skew_salt
+                ).localCheckpoint(eager=True)
+                selected = flagged.filter(F.col("_sel")).drop("_sel")
+                overflow = flagged.filter(~F.col("_sel")).drop("_sel")
             else:
                 selected, overflow = fetchable, fetchable.limit(0)
             # (6) mark seen: every scheduled request, incl. media-aborted
@@ -210,11 +243,13 @@ class Crawler:
                 .select("seed_id", "url", "url_hash", "dedup_key", "host", "depth")
                 .withColumn("iter", F.lit(it))
             )
-            # (7) fetch = equi-join vs pages (sandbox stand-in for HTTP),
-            # salted repartition to spread hot hosts
-            sched = salted_repartition(selected, cfg.skew_salt, sp)
-            fetched = sched.join(
-                pages_k.hint("merge"), sched.url == pages_k.page_url, "left"
+            m["t_politeness"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            # (7) fetch = equi-join vs pages (sandbox stand-in for the
+            # mapInPandas HTTP stage; the join itself hashes on url, so
+            # host skew cannot concentrate — AQE picks the physical join)
+            fetched = selected.join(
+                pages_k, selected.url == pages_k.page_url, "left"
             ).drop("page_url")
             errors_it = (
                 fetched.filter(F.col("body").isNull() | (F.col("status") != 200))
@@ -228,6 +263,8 @@ class Crawler:
             # (8) extraction (Arrow-batched) + scope filter on emits/visits
             extracted = extract_links(ok).filter(F.col("url").rlike(scope))
             extracted = extracted.localCheckpoint(eager=True)
+            m["t_fetch_extract"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
             edges_it = (
                 extracted.filter(F.col("kind") != "minvisit")
                 .withColumn("iter", F.lit(it))
@@ -244,17 +281,34 @@ class Crawler:
                 overflow.select(*FRONTIER_COLS)
             ).localCheckpoint(eager=True)
 
-            seen = seen.unionByName(seen_it).localCheckpoint(eager=True)
-            edges_parts.append(edges_it.localCheckpoint(eager=True))
-            images_parts.append(images_it.localCheckpoint(eager=True))
-            errors_parts.append(errors_it.localCheckpoint(eager=True))
+            # edges/images/errors parts stay LAZY: they are cheap filters
+            # over checkpointed parents, materialized once at the end (or
+            # by the store commit below).
+            seen_parts.append(seen_it)
+            seen = seen.unionByName(seen_it)
+            if len(seen_parts) >= SEEN_COLLAPSE_EVERY:
+                seen = seen.localCheckpoint(eager=True)
+                seen_parts = [seen]
+            edges_parts.append(edges_it)
+            images_parts.append(images_it)
+            errors_parts.append(errors_it)
+            if bloom is not None:
+                inc = build_bloom(
+                    seen_it.select(F.col("dedup_key").alias("url_hash")),
+                    cfg.bloom_partitions, cfg.bloom_bits, cfg.bloom_hashes,
+                )
+                bloom = merge_blooms(bloom, inc)
+            m["t_frontier"] = round(time.perf_counter() - t0, 3)
 
             if self.store is not None:
+                t0 = time.perf_counter()
                 self.store.commit(seen_it, "seen", it)
                 self.store.commit(edges_parts[-1], "edges", it)
                 self.store.commit(images_parts[-1], "images", it)
                 self.store.commit(errors_parts[-1], "errors", it)
                 self.store.commit(frontier, "frontier", it)
+                m["t_store"] = round(time.perf_counter() - t0, 3)
+            metrics.append(m)
             it += 1
 
         def cat(parts, key):
@@ -271,6 +325,7 @@ class Crawler:
             images=cat(images_parts, "images"),
             errors=cat(errors_parts, "errors"),
             iterations=it - start_iteration,
+            metrics=metrics,
         )
 
     def resume(
