@@ -228,6 +228,82 @@ def q_e1_regex_extract(spark, sf_dir):
     )
 
 
+def q_f7_body_cleanup(spark, sf_dir):
+    """F7: body-cleanup replacer (strip '*', unescape \\u002f/\\u0026 —
+    xcrawl3r.go:100-106) via the engine's native column builder."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("x*y\\u002f"), F.col("source"),
+                   F.lit("\\u0026z*"), F.col("text"))
+    return docs.select("doc_id", U.clean_body_col(raw).alias("cleaned"))
+
+
+def q_d2_per_seed_scope(spark, sf_dir):
+    """D2: per-seed vs global dedup scope — the engine's dedup_key is
+    xxhash64(seed_id, url) per-seed (fresh collector per seed,
+    xcrawl3r.go:52) vs xxhash64(url) global; distinct-key counts match
+    distinct (seed_id,url) / url counts by hash injectivity."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        (F.col("user_id") % 4).cast("string").alias("seed_id"),
+        F.concat(F.lit("https://h"), (F.col("event_id") % 1000).cast("string"),
+                 F.lit(".test/p")).alias("url"),
+    )
+    return df.agg(
+        F.countDistinct(F.xxhash64("seed_id", "url")).alias("n_per_seed"),
+        F.countDistinct(F.xxhash64("url")).alias("n_global"),
+    )
+
+
+def q_e2_e3_html_extract(spark, sf_dir):
+    """E2/E3/E4: the engine's real mapInPandas extraction over generated
+    HTML — [href] (absolute + relative resolved vs page URL), [src]
+    (image + .min.js with its visit-only de-minified variant)
+    (xcrawl3r.go:135-206)."""
+    from xcrawl3r_spark.operators.extract import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(F.lit("https://"), F.col("source"), F.lit(".test/p/"), sid)
+    nxt = F.concat(F.lit("https://"), F.col("source"), F.lit(".test/p/"),
+                   (F.col("doc_id") + 1).cast("string"))
+    img = F.concat(F.lit("https://img."), F.col("source"), F.lit(".test/i/"),
+                   sid, F.lit(".png"))
+    js = F.concat(F.lit("https://"), F.col("source"), F.lit(".test/s/"),
+                  sid, F.lit(".min.js"))
+    body = F.concat(
+        F.lit('<html><body><a href="'), nxt,
+        F.lit('">n</a><a href="/r/'), sid,
+        F.lit('">r</a><img src="'), img,
+        F.lit('"><script src="'), js, F.lit('"></script></body></html>'))
+    fetched = docs.select(
+        F.lit("s").alias("seed_id"), page.alias("url"),
+        F.lit(1).alias("depth"), F.lit("text/html").alias("content_type"),
+        body.alias("body"), F.lit(False).alias("is_file"))
+    return extract_links(fetched).select("src_url", "url", "kind")
+
+
+def q_e7_image_verify(spark, sf_dir):
+    """E7/S9: the image payload branch end-to-end — synthesize the
+    input_hint-shaped images table (deterministic, no external data),
+    decode via the Arrow-batched verify stage, aggregate the per-row
+    invariants (PSNR >= 40 dB lossy / exact lossless, caption equality,
+    phash). Non-SQL-expressible (binary codec) — no DuckDB oracle; the
+    driver's rows-only check sees a single stable row."""
+    from xcrawl3r_spark.operators.images import decode_and_verify
+    from xcrawl3r_spark.sources import datagen as G
+
+    p = G.GraphParams(hosts=6, pages_per_host=25)
+    v = decode_and_verify(G.images_df(spark, p, distributed=False))
+    return v.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("pixel_ok").cast("long")).alias("n_pixel_ok"),
+        F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
+        F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
+        (F.min(F.when(F.col("fmt") == "jpeg", F.col("psnr_db"))) >= 40.0
+         ).alias("lossy_psnr_ge_40"),
+    )
+
+
 def q_e5_seed_expansion(spark, sf_dir):
     """E5/E6: robots + 12-sitemap seed expansion (xcrawl3r.go:241-264) via
     the engine's native seed_frontier over distinct sources as seeds."""
@@ -335,7 +411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_ext_gate": q_f3_ext_gate,
         "f6_canonicalize": q_f6_canonicalize,
         "f6_hash_distinct": q_f6_hash_distinct,
+        "f7_body_cleanup": q_f7_body_cleanup,
         "d1_anti_join": q_d1_anti_join,
+        "d2_per_seed_scope": q_d2_per_seed_scope,
+        "e2_e3_html_extract": q_e2_e3_html_extract,
+        "e7_image_verify": q_e7_image_verify,
         "d1_bloom_anti_join": q_d1_bloom_anti_join,
         "d3_emit_vs_visit": q_d3_emit_vs_visit,
         "a1_politeness_topk": q_a1_politeness_topk,
@@ -619,6 +699,39 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "f6_hash_distinct": "select count(distinct p_name) as n_distinct from part",
+        # NB: single-quoted SQL strings keep backslashes literal in DuckDB,
+        # so '/' below is the 6-char escape sequence, matching the
+        # Spark side's F.lit("\\u002f").
+        "f7_body_cleanup": r"""
+            select doc_id,
+                   replace(replace(replace(
+                       concat('x*y\u002f', source, '\u0026z*', text),
+                       '*', ''), '\u002f', '/'), '\u0026', '&') as cleaned
+            from documents
+        """,
+        "d2_per_seed_scope": """
+            with d as (
+              select cast(user_id % 4 as varchar) as seed_id,
+                     concat('https://h', event_id % 1000, '.test/p') as url
+              from events)
+            select count(distinct (seed_id, url)) as n_per_seed,
+                   count(distinct url) as n_global
+            from d
+        """,
+        "e2_e3_html_extract": """
+            with rows as (
+              select concat('https://', source, '.test/p/', doc_id) as src_url,
+                     unnest([
+                       struct_pack(url := concat('https://', source, '.test/p/', doc_id + 1), kind := 'href'),
+                       struct_pack(url := concat('https://', source, '.test/r/', doc_id), kind := 'href'),
+                       struct_pack(url := concat('https://img.', source, '.test/i/', doc_id, '.png'), kind := 'src'),
+                       struct_pack(url := concat('https://', source, '.test/s/', doc_id, '.min.js'), kind := 'src'),
+                       struct_pack(url := concat('https://', source, '.test/s/', doc_id, '.js'), kind := 'minvisit')
+                     ], recursive := true)
+              from documents
+            )
+            select src_url, url, kind from rows
+        """,
         "d1_anti_join": """
             select o_orderkey, o_totalprice from orders o
             where not exists (select 1 from lineitem l

@@ -32,6 +32,15 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def count_nodes(plan: str, name: str) -> int:
+    """Count physical-plan NODES named `name`. Formatted explain prints
+    each node twice — `+- Name (5)` in the tree and `(5) Name` in the
+    detail section — so a raw substring count double-counts."""
+    import re
+
+    return len(re.findall(rf"\b{name} \(\d+\)", plan))
+
+
 class TestPushdownAndPruning:
     def test_filter_pushed_to_parquet_scan(self, spark, sf_dir):
         df = (
@@ -89,7 +98,8 @@ class TestNoPythonInRelationalPaths:
     BatchEvalPython / MapInPandas nodes in their plans."""
 
     NATIVE_QUERIES = [
-        "f1_scope_filter", "f3_ext_gate", "d1_anti_join", "d3_emit_vs_visit",
+        "f1_scope_filter", "f3_ext_gate", "f7_body_cleanup",
+        "d2_per_seed_scope", "d1_anti_join", "d3_emit_vs_visit",
         "a1_politeness_topk", "a6_metrics_agg", "e1_regex_extract",
         "j1_broadcast_join", "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_ngram_jaccard", "text_tokens",
@@ -114,8 +124,8 @@ class TestCodegen:
         # two HashAggregates around one Exchange = map-side partial min
         # (the shuffle carries one row per doc per partition, not one row
         # per shingle) — the property that matters at 100 TB
-        assert plan.count("HashAggregate") >= 2
-        assert plan.count("Exchange") == 1
+        assert count_nodes(plan, "HashAggregate") >= 2
+        assert count_nodes(plan, "Exchange") == 1
         # codegen'd hash aggregate, not ObjectHashAggregate/SortAggregate
         assert "ObjectHashAggregate" not in plan
         assert "SortAggregate" not in plan

@@ -206,6 +206,15 @@ def host_col(url: Column) -> Column:
     return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
+def clean_body_col(body: Column) -> Column:
+    """F7 body cleanup as native (codegen'd) expressions — the column
+    twin of ``clean_body`` (xcrawl3r.go:100-106): strip ``*``, unescape
+    ``\\u002f`` -> ``/`` and ``\\u0026`` -> ``&``."""
+    out = F.replace(body, F.lit("*"), F.lit(""))
+    out = F.replace(out, F.lit("\\u002f"), F.lit("/"))
+    return F.replace(out, F.lit("\\u0026"), F.lit("&"))
+
+
 # ---------------------------------------------------------------------------
 # vectorized canonicalize (Arrow batch; never per-row Python UDF)
 # ---------------------------------------------------------------------------

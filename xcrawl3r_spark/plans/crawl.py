@@ -29,6 +29,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,6 +48,18 @@ from xcrawl3r_spark.operators.politeness import (
 from xcrawl3r_spark.sinks.tables import SnapshotStore
 
 FRONTIER_COLS = ["seed_id", "url", "url_hash", "dedup_key", "host", "depth"]
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Materialize loop state + truncate lineage, on serialized DISK_ONLY
+    blocks. localCheckpoint's default deserialized-memory storage level
+    serializes writers on block-manager/memory-store locks: measured at
+    local[32] it is ~7x slower than DISK_ONLY for the same frame and gets
+    *slower* with more cores (see BENCH/BASELINE.md). Disk blocks are
+    written once, read once per downstream branch, and scale with the
+    writer count — on a real cluster this is also the level that survives
+    executor memory pressure without recompute storms."""
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
 @dataclass
@@ -156,12 +169,12 @@ class Crawler:
             # seeds pass through the same scope gate as everything else
             # (colly URLFilters applies to seed visits too, xcrawl3r.go:273)
             frontier = self.seed_frontier(seeds).filter(F.col("url").rlike(scope))
-        frontier = frontier.localCheckpoint(eager=True)
-        seen0 = (
+        frontier = _ckpt(frontier)
+        seen0 = _ckpt(
             initial_seen
             if initial_seen is not None
             else spark.createDataFrame([], seen_schema)
-        ).localCheckpoint(eager=True)
+        )
 
         # seen = lazy union of per-iteration increments (each a cheap filter
         # over a checkpointed parent); collapsed every SEEN_COLLAPSE_EVERY
@@ -207,12 +220,12 @@ class Crawler:
             # every downstream branch (media/politeness/seen/fetch) derives
             # from this materialization instead of re-running the
             # dedup+probe+anti-join chain.
-            new = anti_join_seen(
+            new = _ckpt(anti_join_seen(
                 cand, seen, key="dedup_key", bloom=bloom,
                 bloom_partitions=cfg.bloom_partitions,
                 bloom_bits=cfg.bloom_bits, bloom_hashes=cfg.bloom_hashes,
                 keys_unique=True,
-            ).localCheckpoint(eager=True)
+            ))
             m["t_new"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             # (3) media split: visited-marked but never fetched (F3);
@@ -230,9 +243,9 @@ class Crawler:
             # requeues. Flagged frame checkpointed once, selected/overflow
             # are filters on it.
             if cfg.parallelism > 0:
-                flagged = politeness_flag(
+                flagged = _ckpt(politeness_flag(
                     fetchable, cfg.parallelism, cfg.skew_salt
-                ).localCheckpoint(eager=True)
+                ))
                 selected = flagged.filter(F.col("_sel")).drop("_sel")
                 overflow = flagged.filter(~F.col("_sel")).drop("_sel")
             else:
@@ -262,7 +275,7 @@ class Crawler:
             ok = ok.withColumn("is_file", U.is_file_col(F.col("url")))
             # (8) extraction (Arrow-batched) + scope filter on emits/visits
             extracted = extract_links(ok).filter(F.col("url").rlike(scope))
-            extracted = extracted.localCheckpoint(eager=True)
+            extracted = _ckpt(extracted)
             m["t_fetch_extract"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             edges_it = (
@@ -277,9 +290,9 @@ class Crawler:
             if cfg.depth > 0:
                 child = child.filter(F.col("depth") <= cfg.depth)
             frontier_next = self._with_keys(child).select(*FRONTIER_COLS)
-            frontier = frontier_next.unionByName(
+            frontier = _ckpt(frontier_next.unionByName(
                 overflow.select(*FRONTIER_COLS)
-            ).localCheckpoint(eager=True)
+            ))
 
             # edges/images/errors parts stay LAZY: they are cheap filters
             # over checkpointed parents, materialized once at the end (or
@@ -287,7 +300,7 @@ class Crawler:
             seen_parts.append(seen_it)
             seen = seen.unionByName(seen_it)
             if len(seen_parts) >= SEEN_COLLAPSE_EVERY:
-                seen = seen.localCheckpoint(eager=True)
+                seen = _ckpt(seen)
                 seen_parts = [seen]
             edges_parts.append(edges_it)
             images_parts.append(images_it)

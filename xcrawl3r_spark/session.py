@@ -13,6 +13,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def build_pkg_zip(dest: str | None = None, force: bool = False) -> str:
+    """Zip the ``xcrawl3r_spark`` package for ``spark-submit --py-files``.
+
+    Returns the zip path. Used both by ``ship_package`` (in-process
+    addPyFile) and ``tools/make_pyfiles.py`` (cluster submission artifact).
+    """
+    import tempfile
+    import zipfile
+
+    import xcrawl3r_spark
+
+    pkgdir = os.path.dirname(os.path.abspath(xcrawl3r_spark.__file__))
+    root = os.path.dirname(pkgdir)
+    zpath = dest or os.path.join(tempfile.gettempdir(), "xcrawl3r_spark_pkg.zip")
+    if force or not os.path.exists(zpath):
+        os.makedirs(os.path.dirname(os.path.abspath(zpath)), exist_ok=True)
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _, files in os.walk(pkgdir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
+    return zpath
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make ``xcrawl3r_spark`` importable on executor Python workers.
 
@@ -22,24 +49,7 @@ def ship_package(spark: SparkSession) -> None:
     ``spark-submit --py-files`` problem). This zips the package once and
     ``addPyFile``s it — the in-process equivalent of ``--py-files``.
     """
-    import tempfile
-    import zipfile
-
-    import xcrawl3r_spark
-
-    pkgdir = os.path.dirname(os.path.abspath(xcrawl3r_spark.__file__))
-    root = os.path.dirname(pkgdir)
-    zpath = os.path.join(tempfile.gettempdir(), "xcrawl3r_spark_pkg.zip")
-    if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for dirpath, _, files in os.walk(pkgdir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
-        os.replace(tmp, zpath)
-    spark.sparkContext.addPyFile(zpath)
+    spark.sparkContext.addPyFile(build_pkg_zip())
 
 
 def get_spark(
