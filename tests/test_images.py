@@ -70,3 +70,40 @@ def test_corrupted_payload_flagged(spark):
     good = [r for r in out.values()
             if r["image_id"] not in (rows[0]["image_id"], rows[1]["image_id"])]
     assert all(r["pixel_ok"] and r["caption_ok"] for r in good)
+
+
+def test_crawl_ingests_payloads(spark):
+    """E7/S9 integrated: a crawl given the payload table emits verified
+    image rows (decode + PSNR/caption/phash invariants + lineage part_id)
+    for every discovered image URL; absent payloads are flagged, never
+    dropped."""
+    from xcrawl3r_spark.config import CrawlConfig
+    from xcrawl3r_spark.plans.crawl import Crawler
+
+    p = G.GraphParams(hosts=4, pages_per_host=6)
+    cfg = CrawlConfig(domains=["test"], include_subdomains=True, depth=2)
+    payloads = G.images_df(spark, p, distributed=False)
+    # drop one payload to exercise the absent-payload path
+    missing_url = payloads.select("url").limit(1).collect()[0][0]
+    payloads_partial = payloads.filter(f"url != '{missing_url}'")
+
+    res = Crawler(spark, cfg).crawl(
+        G.seeds_df(spark, p, 2),
+        G.pages_df(spark, p, distributed=False),
+        image_payloads=payloads_partial,
+    )
+    rows = res.images.collect()
+    assert rows, "crawl discovered no images"
+    cols = set(res.images.columns)
+    assert {"seed_id", "url", "iter", "pixel_ok", "caption_ok",
+            "psnr_db", "part_id"} <= cols
+    by_url = {r["url"]: r for r in rows}
+    # URL-set identical to the payload-less crawl (ingestion never drops)
+    res_plain = Crawler(spark, cfg).crawl(
+        G.seeds_df(spark, p, 2), G.pages_df(spark, p, distributed=False))
+    assert set(by_url) == {r["url"] for r in res_plain.images.collect()}
+    for r in rows:
+        if r["url"] == missing_url:
+            assert r["pixel_ok"] is False and r["image_id"] is None
+        else:
+            assert r["pixel_ok"] and r["caption_ok"] and r["phash_ok"]

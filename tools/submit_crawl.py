@@ -46,6 +46,9 @@ def main() -> None:
                     action="store_false",
                     help="reference-faithful per-seed seen sets")
     ap.add_argument("--max-iterations", type=int, default=100)
+    ap.add_argument("--ingest-payloads", action="store_true",
+                    help="join discovered image URLs to the (synthetic) "
+                         "payload table and decode+verify in the loop")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true",
                     help="continue from the last committed iteration")
@@ -71,13 +74,15 @@ def main() -> None:
     seeds = G.seeds_df(spark, p, n_seeds=args.n_seeds)
     pages = G.pages_df(spark, p).persist()
     pages.count()
+    payloads = G.images_df(spark, p) if args.ingest_payloads else None
 
     crawler = Crawler(spark, cfg)
     t0 = time.perf_counter()
     if args.resume:
-        res = crawler.resume(seeds, pages)
+        res = crawler.resume(seeds, pages, image_payloads=payloads)
     else:
-        res = crawler.crawl(seeds, pages, max_iterations=args.max_iterations)
+        res = crawler.crawl(seeds, pages, image_payloads=payloads,
+                            max_iterations=args.max_iterations)
     n_seen = res.seen.count()
     dt = time.perf_counter() - t0
 

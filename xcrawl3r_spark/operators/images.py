@@ -40,56 +40,76 @@ VERIFY_SCHEMA = (
 LINEAGE_SCHEMA = "part_id int, n_rows long, n_ok long, stage string"
 
 
-def _verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    tc = TaskContext.get()
-    part_id = tc.partitionId() if tc is not None else -1
-    cols = [
-        "image_id", "w", "h", "fmt", "caption", "phash",
-        "decoded_w", "decoded_h", "phash_recomputed", "phash_hamming",
-        "phash_ok", "psnr_db", "pixel_ok", "caption_ok", "part_id",
-    ]
-    for pdf in batches:
-        rows = []
-        for r in pdf.itertuples(index=False):
-            try:
-                pixels = decode_image(r.bytes, r.fmt)
-            except (ValueError, NotImplementedError):
-                rows.append((r.image_id, r.w, r.h, r.fmt, r.caption, r.phash,
-                             None, None, None, None, False, None,
-                             False, False, part_id))
-                continue
-            dh, dw = pixels.shape[:2]
-            ref = synth_pixels(r.image_id, r.w, r.h)
-            lossless = r.fmt == "png"
-            if ref.shape == pixels.shape:
-                p = psnr(ref, pixels)
-                pixel_ok = bool(
-                    np.array_equal(ref, pixels) if lossless else p >= 40.0
-                )
-            else:
-                p, pixel_ok = 0.0, False
-            ph = phash64(pixels)
-            # perceptual-hash invariant: exact for lossless; a lossy codec
-            # may flip a few low-signal bits -> hamming tolerance 4
-            hamming = bin((ph ^ r.phash) & ((1 << 64) - 1)).count("1")
-            phash_ok = hamming == 0 if lossless else hamming <= 4
-            caption_ok = r.caption == f"caption for {r.image_id}"
-            rows.append((
-                r.image_id, r.w, r.h, r.fmt, r.caption, r.phash,
-                dw, dh, ph, hamming, phash_ok,
-                None if p == float("inf") else p,
-                pixel_ok and dw == r.w and dh == r.h, caption_ok, part_id,
-            ))
-        yield pd.DataFrame(rows, columns=cols)
+def _verify_batches_carry(carry: tuple[str, ...]):
+    def _verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        part_id = tc.partitionId() if tc is not None else -1
+        cols = list(carry) + [
+            "image_id", "w", "h", "fmt", "caption", "phash",
+            "decoded_w", "decoded_h", "phash_recomputed", "phash_hamming",
+            "phash_ok", "psnr_db", "pixel_ok", "caption_ok", "part_id",
+        ]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                extra = tuple(getattr(r, c) for c in carry)
+                if r.bytes is None or r.fmt is None:
+                    # payload never fetched (absent from the payload table)
+                    rows.append(extra + (r.image_id, r.w, r.h, r.fmt,
+                                         r.caption, r.phash,
+                                         None, None, None, None, False, None,
+                                         False, False, part_id))
+                    continue
+                try:
+                    pixels = decode_image(r.bytes, r.fmt)
+                except (ValueError, NotImplementedError):
+                    rows.append(extra + (r.image_id, r.w, r.h, r.fmt,
+                                         r.caption, r.phash,
+                                         None, None, None, None, False, None,
+                                         False, False, part_id))
+                    continue
+                dh, dw = pixels.shape[:2]
+                ref = synth_pixels(r.image_id, r.w, r.h)
+                lossless = r.fmt == "png"
+                if ref.shape == pixels.shape:
+                    p = psnr(ref, pixels)
+                    pixel_ok = bool(
+                        np.array_equal(ref, pixels) if lossless else p >= 40.0
+                    )
+                else:
+                    p, pixel_ok = 0.0, False
+                ph = phash64(pixels)
+                # perceptual-hash invariant: exact for lossless; a lossy
+                # codec may flip a few low-signal bits -> hamming tol 4
+                hamming = bin((ph ^ r.phash) & ((1 << 64) - 1)).count("1")
+                phash_ok = hamming == 0 if lossless else hamming <= 4
+                caption_ok = r.caption == f"caption for {r.image_id}"
+                rows.append(extra + (
+                    r.image_id, r.w, r.h, r.fmt, r.caption, r.phash,
+                    dw, dh, ph, hamming, phash_ok,
+                    None if p == float("inf") else p,
+                    pixel_ok and dw == r.w and dh == r.h, caption_ok, part_id,
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _verify_batches
 
 
-def decode_and_verify(images: DataFrame) -> DataFrame:
-    """images (input_hint schema) -> verified rows + per-partition id."""
+def decode_and_verify(images: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """images (input_hint schema) -> verified rows + per-partition id.
+
+    ``carry`` columns (e.g. seed_id/url/iter from the crawl loop) pass
+    through the Arrow stage unchanged and lead the output schema."""
     from xcrawl3r_spark.session import ship_package
 
     ship_package(images.sparkSession)
-    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
-    return images.select(*cols).mapInPandas(_verify_batches, VERIFY_SCHEMA)
+    fmap = {f.name: f for f in images.schema.fields}
+    carry_schema = "".join(
+        f"{c} {fmap[c].dataType.simpleString()}, " for c in carry
+    )
+    cols = list(carry) + ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    return images.select(*cols).mapInPandas(
+        _verify_batches_carry(tuple(carry)), carry_schema + VERIFY_SCHEMA)
 
 
 def lineage(verified: DataFrame) -> DataFrame:

@@ -143,6 +143,7 @@ class Crawler:
         seeds: DataFrame,
         pages: DataFrame,
         robots: DataFrame | None = None,
+        image_payloads: DataFrame | None = None,
         start_iteration: int = 1,
         initial_frontier: DataFrame | None = None,
         initial_seen: DataFrame | None = None,
@@ -235,6 +236,18 @@ class Crawler:
             fetchable = new.filter(~F.col("_media")).drop("_media")
             images_it = media.filter(U.is_image_col(F.col("url"))).select(
                 "seed_id", "url", F.lit(it).alias("iter"))
+            if image_payloads is not None and cfg.ingest_images:
+                # E7/S9 payload ingestion: discovered image URLs join
+                # their fetched payloads (input_hint-shaped table; the
+                # sandbox stand-in for the image GET), then decode+verify
+                # in the Arrow stage with per-partition lineage. Absent
+                # payloads surface as pixel_ok=false rows, never drops.
+                from xcrawl3r_spark.operators.images import decode_and_verify
+
+                images_it = decode_and_verify(
+                    images_it.join(image_payloads, "url", "left"),
+                    carry=("seed_id", "url", "iter"),
+                )
             # (4) robots enforcement (north rule, off by default)
             if cfg.obey_robots and robots is not None:
                 fetchable = robots_filter(fetchable, robots)
@@ -342,7 +355,9 @@ class Crawler:
         )
 
     def resume(
-        self, seeds: DataFrame, pages: DataFrame, robots: DataFrame | None = None
+        self, seeds: DataFrame, pages: DataFrame,
+        robots: DataFrame | None = None,
+        image_payloads: DataFrame | None = None,
     ) -> CrawlResult:
         """Continue a checkpointed crawl from its last committed iteration.
 
@@ -352,11 +367,11 @@ class Crawler:
             raise ValueError("resume() requires cfg.checkpoint_dir")
         last = self.store.last_iteration("frontier")
         if last is None:
-            return self.crawl(seeds, pages, robots)
+            return self.crawl(seeds, pages, robots, image_payloads)
         frontier = self.store.read_iteration("frontier", last)
         seen = self.store.read("seen", upto=last)
         res = self.crawl(
-            seeds, pages, robots,
+            seeds, pages, robots, image_payloads,
             start_iteration=last + 1,
             initial_frontier=frontier,
             initial_seen=seen,
