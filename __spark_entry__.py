@@ -304,6 +304,46 @@ def q_e7_image_verify(spark, sf_dir):
     )
 
 
+def q_mm_image_features(spark, sf_dir):
+    """Multimodal: per-channel stats + phash over binary image payloads
+    (Arrow mapInPandas; real codec). Non-SQL (binary) — rows-only check."""
+    from xcrawl3r_spark.operators import multimodal as M
+    from xcrawl3r_spark.sources import datagen as G
+
+    imgs = G.images_df(spark, G.GraphParams(hosts=5, pages_per_host=20),
+                       distributed=False)
+    return M.image_features(imgs).drop("part_id")
+
+
+def q_mm_resize(spark, sf_dir):
+    """Multimodal: area-mean resize of binary payloads to 8x8, re-encoded
+    in-format. Rows-only check (payload bytes are deterministic but the
+    codec is not SQL-expressible)."""
+    from xcrawl3r_spark.operators import multimodal as M
+    from xcrawl3r_spark.sources import datagen as G
+
+    imgs = G.images_df(spark, G.GraphParams(hosts=5, pages_per_host=20),
+                       distributed=False)
+    return M.resize_images(imgs, 8, 8).drop("bytes")
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Multimodal: video frame-sampling (stride 2) over opaque binary
+    containers; per-video sampled-frame counts. Rows-only check."""
+    from xcrawl3r_spark.operators import multimodal as M
+
+    videos = spark.createDataFrame(
+        [(f"v{i:03d}", M.synth_video(f"v{i:03d}", n_frames=6 + i % 5))
+         for i in range(40)],
+        "video_id string, bytes binary")
+    return (
+        M.sample_frames(videos, stride=2)
+        .groupBy("video_id")
+        .agg(F.count("*").alias("n_sampled"),
+             F.max("frame_idx").alias("last_idx"))
+    )
+
+
 def q_e5_seed_expansion(spark, sf_dir):
     """E5/E6: robots + 12-sitemap seed expansion (xcrawl3r.go:241-264) via
     the engine's native seed_frontier over distinct sources as seeds."""
@@ -416,6 +456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_per_seed_scope": q_d2_per_seed_scope,
         "e2_e3_html_extract": q_e2_e3_html_extract,
         "e7_image_verify": q_e7_image_verify,
+        "mm_image_features": q_mm_image_features,
+        "mm_resize": q_mm_resize,
+        "mm_frame_sample": q_mm_frame_sample,
         "d1_bloom_anti_join": q_d1_bloom_anti_join,
         "d3_emit_vs_visit": q_d3_emit_vs_visit,
         "a1_politeness_topk": q_a1_politeness_topk,

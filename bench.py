@@ -324,6 +324,11 @@ scalability (every stage is hash-partitioned with no driver-side
 serialization points; on a real 1000-executor cluster per-node bandwidth
 scales WITH the node count, which is the regime the N->4N executor rule
 targets). local[32] is reported as the max-parallelism throughput point.
+Shared-VM host noise adds +/-20-30% run-to-run on identical configs (the
+table reports min-of-reps per config); the local[32] point is both
+bandwidth-capped and noise-dominated, so its ordering vs local[8] can
+invert between runs — the N->4N pair below the bandwidth knee is the
+controlled measurement.
 
 **End-to-end BFS crawl** (depth-unbounded, global URL-seen set,
 hosts={CRAWL_HOSTS}, pages/host={CRAWL_PAGES}): {result.get('crawl_urls_seen')}

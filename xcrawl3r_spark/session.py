@@ -27,7 +27,15 @@ def build_pkg_zip(dest: str | None = None, force: bool = False) -> str:
     pkgdir = os.path.dirname(os.path.abspath(xcrawl3r_spark.__file__))
     root = os.path.dirname(pkgdir)
     zpath = dest or os.path.join(tempfile.gettempdir(), "xcrawl3r_spark_pkg.zip")
-    if force or not os.path.exists(zpath):
+    # a cached zip is stale the moment any package module is newer than it
+    # (a stale zip ships silently and workers ModuleNotFoundError on any
+    # module added since — caught by the /verify drive, keep this check)
+    latest = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(pkgdir) for f in fs if f.endswith(".py")
+    )
+    stale = not os.path.exists(zpath) or os.path.getmtime(zpath) < latest
+    if force or stale:
         os.makedirs(os.path.dirname(os.path.abspath(zpath)), exist_ok=True)
         tmp = zpath + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:
