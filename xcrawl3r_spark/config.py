@@ -30,6 +30,28 @@ class CrawlConfig:
     #: (xcrawl3r.go:241-264); disable for pure link-BFS runs
     expand_seeds: bool = True
 
+    # --- reference config surface carried for API parity ---------------
+    # (xcrawl3r.Configuration, pkg/xcrawl3r/xcrawl3r.go:366-376; defaults
+    # internal/configuration/configuration.go:95-110). These knobs shape
+    # the reference's HTTP transport / wall-clock scheduling, which have
+    # no sandbox dataflow effect — documented per-field.
+    #: random inter-request delay ceiling, seconds (xcrawl3r.go:280).
+    #: Deliberately DROPPED from the batch data plane (SURVEY §2.6 A2):
+    #: wall-clock randomness would break bit-identical resume; the
+    #: per-iteration budget (``parallelism``) subsumes politeness.
+    delay: int = 0
+    #: HTTP request timeout, seconds (configuration.go:102); fetch-stage
+    #: config on a real deployment, no-op vs the synthetic pages table
+    timeout: int = 10
+    #: "Header: value" strings injected per request (xcrawl3r.go:285-305)
+    headers: list[str] = field(default_factory=list)
+    #: round-robin proxy URLs (xcrawl3r.go:332-341)
+    proxies: list[str] = field(default_factory=list)
+    #: seed-level concurrency C (main.go:183-185) — subsumed by Spark task
+    #: parallelism (SURVEY §2.6 A3); kept for config-file compatibility
+    concurrency: int = 5
+    debug: bool = False
+
     # --- batch-engine knobs (north rule) ------------------------------
     #: dedup scope: per-seed (reference-faithful: fresh collector per seed,
     #: xcrawl3r.go:52) or global (strictly cheaper; one seen-set)
@@ -56,6 +78,46 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     #: shuffle partitions for crawl-stage repartitions; None = session conf
     shuffle_partitions: int | None = None
+
+    @classmethod
+    def from_yaml(cls, path: str | None = None, **overrides) -> "CrawlConfig":
+        """S8 config source: YAML file + ``XCRAWL3R_*`` env + overrides,
+        later wins — the same merge order as the reference's
+        viper(YAML+env)+flags stack (internal/configuration/
+        configuration.go:15-32, cmd/xcrawl3r/main.go:130-163).
+
+        Env values parse by field type: bools accept true/1/yes, lists
+        split on commas. Unknown YAML keys error (typo safety).
+        """
+        import os as _os
+        from dataclasses import fields as _fields
+
+        import yaml as _yaml
+
+        known = {f.name: f for f in _fields(cls)}
+        merged: dict = {}
+        if path:
+            with open(path) as fh:
+                loaded = _yaml.safe_load(fh) or {}
+            unknown = set(loaded) - set(known)
+            if unknown:
+                raise ValueError(f"unknown config keys: {sorted(unknown)}")
+            merged.update(loaded)
+        for name, f in known.items():
+            raw = _os.environ.get(f"XCRAWL3R_{name.upper()}")
+            if raw is None:
+                continue
+            t = str(f.type)
+            if "list" in t:
+                merged[name] = [x.strip() for x in raw.split(",") if x.strip()]
+            elif "bool" in t:
+                merged[name] = raw.strip().lower() in ("1", "true", "yes", "on")
+            elif "int" in t:
+                merged[name] = int(raw)
+            else:
+                merged[name] = raw
+        merged.update(overrides)
+        return cls(**merged)
 
     def scope_pattern(self) -> str:
         """Build the URL scope regex, ported from xcrawl3r.go:392-414.
