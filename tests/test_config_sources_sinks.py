@@ -74,3 +74,23 @@ def test_txt_jsonl_sinks_roundtrip(spark, tmp_path):
         for ln in open(os.path.join(jpath, part)).read().splitlines()
     )
     assert recs == ["https://a.test/1", "https://a.test/2"]
+
+
+def test_iceberg_store_fast_fails_without_catalog(spark):
+    """IcebergStore is the cluster path (no Iceberg jars in sandbox) — it
+    must fail fast and actionably when the catalog isn't configured."""
+    from xcrawl3r_spark.sinks.tables import IcebergStore
+
+    try:
+        IcebergStore(spark, "ice")
+        raise AssertionError("must raise without spark.sql.catalog.ice")
+    except RuntimeError as e:
+        assert "spark.sql.catalog.ice" in str(e)
+
+    cfg = CrawlConfig(iceberg_catalog="ice")
+    from xcrawl3r_spark.plans.crawl import Crawler
+    try:
+        Crawler(spark, cfg)
+        raise AssertionError("Crawler must surface the missing catalog")
+    except RuntimeError:
+        pass

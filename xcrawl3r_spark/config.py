@@ -76,6 +76,12 @@ class CrawlConfig:
     #: checkpoint directory for frontier/seen snapshots; None = no
     #: checkpointing (resume disabled)
     checkpoint_dir: str | None = None
+    #: Iceberg catalog name for crawl-state tables (north-rule layout);
+    #: when set, snapshots commit through IcebergStore instead of the
+    #: parquet SnapshotStore. Requires spark.sql.catalog.<name> on the
+    #: session (no Iceberg jars in this sandbox — cluster-only path)
+    iceberg_catalog: str | None = None
+    iceberg_namespace: str = "crawl"
     #: shuffle partitions for crawl-stage repartitions; None = session conf
     shuffle_partitions: int | None = None
 

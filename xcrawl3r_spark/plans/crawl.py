@@ -45,7 +45,7 @@ from xcrawl3r_spark.operators.politeness import (
     politeness_flag,
     robots_filter,
 )
-from xcrawl3r_spark.sinks.tables import SnapshotStore
+from xcrawl3r_spark.sinks.tables import IcebergStore, SnapshotStore
 
 FRONTIER_COLS = ["seed_id", "url", "url_hash", "dedup_key", "host", "depth"]
 
@@ -80,11 +80,13 @@ class Crawler:
         self.spark = spark
         ship_package(spark)  # workers need the package for UDF stages
         self.cfg = cfg or CrawlConfig()
-        self.store = (
-            SnapshotStore(spark, self.cfg.checkpoint_dir)
-            if self.cfg.checkpoint_dir
-            else None
-        )
+        if self.cfg.iceberg_catalog:
+            self.store = IcebergStore(
+                spark, self.cfg.iceberg_catalog, self.cfg.iceberg_namespace)
+        elif self.cfg.checkpoint_dir:
+            self.store = SnapshotStore(spark, self.cfg.checkpoint_dir)
+        else:
+            self.store = None
 
     # -- column helpers -------------------------------------------------
     def _dedup_key(self) -> F.Column:
@@ -364,7 +366,8 @@ class Crawler:
         Re-runs nothing that committed; the deterministic data plane makes
         the combined output bit-identical to an uninterrupted run."""
         if self.store is None:
-            raise ValueError("resume() requires cfg.checkpoint_dir")
+            raise ValueError(
+                "resume() requires cfg.checkpoint_dir or cfg.iceberg_catalog")
         last = self.store.last_iteration("frontier")
         if last is None:
             return self.crawl(seeds, pages, robots, image_payloads)
