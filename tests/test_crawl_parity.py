@@ -116,3 +116,16 @@ def test_errors_surface_missing_pages(spark):
     got = {(r["seed_id"], r["url"]) for r in res.errors.collect()}
     want = {(s, u) for s, u, _ in sim.errors}
     assert got == want
+
+
+@pytest.mark.parametrize("budget", [0, 2])
+def test_crawl_ordering_bfs_wave_parity(spark, budget):
+    """Crawl-ordering parity (north rule): every URL is first visited at
+    the same BFS depth in the engine as in the reference-semantics
+    simulator — with and without politeness delays (overflow requeues at
+    the SAME depth, so ordering-by-wave is invariant to the budget)."""
+    cfg = CrawlConfig(domains=["test"], include_subdomains=True, depth=3,
+                      parallelism=budget, bloom_enabled=True)
+    sim, res = run_both(spark, cfg)
+    engine = {(r["seed_id"], r["url"], r["depth"]) for r in res.seen.collect()}
+    assert engine == sim.seen_depths

@@ -39,6 +39,10 @@ from xcrawl3r_spark.functions import urls as U
 class SimResult:
     #: per-seed final URL-seen set: {(seed_id, url)}
     seen: set[tuple[str, str]] = field(default_factory=set)
+    #: crawl-ordering parity surface: {(seed_id, url, first_visit_depth)}
+    #: — FIFO BFS gives each URL its minimum depth, the deterministic
+    #: equivalence class of "crawl ordering" (SURVEY §2.6 A5)
+    seen_depths: set[tuple[str, str, int]] = field(default_factory=set)
     #: emit-per-occurrence multiset: [(seed_id, src_url, url, kind, depth)]
     edges: list[tuple[str, str, str, str, int]] = field(default_factory=list)
     #: media URLs discovered (image branch input): {(seed_id, url)}
@@ -80,7 +84,7 @@ def simulate_crawl(
         canon = U.canonicalize(raw)
         if not canon:
             continue
-        visited: set[str] = set()
+        visited: dict[str, int] = {}  # url -> first-visit depth (BFS min)
         if cfg.expand_seeds:
             targets = U.expand_seed_targets(canon)
         else:
@@ -103,7 +107,7 @@ def simulate_crawl(
             # visited-check (marks seen even if the request aborts below)
             if url in visited:
                 continue
-            visited.add(url)
+            visited[url] = depth
             # media abort (xcrawl3r.go:68-75): no fetch — but the north
             # rule routes image exts to the payload branch
             if U.is_media_url(url):
@@ -131,4 +135,5 @@ def simulate_crawl(
                     if mv:
                         queue.append((mv, depth + 1))
         out.seen.update((seed_id, u) for u in visited)
+        out.seen_depths.update((seed_id, u, d) for u, d in visited.items())
     return out
