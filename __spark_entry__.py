@@ -162,6 +162,26 @@ def q_d1_bloom_anti_join(spark, sf_dir):
     ).select("o_orderkey", "o_totalprice")
 
 
+def q_d1_cuckoo_anti_join(spark, sf_dir):
+    """D1 cuckoo leg: the deletable-filter path (operators/cuckoo.py) must
+    also equal the plain anti-join — no false negatives by construction
+    (kick-chain overflow lands in a stash, property-tested)."""
+    from xcrawl3r_spark.operators.cuckoo import build_cuckoo
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "dedup_key", F.xxhash64("o_orderkey"))
+    seen = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.xxhash64("l_orderkey").alias("dedup_key")).distinct()
+    )
+    filt = build_cuckoo(
+        seen.select(F.col("dedup_key").alias("url_hash")), 8, 1 << 13)
+    return anti_join_seen(
+        orders, seen, key="dedup_key", bloom=filt,
+        bloom_partitions=8, filter_kind="cuckoo",
+    ).select("o_orderkey", "o_totalprice")
+
+
 def q_d3_emit_vs_visit(spark, sf_dir):
     """D3: emit-per-occurrence vs deduped visits — per event_type, total
     emits vs distinct visitors (xcrawl3r.go:117-124)."""
@@ -460,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
         "d1_bloom_anti_join": q_d1_bloom_anti_join,
+        "d1_cuckoo_anti_join": q_d1_cuckoo_anti_join,
         "d3_emit_vs_visit": q_d3_emit_vs_visit,
         "a1_politeness_topk": q_a1_politeness_topk,
         "a5_priority_order": q_a5_priority_order,
@@ -781,6 +802,11 @@ def oracle_sql() -> dict[str, str]:
                               where l.l_orderkey = o.o_orderkey)
         """,
         "d1_bloom_anti_join": """
+            select o_orderkey, o_totalprice from orders o
+            where not exists (select 1 from lineitem l
+                              where l.l_orderkey = o.o_orderkey)
+        """,
+        "d1_cuckoo_anti_join": """
             select o_orderkey, o_totalprice from orders o
             where not exists (select 1 from lineitem l
                               where l.l_orderkey = o.o_orderkey)

@@ -61,6 +61,13 @@ class CrawlConfig:
     obey_robots: bool = False
     #: Bloom pre-filter for the seen anti-join
     bloom_enabled: bool = True
+    #: probabilistic-filter implementation: "bloom" (append-only, densest)
+    #: or "cuckoo" (deletable — windowed seen-sets / TTL re-crawl;
+    #: operators/cuckoo.py). Both are hash-range partitioned, incremental,
+    #: and property-tested for zero false negatives.
+    filter_kind: str = "bloom"
+    #: cuckoo buckets per partition (x4 slots each)
+    cuckoo_buckets: int = 1 << 15
     #: Bloom partitions (hash-range split of the seen set; each partition
     #: has its own bitset so 10^10-scale seen sets never need one giant
     #: broadcast)

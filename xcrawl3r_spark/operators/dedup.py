@@ -170,6 +170,7 @@ def anti_join_seen(
     bloom_bits: int = 1 << 20,
     bloom_hashes: int = 7,
     keys_unique: bool = False,
+    filter_kind: str = "bloom",
 ) -> DataFrame:
     """candidates \\ seen on ``key`` (D1). Per-seed scope (D2) is folded
     into the key upstream: dedup_key = xxhash64(seed_id, url) — the same
@@ -192,9 +193,15 @@ def anti_join_seen(
         seen_keys = seen_keys.distinct()
     if bloom is None:
         return candidates.join(seen_keys, key, "left_anti")
-    probed = bloom_probe_maybe_seen(
-        candidates, bloom, bloom_partitions, bloom_bits, bloom_hashes, key=key
-    )
+    if filter_kind == "cuckoo":
+        from xcrawl3r_spark.operators.cuckoo import cuckoo_probe_maybe_seen
+
+        probed = cuckoo_probe_maybe_seen(
+            candidates, bloom, bloom_partitions, key=key)
+    else:
+        probed = bloom_probe_maybe_seen(
+            candidates, bloom, bloom_partitions, bloom_bits, bloom_hashes,
+            key=key)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = maybe.join(seen_keys, key, "left_anti")

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from xcrawl3r_spark.config import CrawlConfig
 from xcrawl3r_spark.functions import urls as U
+from xcrawl3r_spark.operators.cuckoo import build_cuckoo, merge_cuckoos
 from xcrawl3r_spark.operators.dedup import (
     anti_join_seen,
     build_bloom,
@@ -103,6 +104,19 @@ class Crawler:
             .withColumn("dedup_key", self._dedup_key())
             .withColumn("host", F.lower(F.try_parse_url("url", F.lit("HOST"))))
         )
+
+    # -- seen-filter dispatch (bloom | cuckoo) ---------------------------
+    def _build_filter(self, keys_df):
+        cfg = self.cfg
+        if cfg.filter_kind == "cuckoo":
+            return build_cuckoo(keys_df, cfg.bloom_partitions, cfg.cuckoo_buckets)
+        return build_bloom(
+            keys_df, cfg.bloom_partitions, cfg.bloom_bits, cfg.bloom_hashes)
+
+    def _merge_filter(self, dst, src):
+        if self.cfg.filter_kind == "cuckoo":
+            return merge_cuckoos(dst, src)
+        return merge_blooms(dst, src)
 
     # -- seed expansion (F6 + E4-E6), fully native ----------------------
     def seed_frontier(self, seeds: DataFrame) -> DataFrame:
@@ -191,10 +205,8 @@ class Crawler:
         bloom: dict[int, bytes] | None = None
         if cfg.bloom_enabled:
             bloom = (
-                build_bloom(
-                    seen0.select(F.col("dedup_key").alias("url_hash")),
-                    cfg.bloom_partitions, cfg.bloom_bits, cfg.bloom_hashes,
-                )
+                self._build_filter(
+                    seen0.select(F.col("dedup_key").alias("url_hash")))
                 if initial_seen is not None
                 else {}
             )
@@ -227,7 +239,7 @@ class Crawler:
                 cand, seen, key="dedup_key", bloom=bloom,
                 bloom_partitions=cfg.bloom_partitions,
                 bloom_bits=cfg.bloom_bits, bloom_hashes=cfg.bloom_hashes,
-                keys_unique=True,
+                keys_unique=True, filter_kind=cfg.filter_kind,
             ))
             m["t_new"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
@@ -321,11 +333,9 @@ class Crawler:
             images_parts.append(images_it)
             errors_parts.append(errors_it)
             if bloom is not None:
-                inc = build_bloom(
-                    seen_it.select(F.col("dedup_key").alias("url_hash")),
-                    cfg.bloom_partitions, cfg.bloom_bits, cfg.bloom_hashes,
-                )
-                bloom = merge_blooms(bloom, inc)
+                inc = self._build_filter(
+                    seen_it.select(F.col("dedup_key").alias("url_hash")))
+                bloom = self._merge_filter(bloom, inc)
             m["t_frontier"] = round(time.perf_counter() - t0, 3)
 
             if self.store is not None:
