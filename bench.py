@@ -129,8 +129,10 @@ def _one_replay(spark, p):
     )
     from xcrawl3r_spark.plans.crawl import _ckpt
 
-    frontier = _ckpt(c._with_keys(frontier).select(
-        "seed_id", "url", "url_hash", "dedup_key", "host", "depth"
+    frontier = _ckpt(c._with_keys(frontier.withColumn(
+        "disc_iter", F.lit(0))).select(
+        "seed_id", "url", "url_hash", "dedup_key", "host", "depth",
+        "disc_iter"
     ))
     n_frontier = frontier.count()
     seeds = spark.createDataFrame([], "seed_id string, url string")

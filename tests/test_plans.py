@@ -136,3 +136,34 @@ class TestCodegen:
         plan = plan_of(df)
         # pure map-side: one scan, one project, no exchange
         assert "Exchange" not in plan
+
+
+class TestFrontierPriorityBuckets:
+    def test_range_partitioning_in_plan_and_parity(self, spark):
+        """A5 north rule: with frontier_range_partitions on, the frontier
+        materializes through RangePartitioning on (depth, disc_iter,
+        host_rank, url_hash) — and the crawl result is unchanged."""
+        from xcrawl3r_spark.config import CrawlConfig
+        from xcrawl3r_spark.plans.crawl import Crawler
+        from xcrawl3r_spark.sources import datagen as G
+
+        p = G.GraphParams(hosts=4, pages_per_host=6)
+        crawler = Crawler(spark, CrawlConfig(
+            domains=["test"], include_subdomains=True,
+            frontier_range_partitions=4))
+        fr = crawler._priority_buckets(
+            crawler.seed_frontier(G.seeds_df(spark, p, 2)))
+        plan = plan_of(fr)
+        assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+        cfg_on = CrawlConfig(domains=["test"], include_subdomains=True,
+                             depth=2, frontier_range_partitions=4)
+        cfg_off = CrawlConfig(domains=["test"], include_subdomains=True,
+                              depth=2, frontier_range_partitions=0)
+        pages = G.pages_df(spark, p, distributed=False)
+        seeds = G.seeds_df(spark, p, 2)
+        seen_on = {(r["seed_id"], r["url"], r["depth"]) for r in
+                   Crawler(spark, cfg_on).crawl(seeds, pages).seen.collect()}
+        seen_off = {(r["seed_id"], r["url"], r["depth"]) for r in
+                    Crawler(spark, cfg_off).crawl(seeds, pages).seen.collect()}
+        assert seen_on == seen_off

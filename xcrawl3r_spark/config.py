@@ -91,6 +91,15 @@ class CrawlConfig:
     iceberg_namespace: str = "crawl"
     #: shuffle partitions for crawl-stage repartitions; None = session conf
     shuffle_partitions: int | None = None
+    #: range-partitioned priority buckets for the frontier (north rule
+    #: A5): 0 = off (default), None = session shuffle partitions, N = N
+    #: buckets. Total order (depth, disc_iter, host_rank, url_hash);
+    #: bounds bucket sizes at 10^10-frontier scale and keeps the
+    #: checkpoint priority-local. Costs one range-sampling pass + shuffle
+    #: per iteration (~25% on a many-small-waves BFS, measured) — enable
+    #: when per-iteration frontiers reach ~10^7+ rows, where bounded
+    #: buckets matter and the sampling cost amortizes
+    frontier_range_partitions: int | None = 0
 
     @classmethod
     def from_yaml(cls, path: str | None = None, **overrides) -> "CrawlConfig":

@@ -58,7 +58,10 @@ def politeness_flag(
     the result is identical to the single-window top-k (any global top-k
     row is in its bucket's top-k).
     """
-    order = [F.col("depth"), F.col("url_hash")]
+    order = [F.col("depth")]
+    if "disc_iter" in frontier.columns:
+        order.append(F.col("disc_iter"))   # discovery time (north-rule A5)
+    order.append(F.col("url_hash"))
     if skew_salt > 1:
         wb = Window.partitionBy(
             "seed_id", "host", F.pmod(F.col("url_hash"), F.lit(skew_salt))

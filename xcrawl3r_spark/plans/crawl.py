@@ -48,7 +48,8 @@ from xcrawl3r_spark.operators.politeness import (
 )
 from xcrawl3r_spark.sinks.tables import IcebergStore, SnapshotStore
 
-FRONTIER_COLS = ["seed_id", "url", "url_hash", "dedup_key", "host", "depth"]
+FRONTIER_COLS = ["seed_id", "url", "url_hash", "dedup_key", "host", "depth",
+                 "disc_iter"]
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
@@ -118,6 +119,24 @@ class Crawler:
             return merge_cuckoos(dst, src)
         return merge_blooms(dst, src)
 
+    # -- A5: range-partitioned priority buckets --------------------------
+    def _priority_buckets(self, frontier: DataFrame) -> DataFrame:
+        """Materialize the frontier as range-partitioned priority buckets
+        (north rule): total order (depth, disc_iter, host_rank, url_hash)
+        — BFS wave, then discovery time, then a stable host pseudo-rank.
+        Range partitioning bounds every bucket's size at 10^10-frontier
+        scale (no hash-bucket can absorb a hot key range) and gives the
+        checkpointed layout priority locality; 0 buckets = off."""
+        nb = self.cfg.frontier_range_partitions
+        if nb is None:
+            nb = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        if not nb:
+            return frontier
+        host_rank = F.pmod(F.xxhash64("host"), F.lit(1000))
+        return frontier.repartitionByRange(
+            nb, F.col("depth"), F.col("disc_iter"), host_rank,
+            F.col("url_hash"))
+
     # -- seed expansion (F6 + E4-E6), fully native ----------------------
     def seed_frontier(self, seeds: DataFrame) -> DataFrame:
         """seeds(seed_id, url) -> depth-1 frontier with robots/sitemap/.min.
@@ -150,6 +169,7 @@ class Crawler:
         exploded = (
             base.select("seed_id", F.explode(targets).alias("url"))
             .withColumn("depth", F.lit(1))
+            .withColumn("disc_iter", F.lit(0))
         )
         return self._with_keys(exploded).select(*FRONTIER_COLS)
 
@@ -186,7 +206,7 @@ class Crawler:
             # seeds pass through the same scope gate as everything else
             # (colly URLFilters applies to seed visits too, xcrawl3r.go:273)
             frontier = self.seed_frontier(seeds).filter(F.col("url").rlike(scope))
-        frontier = _ckpt(frontier)
+        frontier = _ckpt(self._priority_buckets(frontier))
         seen0 = _ckpt(
             initial_seen
             if initial_seen is not None
@@ -227,8 +247,8 @@ class Crawler:
             # (depth, seed_id, ...) — deterministic.
             cand = (
                 frontier.groupBy("dedup_key")
-                .agg(F.min(F.struct("depth", "seed_id", "url", "url_hash",
-                                    "host")).alias("_s"))
+                .agg(F.min(F.struct("depth", "disc_iter", "seed_id", "url",
+                                    "url_hash", "host")).alias("_s"))
                 .select("dedup_key", "_s.*")
             )
             # (2) seen anti-join, Bloom-accelerated. Checkpointed ONCE —
@@ -312,13 +332,13 @@ class Crawler:
             # (9) next frontier: children at depth+1, depth-gated (A4),
             # plus politeness overflow (same depth, just delayed)
             child = extracted.select(
-                "seed_id", F.col("url"), (F.col("depth") + 1).alias("depth")
-            )
+                "seed_id", F.col("url"), (F.col("depth") + 1).alias("depth"),
+            ).withColumn("disc_iter", F.lit(it))
             if cfg.depth > 0:
                 child = child.filter(F.col("depth") <= cfg.depth)
             frontier_next = self._with_keys(child).select(*FRONTIER_COLS)
-            frontier = _ckpt(frontier_next.unionByName(
-                overflow.select(*FRONTIER_COLS)
+            frontier = _ckpt(self._priority_buckets(
+                frontier_next.unionByName(overflow.select(*FRONTIER_COLS))
             ))
 
             # edges/images/errors parts stay LAZY: they are cheap filters

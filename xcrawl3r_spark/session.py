@@ -25,6 +25,14 @@ def build_pkg_zip(dest: str | None = None, force: bool = False) -> str:
     import xcrawl3r_spark
 
     pkgdir = os.path.dirname(os.path.abspath(xcrawl3r_spark.__file__))
+    if not os.path.isdir(pkgdir):
+        # imported from a zip (spark-submit --py-files): that zip IS the
+        # artifact — reuse it rather than walking a non-filesystem path
+        zip_src = pkgdir.rsplit(".zip", 1)[0] + ".zip"
+        if os.path.exists(zip_src):
+            return zip_src
+        raise RuntimeError(
+            f"cannot locate package source for zipping: {pkgdir}")
     root = os.path.dirname(pkgdir)
     zpath = dest or os.path.join(tempfile.gettempdir(), "xcrawl3r_spark_pkg.zip")
     # a cached zip is stale the moment any package module is newer than it
