@@ -122,3 +122,56 @@ class TestSeedFrontier:
         assert len(by_seed["s2"]) == 15      # + .min. variant
         assert "https://h.test/a.js" in by_seed["s2"]
         assert all(r["depth"] == 1 for r in rows)
+
+
+class TestRobotsMining:
+    def test_parse_robots_rules_native(self, spark):
+        from xcrawl3r_spark.operators.politeness import parse_robots_rules
+
+        body = ("User-agent: *\n"
+                "Disallow: /private/\n"
+                "disallow: /tmp/\n"
+                "Allow: /private/ok/\n"
+                "Disallow:\n"          # empty = allow-all, dropped
+                "Sitemap: https://h0.test/sitemap.xml\n")
+        df = spark.createDataFrame([("h0.test", body)], "host string, body string")
+        rules = {r["host"]: r for r in parse_robots_rules(df).collect()}
+        assert sorted(rules["h0.test"]["deny"]) == ["/private/", "/tmp/"]
+        assert rules["h0.test"]["allow"] == ["/private/ok/"]
+
+    def test_crawl_mines_and_enforces_robots(self, spark):
+        """obey_robots with no rules table: rules mined from the fetched
+        robots.txt (Disallow: /private/) keep /private/ URLs out of the
+        seen set from iteration 2 on, while an explicitly allowed
+        sub-prefix survives."""
+        from xcrawl3r_spark.config import CrawlConfig
+        from xcrawl3r_spark.plans.crawl import Crawler
+
+        pages = [
+            ("https://h0.test/robots.txt", "text/plain",
+             "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n", 200),
+            ("https://h0.test/p/0", "text/html",
+             '<a href="https://h0.test/private/x">a</a>'
+             '<a href="https://h0.test/private/ok/y">b</a>'
+             '<a href="https://h0.test/p/1">c</a>', 200),
+            ("https://h0.test/private/x", "text/html", "<a></a>", 200),
+            ("https://h0.test/private/ok/y", "text/html", "<a></a>", 200),
+            ("https://h0.test/p/1", "text/html", "<a></a>", 200),
+        ]
+        pages_df = spark.createDataFrame(
+            pages, "url string, content_type string, body string, status int")
+        seeds = spark.createDataFrame(
+            [("s0", "https://h0.test/p/0")], "seed_id string, url string")
+        cfg = CrawlConfig(domains=["test"], include_subdomains=True, depth=3,
+                          obey_robots=True, expand_seeds=True, parallelism=0)
+        res = Crawler(spark, cfg).crawl(seeds, pages_df)
+        seen = {r["url"] for r in res.seen.collect()}
+        assert "https://h0.test/private/x" not in seen
+        assert "https://h0.test/private/ok/y" in seen
+        assert "https://h0.test/p/1" in seen
+        # without enforcement the denied URL IS crawled (control)
+        cfg_off = CrawlConfig(domains=["test"], include_subdomains=True,
+                              depth=3, obey_robots=False, parallelism=0)
+        seen_off = {r["url"] for r in
+                    Crawler(spark, cfg_off).crawl(seeds, pages_df).seen.collect()}
+        assert "https://h0.test/private/x" in seen_off

@@ -102,6 +102,36 @@ def salted_repartition(df: DataFrame, salt: int, partitions: int | None = None) 
     return df.repartition(F.col("host"), saltc)
 
 
+def parse_robots_rules(fetched_robots: DataFrame) -> DataFrame:
+    """Parse fetched robots.txt bodies into the (host, allow, deny) rules
+    table — fully native (split/explode/aggregate, no Python).
+
+    The reference only MINES robots for URLs (IgnoreRobotsTxt,
+    xcrawl3r.go:272); enforcement is the north rule's addition. Rule
+    subset honored: ``Allow:``/``Disallow:`` path prefixes, all
+    user-agents pooled (the engine identifies as one crawler). Empty
+    ``Disallow:`` lines (= allow all) are dropped.
+
+    Input: rows with (host, body) of fetched robots.txt pages. Output is
+    one row per host — small by construction (#hosts, not #URLs) — sized
+    for the broadcast join in ``robots_filter``.
+    """
+    lines = fetched_robots.select(
+        "host", F.explode(F.split("body", r"\r?\n")).alias("line"))
+    rule = F.regexp_extract("line", r"(?i)^\s*(Allow|Disallow)\s*:\s*(\S+)", 1)
+    path = F.regexp_extract("line", r"(?i)^\s*(Allow|Disallow)\s*:\s*(\S+)", 2)
+    parsed = (
+        lines.select("host", F.lower(rule).alias("rule"), path.alias("path"))
+        .filter((F.col("rule") != "") & (F.col("path") != ""))
+    )
+    return parsed.groupBy("host").agg(
+        F.array_distinct(F.collect_list(
+            F.when(F.col("rule") == "allow", F.col("path")))).alias("allow"),
+        F.array_distinct(F.collect_list(
+            F.when(F.col("rule") == "disallow", F.col("path")))).alias("deny"),
+    )
+
+
 def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """North-rule robots.txt enforcement (the reference only MINES robots,
     xcrawl3r.go:272): drop frontier rows whose path matches a deny prefix

@@ -43,6 +43,7 @@ from xcrawl3r_spark.operators.dedup import (
 )
 from xcrawl3r_spark.operators.extract import extract_links
 from xcrawl3r_spark.operators.politeness import (
+    parse_robots_rules,
     politeness_flag,
     robots_filter,
 )
@@ -231,6 +232,7 @@ class Crawler:
                 else {}
             )
 
+        robots_rules = robots  # None -> mined from fetched robots bodies
         edges_parts: list[DataFrame] = []
         images_parts: list[DataFrame] = []
         errors_parts: list[DataFrame] = []
@@ -282,9 +284,14 @@ class Crawler:
                     images_it.join(image_payloads, "url", "left"),
                     carry=("seed_id", "url", "iter"),
                 )
-            # (4) robots enforcement (north rule, off by default)
-            if cfg.obey_robots and robots is not None:
-                fetchable = robots_filter(fetchable, robots)
+            # (4) robots enforcement (north rule, off by default). With
+            # no rules table supplied, rules are mined from the robots.txt
+            # bodies the crawl itself fetches (seed expansion E5 fetches
+            # them in iteration 1, so enforcement starts at iteration 2 —
+            # the earliest any batch crawler can honor a live-fetched
+            # robots file).
+            if cfg.obey_robots and robots_rules is not None:
+                fetchable = robots_filter(fetchable, robots_rules)
             # (5) politeness budget: top-k per (seed, host), salted two-phase
             # window (hot hosts never serialize one partition); overflow
             # requeues. Flagged frame checkpointed once, selected/overflow
@@ -320,6 +327,16 @@ class Crawler:
             )
             ok = fetched.filter(F.col("body").isNotNull() & (F.col("status") == 200))
             ok = ok.withColumn("is_file", U.is_file_col(F.col("url")))
+            if cfg.obey_robots and robots is None:
+                # rules table stays tiny (one row per host with a fetched
+                # robots.txt); hosts never repeat across iterations (their
+                # robots URL is in the seen set), so plain union suffices
+                mined = parse_robots_rules(
+                    ok.filter(F.col("url").endswith("/robots.txt"))
+                    .select("host", "body"))
+                robots_rules = _ckpt(
+                    mined if robots_rules is None
+                    else robots_rules.unionByName(mined))
             # (8) extraction (Arrow-batched) + scope filter on emits/visits
             extracted = extract_links(ok).filter(F.col("url").rlike(scope))
             extracted = _ckpt(extracted)
