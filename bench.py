@@ -171,6 +171,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # untimed warmup: session/codegen/Arrow-worker spin-up happens once per
+    # long-lived cluster, not once per query — don't bill it to whichever
+    # query happens to run first
+    qs["a6_metrics_agg"](spark, sf_dir).write.format("noop").mode(
+        "overwrite").save()
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
