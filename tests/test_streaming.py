@@ -44,3 +44,74 @@ def test_streaming_seed_replay(spark, tmp_path):
     assert len(urls2) == len(set(urls2))      # no re-crawl of known URLs
     assert "https://h2.test/p/0" in set(urls2)
     assert set(urls1) <= set(urls2)
+
+
+class TestStatefulStreaming:
+    """applyInPandasWithState custom operators (SURVEY §2.8 stretch)."""
+
+    def test_stateful_dedup_across_microbatches(self, spark, tmp_path):
+        """URLs repeated across micro-batches are emitted exactly once:
+        the seen-set lives in the state store and survives a query
+        restart from the checkpoint (foreachBatch sink — memory sinks
+        cannot recover from checkpoints)."""
+        from xcrawl3r_spark.streaming.stateful import dedup_stream
+
+        src = tmp_path / "urls_in"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        emitted: list[str] = []
+
+        def sink(batch_df, batch_id):
+            emitted.extend(r["url"] for r in batch_df.collect())
+
+        def run_once():
+            stream = (
+                spark.readStream.format("text").load(str(src))
+                .withColumnRenamed("value", "url")
+            )
+            q = (
+                dedup_stream(stream, n_buckets=8)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update").option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        (src / "b1.txt").write_text(
+            "https://a.test/1\nhttps://a.test/2\nhttps://a.test/1\n")
+        run_once()
+        assert sorted(emitted) == ["https://a.test/1", "https://a.test/2"]
+
+        emitted.clear()
+        # restart from checkpoint: one dup of batch 1, one new URL
+        (src / "b2.txt").write_text("https://a.test/2\nhttps://a.test/3\n")
+        run_once()
+        assert emitted == ["https://a.test/3"], (
+            "state must remember batch-1 URLs across query restarts")
+
+    def test_stateful_host_budget(self, spark, tmp_path):
+        from xcrawl3r_spark.streaming.stateful import host_budget_stream
+
+        src = tmp_path / "urls_hb"
+        src.mkdir()
+        (src / "b1.txt").write_text(
+            "".join(f"https://h0.test/p/{i}\n" for i in range(7))
+            + "https://h1.test/p/0\n")
+        stream = (
+            spark.readStream.format("text").load(str(src))
+            .withColumnRenamed("value", "url")
+        )
+        q = (
+            host_budget_stream(stream, budget=3)
+            .writeStream.format("memory").queryName("hb")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_hb"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from hb").collect()
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r["host"], []).append(r)
+        assert len(by_host["h0.test"]) == 3   # budget enforced
+        assert len(by_host["h1.test"]) == 1
