@@ -95,8 +95,14 @@ def _crawl_cfg(**kw):
     return CrawlConfig(**base)
 
 
-def run_crawl(spark, params=None, cfg=None):
-    """Full BFS crawl of the synthetic graph; returns (urls_seen, seconds)."""
+def run_crawl(spark, params=None, cfg=None, with_payloads=False):
+    """Full BFS crawl of the synthetic graph; returns (urls_seen, seconds).
+
+    with_payloads: also join discovered image URLs to their payload table
+    and decode+verify in-loop (the E7/S9 branch) — returns
+    (urls_seen, seconds, images_verified) instead."""
+    from pyspark.sql import functions as F
+
     from xcrawl3r_spark.plans.crawl import Crawler
     from xcrawl3r_spark.sources import datagen as G
 
@@ -105,9 +111,22 @@ def run_crawl(spark, params=None, cfg=None):
     seeds = G.seeds_df(spark, p, n_seeds=4)
     pages = G.pages_df(spark, p).persist()
     pages.count()  # materialize the graph outside the timed section
+    payloads = None
+    if with_payloads:
+        payloads = G.images_df(spark, p).persist()
+        payloads.count()
     t0 = time.perf_counter()
-    res = Crawler(spark, cfg).crawl(seeds, pages, max_iterations=CRAWL_MAX_ITERS)
+    res = Crawler(spark, cfg).crawl(
+        seeds, pages, image_payloads=payloads,
+        max_iterations=CRAWL_MAX_ITERS)
     n_seen = res.seen.count()
+    if with_payloads:
+        n_img = res.images.filter(
+            F.col("pixel_ok") & F.col("caption_ok")).count()
+        dt = time.perf_counter() - t0
+        pages.unpersist()
+        payloads.unpersist()
+        return n_seen, dt, n_img
     dt = time.perf_counter() - t0
     pages.unpersist()
     return n_seen, dt
@@ -247,6 +266,14 @@ def main() -> None:
         n_urls, crawl_sec = run_crawl(spark)
         timings["crawl_e2e"] = round(crawl_sec, 3)
         urls_per_sec = round(n_urls / crawl_sec, 1)
+        # smaller graph with the E7/S9 payload branch live: every
+        # discovered image joins its payload and decodes in-loop
+        from xcrawl3r_spark.sources import datagen as G
+
+        n_seen_img, img_sec, n_img = run_crawl(
+            spark, params=G.GraphParams(hosts=50, pages_per_host=200),
+            with_payloads=True)
+        timings["crawl_images_e2e"] = round(img_sec, 3)
 
         result = {
             "metric": "headline_total",
@@ -256,6 +283,8 @@ def main() -> None:
             "sf": SF_DIR,
             "crawl_urls_seen": n_urls,
             "crawl_urls_per_sec": urls_per_sec,
+            "crawl_images_verified": n_img,
+            "crawl_images_per_sec": round(n_img / img_sec, 1),
         }
         if scaling:
             spark.stop()
