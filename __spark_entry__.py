@@ -440,6 +440,10 @@ def q_text_fingerprint(spark, sf_dir):
     return textops.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_text_winnow(spark, sf_dir):
+    return textops.winnow_fingerprints(_t_wide(spark, sf_dir, "documents"))
+
+
 def _queries_emb(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qs = (
@@ -497,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_near_dup": q_sim_near_dup,
@@ -901,6 +906,15 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_oracle(),
         "text_fingerprint": f"""
             select doc_id, {md5_long_sql(norm_text)} as fp from documents
+        """,
+        "text_winnow": f"""
+            with t as (select doc_id, {norm_text} as norm from documents),
+            g as (select doc_id, norm,
+                         unnest(range(1, greatest(length(norm) - {textops.WINNOW_K - 1}, 0) + 1)) as pos
+                  from t)
+            select doc_id, (pos - 1) // {textops.WINNOW_W} as bucket,
+                   min({md5_long_sql(f"substr(norm, cast(pos as int), {textops.WINNOW_K})")}) as fp
+            from g group by doc_id, bucket
         """,
         "sim_cosine_topk": _cosine_oracle(),
         "sim_lsh_topk": _lsh_topk_oracle(),

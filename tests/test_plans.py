@@ -103,7 +103,7 @@ class TestNoPythonInRelationalPaths:
         "a1_politeness_topk", "a6_metrics_agg", "e1_regex_extract",
         "j1_broadcast_join", "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_ngram_jaccard", "text_tokens",
-        "text_quality", "text_langid", "text_fingerprint",
+        "text_quality", "text_langid", "text_fingerprint", "text_winnow",
         "sim_cosine_topk", "sim_lsh_topk", "sim_near_dup",
     ]
 
