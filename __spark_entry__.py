@@ -464,6 +464,16 @@ def q_sim_lsh_topk(spark, sf_dir):
     return simsearch.lsh_bucket_topk(emb, qs, dims=64, k=10)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer + n_probe shard probe +
+    exact re-rank (simsearch.ivf_topk). Approximate by design — results
+    differ from the exact oracle, so this is a rows-only entry (k rows
+    per query, deterministic); recall vs brute force is pytest-asserted
+    (tests/test_dedup.py)."""
+    emb, qs = _queries_emb(spark, sf_dir)
+    return simsearch.ivf_topk(emb, qs, k=10, n_centroids=16, n_probe=4)
+
+
 def q_sim_near_dup(spark, sf_dir):
     emb, _ = _queries_emb(spark, sf_dir)
     return simsearch.embedding_near_dup(emb, dims=64, threshold=0.25)
@@ -504,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_near_dup": q_sim_near_dup,
     }
 

@@ -77,3 +77,43 @@ def test_bloom_actually_prunes(spark):
     probed = bloom_probe_maybe_seen(fresh, bloom, PARTS, 1 << 16, 7)
     fpr = probed.filter("maybe_seen").count() / 1000
     assert fpr < 0.05, f"FPR {fpr} too high"
+
+
+def test_ivf_topk_recall_and_exactness(spark, sf_dir):
+    """IVF ANN: deterministic, k rows per query, returned cosines equal
+    the exact scores for those pairs, and recall@10 vs brute force beats
+    the probe fraction (clustering must add signal, not just sample)."""
+    from pyspark.sql import functions as F
+
+    from xcrawl3r_spark.operators import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    exact = simsearch.cosine_topk(emb, qs, k=10).collect()
+    ivf = simsearch.ivf_topk(emb, qs, k=10, n_centroids=16, n_probe=4)
+    rows = ivf.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 10 for v in by_q.values())
+    # returned cosines must equal exact scores for the same pairs
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in rows:
+        k2 = (r["query_id"], r["vec_id"])
+        if k2 in exact_scores:
+            assert abs(r["cosine"] - exact_scores[k2]) < 1e-9
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(ex[q] & {r["vec_id"] for r in by_q.get(q, [])}) / len(ex[q])
+        for q in ex]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"recall {mean_recall} (probe fraction 0.25)"
+    # determinism: second run returns identical rows
+    again = {(r["query_id"], r["vec_id"], r["rank"])
+             for r in simsearch.ivf_topk(emb, qs, k=10, n_centroids=16,
+                                         n_probe=4).collect()}
+    assert again == {(r["query_id"], r["vec_id"], r["rank"]) for r in rows}

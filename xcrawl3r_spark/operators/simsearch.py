@@ -145,3 +145,69 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def _centroids(corpus: DataFrame, assign_col: Column, n_centroids: int) -> list:
+    """Element-wise mean embedding per cluster id (driver-side list of
+    (cid, [floats]) — C x dims doubles, tiny). posexplode keeps the
+    aggregation fully native and map-side-combinable."""
+    rows = (
+        corpus.select(assign_col.alias("cid"), F.posexplode("v"))
+        .groupBy("cid", "pos").agg(F.avg("col").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        .collect()
+    )
+    return [(r["cid"], list(r["centroid"])) for r in rows]
+
+
+def _nearest_cids(vec: Column, centroids: list, n: int) -> Column:
+    """Array of the n cluster ids nearest (by cosine) to ``vec`` —
+    centroids are broadcast as plan literals (C x dims, small)."""
+    scored = F.array(*[
+        F.struct(
+            cosine_cols(vec, F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
+            F.lit(int(cid)).alias("cid"),
+        )
+        for cid, c in centroids
+    ]).cast("array<struct<cos:double,cid:int>>")
+    # struct ordering is field-wise: (cos desc, cid desc) via reverse sort
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return F.transform(top, lambda s: s["cid"])
+
+
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (one k-means refinement
+    from a hash-partition init — no RNG, resume-safe), corpus sharded by
+    nearest centroid, queries probe their ``n_probe`` nearest shards and
+    re-rank exactly within them.
+
+    The scale path vs brute force: the cross join becomes an equi-join on
+    cid touching n_probe/n_centroids of the corpus. Centroids are
+    C x dims doubles — plan-literal broadcast, never a shuffle.
+    """
+    corpus = embeddings.select("vec_id", _vec_d("embedding").alias("v"))
+    # init: arbitrary-but-deterministic hash partition, then one Lloyd step
+    cent0 = _centroids(corpus, F.pmod(F.col("vec_id"), F.lit(n_centroids)), n_centroids)
+    assign1 = F.element_at(_nearest_cids(F.col("v"), cent0, 1), 1)
+    cent1 = _centroids(corpus, assign1, n_centroids)
+
+    sharded = corpus.withColumn(
+        "cid", F.element_at(_nearest_cids(F.col("v"), cent1, 1), 1))
+    qs = queries.select("query_id", _vec_d("q_embedding").alias("q")).withColumn(
+        "cid", F.explode(_nearest_cids(F.col("q"), cent1, n_probe)))
+    scored = sharded.join(F.broadcast(qs), "cid").select(
+        "query_id", "vec_id",
+        F.round(cosine_cols(F.col("q"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
