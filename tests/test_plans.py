@@ -167,3 +167,30 @@ class TestFrontierPriorityBuckets:
         seen_off = {(r["seed_id"], r["url"], r["depth"]) for r in
                     Crawler(spark, cfg_off).crawl(seeds, pages).seen.collect()}
         assert seen_on == seen_off
+
+
+class TestBucketedJoins:
+    def test_bucketed_seen_join_has_no_shuffle(self, spark, tmp_path):
+        """§2.5: co-located joins via bucketing — frontier and seen both
+        bucketed on the dedup key join with NO Exchange on either side
+        (at 10^10 rows this removes the per-iteration seen-set shuffle)."""
+        from xcrawl3r_spark.sinks.tables import write_bucketed
+
+        spark.sql("drop table if exists seen_b")
+        spark.sql("drop table if exists frontier_b")
+        seen = spark.range(0, 10_000).select(
+            F.xxhash64("id").alias("dedup_key"), F.col("id").alias("meta"))
+        frontier = spark.range(5_000, 15_000).select(
+            F.xxhash64("id").alias("dedup_key"),
+            F.col("id").cast("string").alias("url"))
+        write_bucketed(seen, "seen_b", "dedup_key", 8, sort_col="dedup_key")
+        write_bucketed(frontier, "frontier_b", "dedup_key", 8,
+                       sort_col="dedup_key")
+        joined = spark.table("frontier_b").join(
+            spark.table("seen_b"), "dedup_key", "left_anti")
+        # AQE can hide the final plan until execution; audit + execute
+        plan = plan_of(joined)
+        assert count_nodes(plan, "Exchange") == 0, plan
+        assert joined.count() > 0
+        spark.sql("drop table if exists seen_b")
+        spark.sql("drop table if exists frontier_b")

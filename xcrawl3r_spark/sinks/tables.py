@@ -166,3 +166,22 @@ class IcebergStore:
 
         return self.spark.table(self._full(table)).filter(
             F.col("iter") == iteration)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table hash-bucketed on ``bucket_col`` (SURVEY §2.5): two
+    tables bucketed the same way join WITHOUT a shuffle — the posture for
+    the 10^10-row seen set joined against frontier batches every
+    iteration on a real cluster (plan-audited in tests/test_plans.py).
+
+    Uses saveAsTable (bucket metadata lives in the session catalog);
+    sort_col additionally sorts within buckets so sort-merge joins skip
+    the sort too.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
