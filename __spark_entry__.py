@@ -607,7 +607,10 @@ with tok as (
   group by doc_id, b
 )
 select doc_id,
-       sum(case when s > 0 then (cast(1 as bigint) << b) else cast(0 as bigint) end) as simhash
+       -- cast: DuckDB's sum() yields HUGEINT, which degrades to float64 on
+       -- the driver's Arrow fetch and loses bits above 2^53 (simhash values
+       -- are 60-bit). Spark emits exact int64; the oracle must too.
+       cast(sum(case when s > 0 then (cast(1 as bigint) << b) else cast(0 as bigint) end) as bigint) as simhash
 from bitsum group by doc_id
 """
 
@@ -895,9 +898,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "dedup_ngram_jaccard": _jaccard_oracle(),
         "text_tokens": f"""
+            -- casts: list_sum() yields HUGEINT (degrades to float64 > 2^53
+            -- on Arrow fetch, and renders 113.0 vs Spark's 113); pin bigint.
             select doc_id, len({_TOKENS_SQL}) as n_tokens,
-                   list_sum(list_transform({_TOKENS_SQL},
-                       t -> cast(ceil(length(t) / 4.0) as bigint))) as n_subwords
+                   cast(list_sum(list_transform({_TOKENS_SQL},
+                       t -> cast(ceil(length(t) / 4.0) as bigint))) as bigint) as n_subwords
             from documents
         """,
         "text_quality": f"""

@@ -35,6 +35,26 @@ def test_merge_preserves_membership(a, b):
     assert ta.probe_hashes(both).all()
 
 
+def test_non_pow2_geometry_rounds_up_no_false_negatives():
+    """Regression (r2 advice): with nb=100 the xor-pairing was not
+    involutive under `% nb` — 2719/4000 false negatives — so kick-chain
+    relocation lost keys. Geometry now rounds up to the next power of two."""
+    t = C.CuckooTable(100)
+    assert t.nb == 128 and t.nb & (t.nb - 1) == 0
+    keys = (np.arange(4000, dtype=np.int64) + 1) * 2_654_435_761
+    t.insert_hashes(keys)
+    assert t.probe_hashes(keys).all()
+    # merge path keeps the rounded geometry too
+    t2 = C.CuckooTable(100)
+    more = (np.arange(500, dtype=np.int64) + 1) * 40_503
+    t2.insert_hashes(more)
+    t.merge_from(t2)
+    assert t.probe_hashes(np.concatenate([keys, more])).all()
+    # pre-built tables with composite row counts are rejected outright
+    with pytest.raises(ValueError):
+        C.CuckooTable(100, table=np.zeros((100, C.SLOTS), dtype=np.uint16))
+
+
 def test_roundtrip_serialization_and_delete():
     t = C.CuckooTable(256)
     keys = np.arange(-500, 500, dtype=np.int64) * 7919

@@ -25,6 +25,8 @@ TABLES = [
 
 
 def _norm(v):
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()  # numpy scalars from the pandas fetch -> Python natives
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -86,9 +88,13 @@ def main():
             print(f"SKIP {name}: no oracle (rows={len(srows)})")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch via pandas, NOT fetchall(): the driver's gate fetches a
+            # frame, where DuckDB HUGEINT degrades to float64 (r01 red rows:
+            # 60-bit sums > 2^53 lose bits; 113 renders "113.0"). fetchall()
+            # returns exact Python ints and hides that class of bug.
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as ex:
             print(f"FAIL {name}: duckdb error {type(ex).__name__}: {ex}")
             n_fail += 1

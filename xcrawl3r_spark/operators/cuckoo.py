@@ -54,13 +54,22 @@ def _primary_buckets(h: np.ndarray, nb: int) -> np.ndarray:
             % np.uint64(nb)).astype(np.int64)
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
+
+
 def _alt_bucket(b: np.ndarray | int, fp: np.ndarray | int, nb: int) -> np.ndarray | int:
-    """Partial-key alternate bucket: b xor H(fp). Involutive, so the pair
-    (b1, b2) is recoverable from either member + fp — the property that
-    makes both relocation and table-merge possible."""
+    """Partial-key alternate bucket: (b xor H(fp)) & (nb-1).
+
+    REQUIRES nb to be a power of two: masking after xor is involutive
+    (((b^f)&m ^ f)&m == b&m == b), so the pair (b1, b2) is recoverable
+    from either member + fp — the property that makes both relocation and
+    table-merge possible. With a composite nb and `% nb` the pairing is
+    NOT involutive (measured 2719/4000 false negatives at nb=100), which
+    is why CuckooTable rounds its geometry up to a power of two."""
     with np.errstate(over="ignore"):  # uint64 wraparound is the mix
         fph = (np.uint64(fp) * _FP_MULT) >> np.uint64(48)
-    return (np.uint64(b) ^ fph) % np.uint64(nb)
+    return (np.uint64(b) ^ fph) & np.uint64(nb - 1)
 
 
 class CuckooTable:
@@ -68,10 +77,16 @@ class CuckooTable:
 
     def __init__(self, n_buckets: int, table: np.ndarray | None = None,
                  stash: list[tuple[int, int]] | None = None):
-        self.nb = n_buckets
+        # Geometry MUST be a power of two for the xor-pairing to be
+        # involutive (see _alt_bucket). Round any requested size up; a
+        # pre-built table must already have pow2 rows (it came from us).
+        self.nb = _next_pow2(n_buckets) if table is None else n_buckets
+        if table is not None and table.shape[0] & (table.shape[0] - 1):
+            raise ValueError(
+                f"cuckoo table rows must be a power of two, got {table.shape[0]}")
         self.table = (
             table if table is not None
-            else np.zeros((n_buckets, SLOTS), dtype=np.uint16)
+            else np.zeros((self.nb, SLOTS), dtype=np.uint16)
         )
         self.stash: list[tuple[int, int]] = stash or []  # (bucket, fp)
 
