@@ -139,6 +139,61 @@ class TestRobotsMining:
         assert sorted(rules["h0.test"]["deny"]) == ["/private/", "/tmp/"]
         assert rules["h0.test"]["allow"] == ["/private/ok/"]
 
+    def test_collapse_robots_rules_one_row_per_host(self, spark):
+        """Regression (r2 advice): union-merged mined rules can carry
+        duplicate host rows; collapse merges them to one sorted row."""
+        from xcrawl3r_spark.operators.politeness import collapse_robots_rules
+
+        dup = spark.createDataFrame(
+            [("h0.test", ["/ok/"], ["/private/"]),
+             ("h0.test", ["/ok2/", "/ok/"], ["/tmp/"]),
+             ("h1.test", [], ["/x/"])],
+            "host string, allow array<string>, deny array<string>")
+        rows = {r["host"]: r for r in collapse_robots_rules(dup).collect()}
+        assert len(rows) == 2
+        assert rows["h0.test"]["allow"] == ["/ok/", "/ok2/"]
+        assert rows["h0.test"]["deny"] == ["/private/", "/tmp/"]
+        assert rows["h1.test"]["deny"] == ["/x/"]
+
+    def test_remined_host_does_not_fan_out_frontier(self, spark):
+        """Regression (r2 advice): when iteration-1 mining re-mines a host
+        already present in the rules table (per-seed scope / resume), the
+        duplicate host row used to fan out every frontier row for that
+        host through robots_filter's join — duplicate fetches and edges.
+        Edge multisets with and without pre-seeded rules must be equal."""
+        from collections import Counter
+
+        from xcrawl3r_spark.config import CrawlConfig
+        from xcrawl3r_spark.plans.crawl import Crawler
+
+        pages = [
+            ("https://h0.test/robots.txt", "text/plain",
+             "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n", 200),
+            ("https://h0.test/p/0", "text/html",
+             '<a href="https://h0.test/private/x">a</a>'
+             '<a href="https://h0.test/p/1">c</a>', 200),
+            ("https://h0.test/p/1", "text/html",
+             '<a href="https://h0.test/p/0">back</a>', 200),
+        ]
+        pages_df = spark.createDataFrame(
+            pages, "url string, content_type string, body string, status int")
+        seeds = spark.createDataFrame(
+            [("s0", "https://h0.test/p/0")], "seed_id string, url string")
+        cfg = CrawlConfig(domains=["test"], include_subdomains=True, depth=3,
+                          obey_robots=True, expand_seeds=True, parallelism=0)
+
+        def ms(res):
+            return Counter((r["src_url"], r["url"], r["kind"])
+                           for r in res.edges.collect())
+
+        plain = ms(Crawler(spark, cfg).crawl(seeds, pages_df))
+        pre = spark.createDataFrame(
+            [("h0.test", ["/private/ok/"], ["/private/"])],
+            "host string, allow array<string>, deny array<string>")
+        seeded = ms(Crawler(spark, cfg).crawl(
+            seeds, pages_df, initial_robots_rules=pre))
+        assert seeded == plain
+
     def test_crawl_mines_and_enforces_robots(self, spark):
         """obey_robots with no rules table: rules mined from the fetched
         robots.txt (Disallow: /private/) keep /private/ URLs out of the

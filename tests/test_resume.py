@@ -56,6 +56,46 @@ def test_kill_resume_bit_identity(spark, tmp_path):
     assert _edges_ms(again.edges) == full_edges
 
 
+def test_resume_restores_mined_robots_rules(spark, tmp_path):
+    """Regression (r2 advice): robots rules mined in completed iterations
+    must survive a kill — a resumed obey_robots crawl previously restarted
+    with no rules and stopped enforcing (diverging from an uninterrupted
+    run). Chain: p/0 -> p/1 -> private/z, so /private/z is discovered at
+    iteration 2 and must still be denied at iteration 3 AFTER the kill."""
+    pages = [
+        ("https://h0.test/robots.txt", "text/plain",
+         "User-agent: *\nDisallow: /private/\n", 200),
+        ("https://h0.test/p/0", "text/html",
+         '<a href="https://h0.test/p/1">a</a>', 200),
+        ("https://h0.test/p/1", "text/html",
+         '<a href="https://h0.test/private/z">b</a>', 200),
+        ("https://h0.test/private/z", "text/html", "<a></a>", 200),
+    ]
+    pages_df = spark.createDataFrame(
+        pages, "url string, content_type string, body string, status int")
+    seeds = spark.createDataFrame(
+        [("s0", "https://h0.test/p/0")], "seed_id string, url string")
+
+    def cfg(ckpt=None):
+        return CrawlConfig(
+            domains=["test"], include_subdomains=True, depth=4,
+            obey_robots=True, expand_seeds=True, parallelism=0,
+            checkpoint_dir=str(ckpt) if ckpt else None)
+
+    full = Crawler(spark, cfg()).crawl(seeds, pages_df)
+    full_seen = _seen_set(full.seen)
+    assert ("s0", "https://h0.test/private/z", 3) not in full_seen
+
+    ckpt = tmp_path / "robots_ckpt"
+    c1 = Crawler(spark, cfg(ckpt))
+    c1.crawl(seeds, pages_df, max_iterations=2)
+    resumed = Crawler(spark, cfg(ckpt)).resume(seeds, pages_df)
+    res_seen = _seen_set(resumed.seen)
+    assert all(("private" not in u) for _, u, _d in res_seen)
+    assert res_seen == full_seen
+    assert _edges_ms(resumed.edges) == _edges_ms(full.edges)
+
+
 def test_commit_idempotent(spark, tmp_path):
     from xcrawl3r_spark.sinks.tables import SnapshotStore
 

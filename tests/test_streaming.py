@@ -115,3 +115,46 @@ class TestStatefulStreaming:
             by_host.setdefault(r["host"], []).append(r)
         assert len(by_host["h0.test"]) == 3   # budget enforced
         assert len(by_host["h1.test"]) == 1
+
+    def test_stateful_host_lifetime_cap(self, spark, tmp_path):
+        """Regression (r2 advice): the persisted lifetime total is now
+        enforceable — with lifetime_cap=4 and per-batch budget 3, a host
+        admits 3 in batch 1 and only 1 more in batch 2, then zero."""
+        from xcrawl3r_spark.streaming.stateful import host_budget_stream
+
+        src = tmp_path / "urls_cap"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt_cap")
+        admitted: list[tuple] = []
+
+        def sink(batch_df, batch_id):
+            admitted.extend((r["host"], r["url"], r["n_host_total"])
+                            for r in batch_df.collect())
+
+        def run_once():
+            stream = (
+                spark.readStream.format("text").load(str(src))
+                .withColumnRenamed("value", "url")
+            )
+            q = (
+                host_budget_stream(stream, budget=3, lifetime_cap=4)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update").option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        (src / "b1.txt").write_text(
+            "".join(f"https://h0.test/p/{i}\n" for i in range(6)))
+        run_once()
+        assert len(admitted) == 3            # per-batch budget
+        admitted.clear()
+        (src / "b2.txt").write_text(
+            "".join(f"https://h0.test/q/{i}\n" for i in range(6)))
+        run_once()
+        assert len(admitted) == 1            # lifetime cap 4: 3 + 1
+        assert admitted[0][2] == 4
+        admitted.clear()
+        (src / "b3.txt").write_text("https://h0.test/r/0\n")
+        run_once()
+        assert admitted == []                # capped forever

@@ -125,10 +125,28 @@ def parse_robots_rules(fetched_robots: DataFrame) -> DataFrame:
         .filter((F.col("rule") != "") & (F.col("path") != ""))
     )
     return parsed.groupBy("host").agg(
-        F.array_distinct(F.collect_list(
-            F.when(F.col("rule") == "allow", F.col("path")))).alias("allow"),
-        F.array_distinct(F.collect_list(
-            F.when(F.col("rule") == "disallow", F.col("path")))).alias("deny"),
+        F.array_sort(F.array_distinct(F.collect_list(
+            F.when(F.col("rule") == "allow", F.col("path"))))).alias("allow"),
+        F.array_sort(F.array_distinct(F.collect_list(
+            F.when(F.col("rule") == "disallow", F.col("path"))))).alias("deny"),
+    )
+
+
+def collapse_robots_rules(rules: DataFrame) -> DataFrame:
+    """Re-aggregate a (possibly union-merged) rules table to ONE row per
+    host. Under per-seed dedup scope two seeds on one host — or a
+    politeness-deferred seed-expansion fetch — mine the same host's
+    robots.txt in different iterations, so a plain ``unionByName`` carries
+    duplicate host rows; ``robots_filter`` joins on host and would fan out
+    every frontier row for that host (duplicate fetches + duplicate
+    emit-per-occurrence edges). Arrays are flattened, deduped, and sorted
+    so the collapsed table is deterministic regardless of union order
+    (resume bit-identity)."""
+    return rules.groupBy("host").agg(
+        F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("allow")))).alias("allow"),
+        F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("deny")))).alias("deny"),
     )
 
 

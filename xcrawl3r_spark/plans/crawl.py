@@ -43,6 +43,7 @@ from xcrawl3r_spark.operators.dedup import (
 )
 from xcrawl3r_spark.operators.extract import extract_links
 from xcrawl3r_spark.operators.politeness import (
+    collapse_robots_rules,
     parse_robots_rules,
     politeness_flag,
     robots_filter,
@@ -184,6 +185,7 @@ class Crawler:
         start_iteration: int = 1,
         initial_frontier: DataFrame | None = None,
         initial_seen: DataFrame | None = None,
+        initial_robots_rules: DataFrame | None = None,
         max_iterations: int = 1000,
     ) -> CrawlResult:
         cfg, spark = self.cfg, self.spark
@@ -232,7 +234,9 @@ class Crawler:
                 else {}
             )
 
-        robots_rules = robots  # None -> mined from fetched robots bodies
+        # None -> mined from fetched robots bodies; a resumed run restores
+        # the rules mined by its completed iterations (bit-identity)
+        robots_rules = robots if robots is not None else initial_robots_rules
         edges_parts: list[DataFrame] = []
         images_parts: list[DataFrame] = []
         errors_parts: list[DataFrame] = []
@@ -327,16 +331,21 @@ class Crawler:
             )
             ok = fetched.filter(F.col("body").isNotNull() & (F.col("status") == 200))
             ok = ok.withColumn("is_file", U.is_file_col(F.col("url")))
+            mined_inc: DataFrame | None = None
             if cfg.obey_robots and robots is None:
                 # rules table stays tiny (one row per host with a fetched
-                # robots.txt); hosts never repeat across iterations (their
-                # robots URL is in the seen set), so plain union suffices
-                mined = parse_robots_rules(
+                # robots.txt). A host CAN repeat across iterations (per-seed
+                # dedup scope: each seed fetches its own copy; politeness
+                # overflow defers expansion fetches), so the union is
+                # re-collapsed to one row per host — robots_filter joins on
+                # host and duplicate rows would fan out frontier rows.
+                mined_inc = parse_robots_rules(
                     ok.filter(F.col("url").endswith("/robots.txt"))
                     .select("host", "body"))
                 robots_rules = _ckpt(
-                    mined if robots_rules is None
-                    else robots_rules.unionByName(mined))
+                    mined_inc if robots_rules is None
+                    else collapse_robots_rules(
+                        robots_rules.unionByName(mined_inc)))
             # (8) extraction (Arrow-batched) + scope filter on emits/visits
             extracted = extract_links(ok).filter(F.col("url").rlike(scope))
             extracted = _ckpt(extracted)
@@ -381,6 +390,12 @@ class Crawler:
                 self.store.commit(edges_parts[-1], "edges", it)
                 self.store.commit(images_parts[-1], "images", it)
                 self.store.commit(errors_parts[-1], "errors", it)
+                if mined_inc is not None:
+                    # committed BEFORE frontier: resume() keys off the
+                    # frontier's last commit, so rules for any resumable
+                    # iteration must already be durable (crash between the
+                    # two leaves an orphan rules commit, which upto= drops)
+                    self.store.commit(mined_inc, "robots_rules", it)
                 self.store.commit(frontier, "frontier", it)
                 m["t_store"] = round(time.perf_counter() - t0, 3)
             metrics.append(m)
@@ -420,11 +435,23 @@ class Crawler:
             return self.crawl(seeds, pages, robots, image_payloads)
         frontier = self.store.read_iteration("frontier", last)
         seen = self.store.read("seen", upto=last)
+        # Restore robots rules mined by completed iterations: without this
+        # an obey_robots run with mined (not supplied) rules would resume
+        # unenforced and diverge from an uninterrupted run. Increments are
+        # committed per iteration; their union re-collapses to the exact
+        # in-loop state (arrays are sorted/deduped -> order-insensitive).
+        rules = None
+        if self.cfg.obey_robots and robots is None:
+            committed = self.store.read("robots_rules", upto=last)
+            if committed is not None:
+                rules = collapse_robots_rules(
+                    committed.select("host", "allow", "deny"))
         res = self.crawl(
             seeds, pages, robots, image_payloads,
             start_iteration=last + 1,
             initial_frontier=frontier,
             initial_seen=seen,
+            initial_robots_rules=rules,
         )
         # stitch committed history with the new tail
         edges = self.store.read("edges")

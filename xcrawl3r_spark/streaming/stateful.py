@@ -79,11 +79,18 @@ def dedup_stream_batch_equiv(urls: DataFrame) -> DataFrame:
 
 
 def host_budget_stream(
-    urls: DataFrame, budget: int, n_buckets: int = 64
+    urls: DataFrame, budget: int, n_buckets: int = 64,
+    lifetime_cap: int | None = None,
 ) -> DataFrame:
     """Streaming per-host politeness: at most ``budget`` emissions per
-    host per micro-batch, the time-domain analog of colly's LimitRule
-    (xcrawl3r.go:277-281). State remembers each host's lifetime count.
+    host *per micro-batch* — by design, since micro-batches are the
+    stream's time quantum this is the direct analog of colly's
+    LimitRule{Parallelism} in-flight cap (xcrawl3r.go:277-281), which is
+    also a per-time-window limit, not a lifetime one. State persists each
+    host's lifetime admitted count; pass ``lifetime_cap`` to additionally
+    enforce a hard total per host across all micro-batches (admitted
+    while total < cap — e.g. per-host page quotas in a training-data
+    ingest).
 
     Output: (host, url, n_host_total) for admitted rows; overflow rows
     are dropped from the stream (a real deployment would route them to a
@@ -95,9 +102,12 @@ def host_budget_stream(
         admitted = 0
         for pdf in pdfs:
             for url in pdf["url"]:
-                if admitted < budget:
-                    admitted += 1
-                    out.append((key[0], url, total + admitted))
+                if admitted >= budget:
+                    continue
+                if lifetime_cap is not None and total + admitted >= lifetime_cap:
+                    continue
+                admitted += 1
+                out.append((key[0], url, total + admitted))
         state.update((total + admitted,))
         yield pd.DataFrame(out, columns=["host", "url", "n_host_total"])
 
