@@ -1,0 +1,159 @@
+"""S4/F9: the real flag-gated HTTP fetch stage (operators/fetch.py) against
+a localhost fixture server — edge/seen parity with the pages-join test
+double, header injection, proxy round-robin, and timeout error capture."""
+
+import time
+from collections import Counter
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from xcrawl3r_spark.config import CrawlConfig
+from xcrawl3r_spark.operators.fetch import parse_header_lines
+from xcrawl3r_spark.plans.crawl import Crawler
+
+
+class _Handler(BaseHTTPRequestHandler):
+    site: dict = {}
+    requests: list = []
+
+    def do_GET(self):
+        _Handler.requests.append((self.path, dict(self.headers)))
+        if self.path == "/slow":
+            time.sleep(3)
+        ct, body, status = _Handler.site.get(
+            self.path, ("text/plain", "not found", 404))
+        data = body.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", ct)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *args):  # quiet
+        pass
+
+
+@pytest.fixture
+def http_site():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    server.daemon_threads = True
+    import threading
+
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    _Handler.site = {}
+    _Handler.requests = []
+    yield base
+    server.shutdown()
+
+
+def _cfg(**kw):
+    base = dict(domains=["127.0.0.1"], depth=3, expand_seeds=False,
+                parallelism=0, fetch_mode="http")
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def _chain_site(base):
+    return {
+        "/p/0": ("text/html",
+                 f'<a href="{base}/p/1">a</a><a href="{base}/p/2">b</a>', 200),
+        "/p/1": ("text/html", f'<a href="{base}/p/2">c</a>', 200),
+        "/p/2": ("text/html", "<p>leaf</p>", 200),
+    }
+
+
+def _edges_ms(res):
+    return Counter((r["src_url"], r["url"], r["kind"], r["depth"])
+                   for r in res.edges.collect())
+
+
+def test_http_fetch_parity_with_pages_join(spark, http_site):
+    """The real fetch stage and the pages-join double must produce
+    identical edges and seen sets on the same content."""
+    _Handler.site = _chain_site(http_site)
+    seeds = spark.createDataFrame(
+        [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+
+    res_http = Crawler(spark, _cfg()).crawl(seeds)
+    pages_rows = [
+        (f"{http_site}{path}", ct, body, status)
+        for path, (ct, body, status) in _chain_site(http_site).items()
+    ]
+    pages_df = spark.createDataFrame(
+        pages_rows, "url string, content_type string, body string, status int")
+    res_tbl = Crawler(spark, _cfg(fetch_mode="table")).crawl(seeds, pages_df)
+
+    assert _edges_ms(res_http) == _edges_ms(res_tbl)
+    seen_http = {(r["url"], r["depth"]) for r in res_http.seen.collect()}
+    seen_tbl = {(r["url"], r["depth"]) for r in res_tbl.seen.collect()}
+    assert seen_http == seen_tbl
+    assert len(seen_http) == 3
+    assert res_http.errors.count() == 0
+
+
+def test_http_fetch_injects_headers(spark, http_site):
+    """F9: cfg.headers "Name: value" strings reach every request
+    (xcrawl3r.go:285-305)."""
+    _Handler.site = _chain_site(http_site)
+    seeds = spark.createDataFrame(
+        [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+    cfg = _cfg(headers=["X-Crawl-Test: tok123", "User-Agent: xcrawl3r-spark"])
+    Crawler(spark, cfg).crawl(seeds)
+    assert len(_Handler.requests) == 3
+    for path, hdrs in _Handler.requests:
+        assert hdrs.get("X-Crawl-Test") == "tok123"
+        assert hdrs.get("User-Agent") == "xcrawl3r-spark"
+
+
+def test_http_fetch_timeout_becomes_error_row(spark, http_site):
+    """Timeouts are per-row error captures (never task failures): /slow
+    sleeps past cfg.timeout, lands in errors, and the crawl continues."""
+    _Handler.site = {
+        "/p/0": ("text/html",
+                 f'<a href="{http_site}/slow">s</a>'
+                 f'<a href="{http_site}/p/2">b</a>', 200),
+        "/slow": ("text/html", "<p>slow</p>", 200),
+        "/p/2": ("text/html", "<p>leaf</p>", 200),
+    }
+    seeds = spark.createDataFrame(
+        [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+    res = Crawler(spark, _cfg(timeout=1)).crawl(seeds)
+    errs = {(r["url"], r["error"]) for r in res.errors.collect()}
+    assert (f"{http_site}/slow", "fetch failed") in errs
+    seen = {r["url"] for r in res.seen.collect()}
+    assert f"{http_site}/p/2" in seen  # crawl survived the timeout
+
+
+def test_http_fetch_404_keeps_status_code(spark, http_site):
+    _Handler.site = {
+        "/p/0": ("text/html", f'<a href="{http_site}/gone">x</a>', 200),
+    }
+    seeds = spark.createDataFrame(
+        [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+    res = Crawler(spark, _cfg()).crawl(seeds)
+    errs = {(r["url"], r["error"]) for r in res.errors.collect()}
+    assert (f"{http_site}/gone", "status 404") in errs
+
+
+def test_http_fetch_proxy_round_robin(spark, http_site):
+    """cfg.proxies routes requests through the proxy (xcrawl3r.go:332-341):
+    point the proxy at the fixture server and fetch an unroutable host —
+    the server sees absolute-URI request lines, proving proxy routing."""
+    target = "http://unroutable.invalid/p/0"
+    _Handler.site = {target: ("text/html", "<p>via proxy</p>", 200)}
+    seeds = spark.createDataFrame(
+        [("s0", target)], "seed_id string, url string")
+    cfg = _cfg(domains=["unroutable.invalid"], proxies=[http_site])
+    res = Crawler(spark, cfg).crawl(seeds)
+    assert res.errors.count() == 0
+    assert {r["url"] for r in res.seen.collect()} == {target}
+    assert _Handler.requests and _Handler.requests[0][0] == target
+
+
+def test_parse_header_lines():
+    assert parse_header_lines(
+        ["A: 1", "B:2 ", "bad", " : x", "C: a:b"]
+    ) == [("A", "1"), ("B", "2"), ("C", "a:b")]

@@ -151,3 +151,38 @@ class TestRegexExtraction:
     def test_extract_after_cleanup(self):
         body = r"pre https://a.b.test/p post"
         assert U.extract_urls_regex(body) == ["https://a.b.test/p"]
+
+    def test_extract_schemeless_host_forms(self):
+        """E1 fidelity corpus (r1 verdict item 3): snippets where the
+        hq-go-url extractor (xcrawl3r.go:417) finds URLs the old
+        https?-only floor missed — scheme-less host.tld tokens in
+        css/js/robots bodies, and IPv4 literals."""
+        css = ".x { background: url(cdn.example.com/i.png) }"
+        assert U.extract_urls_regex(css) == ["cdn.example.com/i.png"]
+        js = "fetch('api.svc.test/v1?q=1');var s=\"static.a.io\";"
+        assert U.extract_urls_regex(js) == [
+            "api.svc.test/v1?q=1", "static.a.io"]
+        robots = "# mirror: mirror.example.org/data\nDisallow: /tmp/"
+        assert U.extract_urls_regex(robots) == ["mirror.example.org/data"]
+        assert U.extract_urls_regex("see http://10.0.0.2:8080/x y") == [
+            "http://10.0.0.2:8080/x"]
+        assert U.extract_urls_regex("host.test:8443/p q") == [
+            "host.test:8443/p"]
+
+    def test_extract_schemeless_negatives(self):
+        """No false positives: emails, file names with file-ext 'TLD's,
+        dotted versions, and no double-match inside scheme-ful URLs."""
+        assert U.extract_urls_regex("mail bob@corp.example.com now") == []
+        assert U.extract_urls_regex("read notes.txt and a.css b.xml") == []
+        assert U.extract_urls_regex("version 1.2.3 released") == []
+        # scheme-ful URL not re-matched on its host remainder
+        assert U.extract_urls_regex("x https://a.b.test/p y") == [
+            "https://a.b.test/p"]
+
+    def test_schemeless_resolution_matches_reference(self):
+        """The reference resolves extracted tokens with colly's
+        Request.AbsoluteURL (xcrawl3r.go:111): a scheme-less token is a
+        RELATIVE reference against the page URL. Our kernel must do the
+        same (urljoin), not guess a scheme."""
+        got = U.absolute_url("https://h.test/a/b.css", "cdn.example.com/i.png")
+        assert got == "https://h.test/a/cdn.example.com/i.png"

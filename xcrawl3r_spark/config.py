@@ -40,19 +40,28 @@ class CrawlConfig:
     #: wall-clock randomness would break bit-identical resume; the
     #: per-iteration budget (``parallelism``) subsumes politeness.
     delay: int = 0
-    #: HTTP request timeout, seconds (configuration.go:102); fetch-stage
-    #: config on a real deployment, no-op vs the synthetic pages table
+    #: HTTP request timeout, seconds (configuration.go:102); honored by
+    #: the real fetch stage (operators/fetch.py) when fetch_mode="http"
     timeout: int = 10
-    #: "Header: value" strings injected per request (xcrawl3r.go:285-305)
+    #: "Header: value" strings injected per request (xcrawl3r.go:285-305);
+    #: honored by the real fetch stage when fetch_mode="http"
     headers: list[str] = field(default_factory=list)
-    #: round-robin proxy URLs (xcrawl3r.go:332-341)
+    #: round-robin proxy URLs (xcrawl3r.go:332-341); honored by the real
+    #: fetch stage when fetch_mode="http"
     proxies: list[str] = field(default_factory=list)
-    #: seed-level concurrency C (main.go:183-185) — subsumed by Spark task
-    #: parallelism (SURVEY §2.6 A3); kept for config-file compatibility
+    #: worker-pool width C (main.go:183-185): inter-task parallelism is
+    #: Spark's (SURVEY §2.6 A3); with fetch_mode="http" this is also the
+    #: per-task in-flight request count (I/O thread pool width)
     concurrency: int = 5
     debug: bool = False
 
     # --- batch-engine knobs (north rule) ------------------------------
+    #: fetch stage: "table" = deterministic frontier ⋈ pages join (the
+    #: sandbox test double; default), "http" = real network fetch via the
+    #: Arrow-batched mapInPandas stage (operators/fetch.py) honoring
+    #: timeout/headers/proxies/concurrency. With "http", crawl()'s pages
+    #: argument may be None.
+    fetch_mode: str = "table"
     #: dedup scope: per-seed (reference-faithful: fresh collector per seed,
     #: xcrawl3r.go:52) or global (strictly cheaper; one seen-set)
     global_dedup: bool = False

@@ -42,12 +42,38 @@ _FILE_RE = re.compile(rf"\.({FILE_EXTS})$")
 _MEDIA_RE = re.compile(rf"\.({MEDIA_EXTS})$")
 _IMAGE_RE = re.compile(rf"\.({IMAGE_EXTS})$")
 
-# the generic URL-extractor regex (floor of hq-go-url's extractor — the
-# documented generic pattern at xcrawl3r.go:392, used for E1 regex
-# extraction over file bodies). Works in Python re AND Java regex.
+# E1 URL-extractor regex, tracking hq-go-url's extractor behavior
+# (compiled by the reference at xcrawl3r.go:417): scheme-ful http(s) URLs
+# (hostname or IPv4 literal), PLUS the scheme-less host.tld[/path] forms
+# the Go extractor finds in css/js/robots bodies. Scheme-less matches are
+# resolved downstream exactly like the reference resolves them —
+# colly's Request.AbsoluteURL (xcrawl3r.go:111) treats a scheme-less
+# token as a relative reference against the page URL, and our kernel's
+# urljoin does the same, so parity holds through resolution.
+#
+# Documented floor vs hq-go-url: the Go extractor embeds the full IANA
+# TLD list for the scheme-less branch; we carry the common-TLD subset
+# below (incl. the RFC 2606 reserved test/example/invalid/localhost used
+# by the synthetic graph). Non-http schemes are not extracted: the
+# reference's validate() (xcrawl3r.go:392 `https?://...` URLFilter) drops
+# them immediately after extraction, so the observable output matches.
+_URL_HOSTNAME = r"(?:[a-zA-Z0-9](?:[a-zA-Z0-9-]*[a-zA-Z0-9])?\.)+"
+_URL_IPV4 = r"(?:\d{1,3}\.){3}\d{1,3}"
+_URL_PORT = r"(?::\d+)?"
+# brackets/parens excluded from path+query: extracted tokens come from
+# css url(...) / js string contexts where the closer is not part of the URL
+_URL_TAIL = r"(?:/[^?\s\"'<>#()\[\]{}]*)?(?:\?[^#\s\"'<>()\[\]{}]*)?"
+_COMMON_TLDS = (
+    "com|org|net|edu|gov|mil|int|info|biz|name|io|ai|co|dev|app|me|tv|cc|"
+    "ws|xyz|site|online|tech|store|blog|cloud|page|news|wiki|link|live|"
+    "run|sh|gg|to|fm|am|us|uk|de|fr|es|it|nl|se|no|fi|dk|pl|cz|ch|at|be|"
+    "pt|gr|ie|ru|ua|jp|cn|kr|in|au|nz|ca|br|mx|ar|za|eu|"
+    "test|example|invalid|localhost"
+)
 URL_EXTRACT_PATTERN = (
-    r"https?://(?:[a-z0-9-]+\.)+[a-z]{2,}(?::\d+)?"
-    r"(?:/[^?\s\"'<>#]*)?(?:\?[^#\s\"'<>]*)?"
+    rf"(?:https?://(?:{_URL_HOSTNAME}[a-zA-Z]{{2,}}|{_URL_IPV4})"
+    rf"{_URL_PORT}{_URL_TAIL}"
+    rf"|(?<![\w.@/-]){_URL_HOSTNAME}(?:{_COMMON_TLDS})\b{_URL_PORT}{_URL_TAIL})"
 )
 _URL_EXTRACT_RE = re.compile(URL_EXTRACT_PATTERN)
 

@@ -1,0 +1,123 @@
+"""S4: the real HTTP fetch stage (flag-gated; Arrow-batched mapInPandas).
+
+The sandbox default fetch is the deterministic ``frontier ⋈ pages`` join
+(plans/crawl.py) — the test double. Setting ``CrawlConfig.fetch_mode =
+"http"`` swaps in this stage, which fetches each selected frontier row
+over the network and honors the reference's transport knobs
+(pkg/xcrawl3r/xcrawl3r.go:285-341):
+
+- ``cfg.headers`` — "Name: value" strings injected per request
+  (xcrawl3r.go:285-305);
+- ``cfg.timeout`` — request timeout in seconds, applied to dial + read
+  (xcrawl3r.go:311-317);
+- ``cfg.proxies`` — round-robin proxy URLs per request
+  (xcrawl3r.go:332-341);
+- ``cfg.concurrency`` — in-flight requests per task (main.go:183-185's
+  worker-pool C, here the per-partition I/O thread-pool width).
+
+Output schema = input columns + (content_type, body, status), exactly the
+shape the pages join produces, so the downstream error-split/extraction
+pipeline is identical for both modes. Failures never throw: HTTP errors
+carry their status code with a null body; network/timeout errors carry a
+null status — the crawl loop's error branch records both (per-row error
+capture, never task failure).
+
+Scale posture: the stage is embarrassingly parallel (one task per frontier
+partition, no shuffle introduced); the upstream salted repartition spreads
+hot hosts so one host's fetches never serialize a single task, and
+politeness has already capped per-(seed,host) volume. I/O-bound threads
+inside the task keep executor cores busy without oversubscribing Python
+compute.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from xcrawl3r_spark.config import CrawlConfig
+
+FETCH_FIELDS = [
+    StructField("content_type", StringType()),
+    StructField("body", StringType()),
+    StructField("status", IntegerType()),
+]
+
+
+def parse_header_lines(headers: list[str]) -> list[tuple[str, str]]:
+    """"Name: value" strings -> header pairs; malformed lines (no colon)
+    are dropped, matching the reference's split-on-first-colon parse
+    (xcrawl3r.go:291-299)."""
+    out = []
+    for h in headers or []:
+        if ":" in h:
+            k, v = h.split(":", 1)
+            if k.strip():
+                out.append((k.strip(), v.strip()))
+    return out
+
+
+def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
+    """Fetch each row's ``url`` over HTTP(S); append content_type/body/
+    status columns. Stdlib-only (urllib) so executors need no extra
+    packages."""
+    headers = parse_header_lines(cfg.headers)
+    timeout = max(1, int(cfg.timeout))
+    proxies = [p for p in (cfg.proxies or []) if p]
+    workers = max(1, int(cfg.concurrency))
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import urllib.error
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        rr = itertools.count()  # per-task proxy round-robin (xcrawl3r.go:332)
+
+        def one(url: str) -> tuple:
+            req = urllib.request.Request(url)
+            for k, v in headers:
+                req.add_header(k, v)
+            handlers = []
+            if proxies:
+                p = proxies[next(rr) % len(proxies)]
+                handlers.append(
+                    urllib.request.ProxyHandler({"http": p, "https": p}))
+            opener = urllib.request.build_opener(*handlers)
+            try:
+                with opener.open(req, timeout=timeout) as resp:
+                    ct = resp.headers.get_content_type()
+                    charset = resp.headers.get_content_charset() or "utf-8"
+                    body = resp.read().decode(charset, errors="replace")
+                    return ct, body, int(resp.status)
+            except urllib.error.HTTPError as e:
+                return None, None, int(e.code)   # 4xx/5xx: keep the code
+            except Exception:
+                return None, None, None          # dial/timeout/DNS: no status
+
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf):
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    res = list(ex.map(one, pdf["url"].astype(str)))
+            else:
+                res = []
+            out["content_type"] = pd.Series(
+                [r[0] for r in res], dtype="object", index=pdf.index)
+            out["body"] = pd.Series(
+                [r[1] for r in res], dtype="object", index=pdf.index)
+            out["status"] = pd.array(
+                [r[2] for r in res], dtype="Int32")
+            yield out
+
+    schema = StructType(list(df.schema.fields) + FETCH_FIELDS)
+    return df.mapInPandas(fetch_batches, schema)

@@ -179,7 +179,7 @@ class Crawler:
     def crawl(
         self,
         seeds: DataFrame,
-        pages: DataFrame,
+        pages: DataFrame | None = None,
         robots: DataFrame | None = None,
         image_payloads: DataFrame | None = None,
         start_iteration: int = 1,
@@ -241,7 +241,14 @@ class Crawler:
         images_parts: list[DataFrame] = []
         errors_parts: list[DataFrame] = []
         metrics: list[dict] = []
-        pages_k = pages.withColumnRenamed("url", "page_url")
+        if cfg.fetch_mode != "http" and pages is None:
+            raise ValueError(
+                'fetch_mode="table" needs a pages DataFrame '
+                '(or set cfg.fetch_mode="http" for the real fetch stage)')
+        pages_k = (
+            pages.withColumnRenamed("url", "page_url")
+            if pages is not None else None
+        )
         it = start_iteration
 
         while it <= max_iterations and not frontier.isEmpty():
@@ -316,12 +323,21 @@ class Crawler:
             )
             m["t_politeness"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
-            # (7) fetch = equi-join vs pages (sandbox stand-in for the
-            # mapInPandas HTTP stage; the join itself hashes on url, so
-            # host skew cannot concentrate — AQE picks the physical join)
-            fetched = selected.join(
-                pages_k, selected.url == pages_k.page_url, "left"
-            ).drop("page_url")
+            # (7) fetch: either the real Arrow-batched HTTP stage
+            # (fetch_mode="http" — honors timeout/headers/proxies, per-row
+            # error capture) or the deterministic equi-join vs the pages
+            # table (the sandbox test double; the join hashes on url, so
+            # host skew cannot concentrate — AQE picks the physical join).
+            # Both produce identical schemas, so everything downstream —
+            # error split, extraction, robots mining — is mode-agnostic.
+            if cfg.fetch_mode == "http":
+                from xcrawl3r_spark.operators.fetch import http_fetch
+
+                fetched = http_fetch(selected, cfg)
+            else:
+                fetched = selected.join(
+                    pages_k, selected.url == pages_k.page_url, "left"
+                ).drop("page_url")
             errors_it = (
                 fetched.filter(F.col("body").isNull() | (F.col("status") != 200))
                 .select("seed_id", "url",
