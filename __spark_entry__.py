@@ -419,9 +419,16 @@ def q_dedup_simhash(spark, sf_dir):
     return dedupops.simhash(_t_wide(spark, sf_dir, "documents"))
 
 
+#: posting-list cap for the flagship jaccard entry — the scale-safe
+#: registered default (the shared-shingle self-join is quadratic in
+#: per-shingle df; see ngram_jaccard_pairs). Mirrored in the oracle.
+NGRAM_MAX_SHINGLE_DF = 64
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedupops.ngram_jaccard_pairs(
-        _t_wide(spark, sf_dir, "documents"), threshold=0.2)
+        _t_wide(spark, sf_dir, "documents"), threshold=0.2,
+        max_shingle_df=NGRAM_MAX_SHINGLE_DF, log_dropped=True)
 
 
 def q_text_tokens(spark, sf_dir):
@@ -460,8 +467,13 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 def q_sim_lsh_topk(spark, sf_dir):
+    """LSH bucket count derived from corpus size (scale-safe registered
+    default): n_planes = smallest p with 2^p >= n/64, clamped [4, 24] —
+    a fixed 16 buckets would mean ~n²/16 in-bucket comparisons at 10^9
+    vectors. The oracle derives the identical value in SQL."""
     emb, qs = _queries_emb(spark, sf_dir)
-    return simsearch.lsh_bucket_topk(emb, qs, dims=64, k=10)
+    np_ = simsearch.derive_n_planes(emb.count())
+    return simsearch.lsh_bucket_topk(emb, qs, dims=64, k=10, n_planes=np_)
 
 
 def q_sim_ivf_topk(spark, sf_dir):
@@ -474,9 +486,36 @@ def q_sim_ivf_topk(spark, sf_dir):
     return simsearch.ivf_topk(emb, qs, k=10, n_centroids=16, n_probe=4)
 
 
+def q_sim_ivf_full_probe(spark, sf_dir):
+    """IVF with n_probe = n_centroids probes every shard, so the result
+    must EQUAL exact brute force — an oracle-checkable gate that pins the
+    whole IVF machinery (the quantizer's shards must partition the corpus
+    with no drops/dups, and the re-rank must be exact). The approximate
+    default (q_sim_ivf_topk) stays rows-only; its recall vs brute force
+    is pytest-asserted (tests/test_dedup.py)."""
+    emb, qs = _queries_emb(spark, sf_dir)
+    return simsearch.ivf_topk(emb, qs, k=10, n_centroids=16, n_probe=16)
+
+
 def q_sim_near_dup(spark, sf_dir):
+    """n_planes derived from corpus size — see q_sim_lsh_topk."""
     emb, _ = _queries_emb(spark, sf_dir)
-    return simsearch.embedding_near_dup(emb, dims=64, threshold=0.25)
+    np_ = simsearch.derive_n_planes(emb.count())
+    return simsearch.embedding_near_dup(
+        emb, dims=64, threshold=0.25, n_planes=np_)
+
+
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio branch: per-clip feature extraction over opaque
+    binary payloads (Arrow mapInPandas; deterministic synthetic codec).
+    Non-SQL (binary) — rows-only check."""
+    from xcrawl3r_spark.operators import multimodal as M
+
+    clips = spark.createDataFrame(
+        [(f"a{i:03d}", M.synth_audio(f"a{i:03d}", n_samples=256 + 16 * (i % 7)))
+         for i in range(60)],
+        "audio_id string, bytes binary")
+    return M.audio_features(clips).drop("part_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -515,7 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_full_probe": q_sim_ivf_full_probe,
         "sim_near_dup": q_sim_near_dup,
+        "audio_features": q_audio_features,
     }
 
 
@@ -615,8 +656,20 @@ from bitsum group by doc_id
 """
 
 
-def _jaccard_oracle(threshold: float = 0.2) -> str:
+def _jaccard_oracle(threshold: float = 0.2,
+                    max_shingle_df: int | None = None) -> str:
     k = dedupops.SHINGLE_K
+    cap_cte = ""
+    src = "shing"
+    if max_shingle_df is not None:
+        # mirror of the Spark side's posting-list cap: shingles with
+        # df > max_shingle_df are dropped before sizes/pairs
+        cap_cte = f""", capped as (
+  select s.* from shing s
+  where s.sh in (select sh from shing
+                 group by sh having count(*) <= {max_shingle_df})
+)"""
+        src = "capped"
     return f"""
 with tok as (
   select doc_id, {_TOKENS_SQL} as toks from documents
@@ -627,11 +680,11 @@ with tok as (
                              i -> array_to_string(toks[i:i+{k - 1}], ' '))
          else [] end)) as sh
   from tok
-), sizes as (
-  select doc_id, count(*) as n_sh from shing group by doc_id
+){cap_cte}, sizes as (
+  select doc_id, count(*) as n_sh from {src} group by doc_id
 ), shared as (
   select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
-  from shing a join shing b on a.sh = b.sh and a.doc_id < b.doc_id
+  from {src} a join {src} b on a.sh = b.sh and a.doc_id < b.doc_id
   group by a.doc_id, b.doc_id
 )
 select doc_a, doc_b,
@@ -693,11 +746,28 @@ select query_id, vec_id, cosine, rank from (
 """
 
 
+_LSH_PARAMS_SQL = f"""
+lsh_params as (
+  -- SQL twin of simsearch.derive_n_planes: smallest p with 2^p buckets
+  -- >= ceil(n/{simsearch.LSH_TARGET_BUCKET}), clamped [{simsearch.N_PLANES},
+  -- {simsearch.N_PLANES_MAX}]. Integer arithmetic only (no float log2).
+  select greatest({simsearch.N_PLANES}, least({simsearch.N_PLANES_MAX}, (
+    select min(p) from (select unnest(range({simsearch.N_PLANES_MAX + 1})) as p) ps
+    where (cast(1 as bigint) << p) >=
+          (select (count(*) + {simsearch.LSH_TARGET_BUCKET - 1})
+                  // {simsearch.LSH_TARGET_BUCKET} from embeddings)
+  ))) as np
+)"""
+
+
 def _bucket_sql(vec_expr: str) -> str:
     """LSH bucket id of an embedding column — same deterministic ±1
-    planes as simsearch.plane_sign."""
+    planes as simsearch.plane_sign, with the plane count derived from the
+    corpus size by the lsh_params CTE (plane p contributes only when
+    p < np), mirroring the Spark side's derive_n_planes."""
+    np_expr = "(select np from lsh_params)"
     terms = []
-    for p in range(simsearch.N_PLANES):
+    for p in range(simsearch.N_PLANES_MAX):
         signs = "[" + ", ".join(
             str(float(simsearch.plane_sign(p, j))) for j in range(64)) + "]"
         proj = (
@@ -706,7 +776,8 @@ def _bucket_sql(vec_expr: str) -> str:
             f"unnest({signs}) as y) z)"
         )
         terms.append(
-            f"case when {proj} > 0 then cast({1 << p} as bigint) else 0 end")
+            f"case when {p} >= {np_expr} then 0 "
+            f"when {proj} > 0 then cast({1 << p} as bigint) else 0 end")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -718,7 +789,8 @@ def _lsh_topk_oracle() -> str:
     na = "sqrt((select sum(x * x) from (select unnest(list_transform(a.embedding, v -> cast(v as double))) as x) z))"
     nq = "sqrt((select sum(y * y) from (select unnest(list_transform(q.q_emb, v -> cast(v as double))) as y) z))"
     return f"""
-with corpus as (
+with {_LSH_PARAMS_SQL},
+corpus as (
   select vec_id, embedding, {_bucket_sql('embedding')} as bucket from embeddings
 ), q as (
   select vec_id as query_id, embedding as q_emb,
@@ -745,7 +817,8 @@ def _near_dup_oracle(threshold: float = 0.25) -> str:
     na = "sqrt((select sum(x * x) from (select unnest(list_transform(a.embedding, v -> cast(v as double))) as x) z))"
     nb = "sqrt((select sum(y * y) from (select unnest(list_transform(b.embedding, v -> cast(v as double))) as y) z))"
     return f"""
-with corpus as (
+with {_LSH_PARAMS_SQL},
+corpus as (
   select vec_id, embedding, {_bucket_sql('embedding')} as bucket from embeddings
 )
 select distinct a.vec_id as vec_a, b.vec_id as vec_b,
@@ -896,7 +969,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
-        "dedup_ngram_jaccard": _jaccard_oracle(),
+        "dedup_ngram_jaccard": _jaccard_oracle(
+            max_shingle_df=NGRAM_MAX_SHINGLE_DF),
+        "sim_ivf_full_probe": _cosine_oracle(),
         "text_tokens": f"""
             -- casts: list_sum() yields HUGEINT (degrades to float64 > 2^53
             -- on Arrow fetch, and renders 113.0 vs Spark's 113); pin bigint.

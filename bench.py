@@ -109,11 +109,14 @@ def run_crawl(spark, params=None, cfg=None, with_payloads=False):
     p = params or G.GraphParams(hosts=CRAWL_HOSTS, pages_per_host=CRAWL_PAGES)
     cfg = cfg or _crawl_cfg()
     seeds = G.seeds_df(spark, p, n_seeds=4)
-    pages = G.pages_df(spark, p).persist()
+    # distributed=True always: the sub-20k-row images graph would otherwise
+    # take the driver createDataFrame path, shipping page bodies and binary
+    # payloads inside task closures (>1 MiB task warnings muddying timings)
+    pages = G.pages_df(spark, p, distributed=True).persist()
     pages.count()  # materialize the graph outside the timed section
     payloads = None
     if with_payloads:
-        payloads = G.images_df(spark, p).persist()
+        payloads = G.images_df(spark, p, distributed=True).persist()
         payloads.count()
     t0 = time.perf_counter()
     res = Crawler(spark, cfg).crawl(

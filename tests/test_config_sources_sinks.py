@@ -94,3 +94,33 @@ def test_iceberg_store_fast_fails_without_catalog(spark):
         raise AssertionError("Crawler must surface the missing catalog")
     except RuntimeError:
         pass
+
+
+def test_seeds_from_stdin_piped(spark, monkeypatch):
+    """S3 (r1 verdict item 6): piped stdin yields trimmed, blank-filtered
+    seeds with the same content-derived ids as the other sources; a tty
+    stdin yields an empty frame."""
+    import io
+
+    from xcrawl3r_spark.sources.seeds import seeds_from_stdin, seeds_from_urls
+
+    class _Pipe(io.StringIO):
+        def isatty(self):
+            return False
+
+    monkeypatch.setattr(
+        "sys.stdin", _Pipe("https://a.test/\n\n  \nb.test\n"))
+    got = {(r["seed_id"], r["url"]) for r in seeds_from_stdin(spark).collect()}
+    want = {(r["seed_id"], r["url"])
+            for r in seeds_from_urls(spark, ["https://a.test/", "b.test"]).collect()}
+    assert got == want and len(got) == 2
+
+    class _Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    monkeypatch.setattr("sys.stdin", _Tty("ignored.test\n"))
+    assert seeds_from_stdin(spark).count() == 0
+
+    monkeypatch.setattr("sys.stdin", _Pipe("\n   \n"))
+    assert seeds_from_stdin(spark).count() == 0  # blanks only -> empty

@@ -107,3 +107,52 @@ def test_crawl_ingests_payloads(spark):
             assert r["pixel_ok"] is False and r["image_id"] is None
         else:
             assert r["pixel_ok"] and r["caption_ok"] and r["phash_ok"]
+
+
+def test_caption_verifies_against_reference_column(spark):
+    """Generalized caption invariant (r1 verdict item 5): with an
+    expected_caption column carried in the payload table, caption_ok
+    compares row-by-row against it — not the synthetic fixture literal —
+    so a reference-captioned (non-fixture) corpus verifies correctly."""
+    from pyspark.sql import functions as F
+
+    p = G.GraphParams(hosts=2, pages_per_host=4)
+    base = G.images_df(spark, p, distributed=False)
+    # non-fixture captions: overwrite caption with an arbitrary reference
+    # string; expected matches for even rows, mismatches for odd rows
+    refd = (
+        base.withColumn("rn", F.xxhash64("image_id") % 2 == 0)
+        .withColumn("caption", F.concat(F.lit("alt text: "), F.col("image_id")))
+        .withColumn(
+            "expected_caption",
+            F.when(F.col("rn"), F.concat(F.lit("alt text: "), F.col("image_id")))
+            .otherwise(F.lit("something else")))
+    )
+    out = decode_and_verify(refd).select("image_id", "caption_ok").collect()
+    want = {r["image_id"]: r["rn"] for r in refd.select("image_id", "rn").collect()}
+    assert len(out) > 0
+    for r in out:
+        assert r["caption_ok"] == want[r["image_id"]], r["image_id"]
+    # the fixture convention would have called ALL of these wrong
+    out_fixture = decode_and_verify(refd.drop("expected_caption"))
+    assert out_fixture.filter("caption_ok").count() == 0
+
+
+def test_general_pixel_check_via_phash(spark):
+    """synthetic_pixel_check=False verifies pixels from the carried phash
+    + decoded dims only (the general-corpus path: no regenerable
+    reference pixels). Correct payloads pass; a corrupted payload whose
+    phash diverges fails."""
+    from pyspark.sql import functions as F
+
+    p = G.GraphParams(hosts=2, pages_per_host=4)
+    base = G.images_df(spark, p, distributed=False)
+    ok = decode_and_verify(base, synthetic_pixel_check=False)
+    rows = ok.collect()
+    assert rows and all(r["pixel_ok"] for r in rows)
+    assert all(r["psnr_db"] is None for r in rows)  # no synthetic PSNR
+    # break the carried phash -> pixel_ok must flip off
+    bad = decode_and_verify(
+        base.withColumn("phash", F.col("phash") + F.lit(0x5555555555)),
+        synthetic_pixel_check=False)
+    assert bad.filter("pixel_ok").count() == 0

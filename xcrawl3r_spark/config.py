@@ -100,6 +100,14 @@ class CrawlConfig:
     iceberg_namespace: str = "crawl"
     #: shuffle partitions for crawl-stage repartitions; None = session conf
     shuffle_partitions: int | None = None
+    #: persist the collapsed seen set as a hash-bucketed catalog table
+    #: (N buckets on dedup_key, 0 = off). Every anti-join against seen
+    #: then reads the bucketed layout with NO exchange on the seen side —
+    #: at 10^10 seen rows this removes the per-collapse-window seen-set
+    #: shuffle (plan-audited in tests/test_plans.py). Tables ping-pong
+    #: between two names (a catalog table cannot be overwritten while
+    #: it is being read).
+    bucketed_seen: int = 0
     #: range-partitioned priority buckets for the frontier (north rule
     #: A5): 0 = off (default), None = session shuffle partitions, N = N
     #: buckets. Total order (depth, disc_iter, host_rank, url_hash);

@@ -167,13 +167,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = SHINGLE_K,
     max_shingle_df: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over shared-shingle candidate pairs.
 
     jaccard(a,b) = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from the
     shared-shingle join — only pairs sharing >=1 shingle are scored.
+
     ``max_shingle_df`` drops shingles appearing in more than that many
-    docs (posting-list cap — the web-scale knob; None = exact).
+    docs (posting-list cap). This is the load-bearing web-scale knob, not
+    an optimization: the shared-shingle self-join is quadratic in
+    per-shingle document frequency, so one stop-word-like shingle with
+    df=10^6 alone yields ~5*10^11 candidate pairs. The capped set is
+    SMALL by construction (only ultra-common shingles exceed the cap), so
+    it broadcasts — the full posting list is filtered map-side without a
+    shuffle. ``log_dropped`` additionally counts and logs the dropped
+    shingles (one tiny extra action; silent truncation reads as "covered
+    everything" when it didn't). None = exact all-pairs-sharing-a-shingle.
     """
     sh = docs.select("doc_id", F.explode(shingles_col(k=k)).alias("sh"))
     if max_shingle_df is not None:
@@ -181,7 +191,14 @@ def ngram_jaccard_pairs(
             sh.groupBy("sh").agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_shingle_df).select("sh")
         )
-        sh = sh.join(common, "sh", "left_anti")
+        if log_dropped:
+            import logging
+
+            n_dropped = common.count()
+            logging.getLogger(__name__).info(
+                "ngram_jaccard: dropped %d shingles with df > %d",
+                n_dropped, max_shingle_df)
+        sh = sh.join(F.broadcast(common), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -20,7 +20,23 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 4  # LSH bucket bits (16 buckets; scale with corpus size)
+N_PLANES = 4           # LSH bucket-bit floor (16 buckets)
+N_PLANES_MAX = 24      # cap: 16M buckets — enough for 10^9+ vectors
+LSH_TARGET_BUCKET = 64  # target expected bucket size for derivation
+
+
+def derive_n_planes(
+    n_rows: int, target_bucket_size: int = LSH_TARGET_BUCKET,
+    lo: int = N_PLANES, hi: int = N_PLANES_MAX,
+) -> int:
+    """Scale the LSH bucket-bit count with corpus size: the smallest p
+    with 2^p buckets >= n/target, clamped to [lo, hi]. A fixed p (the r1
+    default) leaves ~n²/2^p comparisons per bucket at 10^9 vectors;
+    deriving p keeps expected bucket size ~target at any scale. Integer
+    arithmetic only (no float log2), so the DuckDB oracle's SQL twin
+    derives the identical value at every row count."""
+    need = max(1, -(-int(n_rows) // target_bucket_size))  # ceil div
+    return max(lo, min(hi, (need - 1).bit_length()))
 
 
 def _vec_d(col: str) -> Column:

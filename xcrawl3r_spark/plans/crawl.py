@@ -48,7 +48,11 @@ from xcrawl3r_spark.operators.politeness import (
     politeness_flag,
     robots_filter,
 )
-from xcrawl3r_spark.sinks.tables import IcebergStore, SnapshotStore
+from xcrawl3r_spark.sinks.tables import (
+    IcebergStore,
+    SnapshotStore,
+    write_bucketed,
+)
 
 FRONTIER_COLS = ["seed_id", "url", "url_hash", "dedup_key", "host", "depth",
                  "disc_iter"]
@@ -84,6 +88,7 @@ class Crawler:
         self.spark = spark
         ship_package(spark)  # workers need the package for UDF stages
         self.cfg = cfg or CrawlConfig()
+        self._bucket_flip = 0  # ping-pong index for cfg.bucketed_seen tables
         if self.cfg.iceberg_catalog:
             self.store = IcebergStore(
                 spark, self.cfg.iceberg_catalog, self.cfg.iceberg_namespace)
@@ -389,7 +394,20 @@ class Crawler:
             seen_parts.append(seen_it)
             seen = seen.unionByName(seen_it)
             if len(seen_parts) >= SEEN_COLLAPSE_EVERY:
-                seen = _ckpt(seen)
+                if cfg.bucketed_seen:
+                    # persist the collapsed seen set hash-bucketed on the
+                    # anti-join key: subsequent iterations' anti-joins read
+                    # it with no exchange on the seen side (the 10^10-row
+                    # side); only the small per-iteration candidate batch
+                    # shuffles. Ping-pong names: a catalog table cannot be
+                    # overwritten while the plan still reads it.
+                    name = f"xcrawl3r_seen_bucketed_{self._bucket_flip}"
+                    self._bucket_flip ^= 1
+                    write_bucketed(seen, name, "dedup_key",
+                                   cfg.bucketed_seen, sort_col="dedup_key")
+                    seen = spark.table(name)
+                else:
+                    seen = _ckpt(seen)
                 seen_parts = [seen]
             edges_parts.append(edges_it)
             images_parts.append(images_it)

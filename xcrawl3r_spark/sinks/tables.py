@@ -181,6 +181,19 @@ def write_bucketed(
     sort_col additionally sorts within buckets so sort-merge joins skip
     the sort too.
     """
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        # a killed run can leave the managed location on disk with no
+        # catalog entry; CREATE then fails with LOCATION_ALREADY_EXISTS.
+        # Only local-filesystem warehouses can be cleaned here (the
+        # sandbox case); remote schemes (hdfs:/s3a:/...) are left alone.
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        local = wh[len("file:"):] if wh.startswith("file:") else (
+            wh if "://" not in wh else None)
+        if local:
+            loc = os.path.join(local, table.lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
