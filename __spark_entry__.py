@@ -431,6 +431,23 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         max_shingle_df=NGRAM_MAX_SHINGLE_DF, log_dropped=True)
 
 
+def q_stream_windowed_metrics(spark, sf_dir):
+    """§2.8 windowed metrics: the streaming operator's plan applied to the
+    static events table (identical code path minus the watermark) — the
+    oracle pins the window/agg semantics the stream runs with; the
+    watermark's late-data behavior is pytest-pinned."""
+    from xcrawl3r_spark.streaming.windows import windowed_metrics
+
+    return windowed_metrics(_t(spark, sf_dir, "events"))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded bucket join (pigeonhole-exact) +
+    hamming verify — result equals the n² oracle at bucket-join cost."""
+    return dedupops.simhash_near_dup(
+        _t_wide(spark, sf_dir, "documents"), hamming_max=3)
+
+
 def q_text_tokens(spark, sf_dir):
     return textops.token_count(_t(spark, sf_dir, "documents"))
 
@@ -545,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -557,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_full_probe": q_sim_ivf_full_probe,
         "sim_near_dup": q_sim_near_dup,
         "audio_features": q_audio_features,
+        "stream_windowed_metrics": q_stream_windowed_metrics,
     }
 
 
@@ -969,6 +988,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        # n² hamming over the same simhash CTE: the Spark side's banded
+        # bucket join is pigeonhole-exact, so results must match exactly
+        "dedup_simhash_pairs": f"""
+            with sh as ({_simhash_oracle()})
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+            from sh a join sh b on a.doc_id < b.doc_id
+            where bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "dedup_ngram_jaccard": _jaccard_oracle(
             max_shingle_df=NGRAM_MAX_SHINGLE_DF),
         "sim_ivf_full_probe": _cosine_oracle(),
@@ -1006,6 +1034,16 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, (pos - 1) // {textops.WINNOW_W} as bucket,
                    min({md5_long_sql(f"substr(norm, cast(pos as int), {textops.WINNOW_K})")}) as fp
             from g group by doc_id, bucket
+        """,
+        # 1-hour tumbling windows align on the hour in both engines
+        # (Spark windows are epoch-aligned; time_bucket buckets on the hour)
+        "stream_windowed_metrics": """
+            select time_bucket(interval '1 hour', ts) as win_start,
+                   time_bucket(interval '1 hour', ts) + interval '1 hour'
+                       as win_end,
+                   event_type, count(*) as n_events,
+                   round(sum(value), 6) as sum_value
+            from events group by 1, 2, 3
         """,
         "sim_cosine_topk": _cosine_oracle(),
         "sim_lsh_topk": _lsh_topk_oracle(),

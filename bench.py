@@ -367,7 +367,13 @@ Shared-VM host noise adds +/-20-30% run-to-run on identical configs (the
 table reports min-of-reps per config); the local[32] point is both
 bandwidth-capped and noise-dominated, so its ordering vs local[8] can
 invert between runs — the N->4N pair below the bandwidth knee is the
-controlled measurement.
+controlled measurement. Cross-WINDOW noise on the un-pinned single-run
+headline numbers is larger still: identical code re-run hours apart has
+measured 2-5x swings (r2: the r1-commit images crawl that benched 27.7 s
+ran 75-137 s later the same day). Cross-round headline deltas therefore
+mean nothing without a same-window A/B of both code versions (git
+worktree of the old rev); the pinned min-of-reps scaling pair is the
+only number comparable across rounds.
 
 **End-to-end BFS crawl** (depth-unbounded, global URL-seen set,
 hosts={CRAWL_HOSTS}, pages/host={CRAWL_PAGES}): {result.get('crawl_urls_seen')}

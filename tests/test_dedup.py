@@ -172,3 +172,33 @@ def test_lsh_bucket_sizes_bounded_on_skewed_corpus(spark):
     assert max_bucket < n * 0.55 + 4 * simsearch.LSH_TARGET_BUCKET
     noise_only = [r["count"] for r in sizes if r["count"] < n * 0.25]
     assert len(noise_only) >= 2 ** (np_ - 1)  # most buckets populated
+
+
+def test_simhash_near_dup_pigeonhole_exact(spark, sf_dir):
+    """The banded simhash near-dup join must equal the brute-force n²
+    hamming filter (pigeonhole guarantees recall 1 at
+    n_chunks = hamming_max + 1), and the bucket cap drops only overfull
+    buckets."""
+    from pyspark.sql import functions as F
+
+    from xcrawl3r_spark.operators import dedupops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in dedupops.simhash_near_dup(docs, hamming_max=3).collect()}
+    sig = dedupops.simhash(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"))
+        .filter(F.col("hamming") <= 3).collect()
+    }
+    assert got == brute and len(got) > 0
+    # capped variant is a subset (drops only pairs via overfull buckets)
+    capped = {(r["doc_a"], r["doc_b"], r["hamming"])
+              for r in dedupops.simhash_near_dup(
+                  docs, hamming_max=3, max_chunk_df=2).collect()}
+    assert capped <= got

@@ -158,3 +158,67 @@ class TestStatefulStreaming:
         (src / "b3.txt").write_text("https://h0.test/r/0\n")
         run_once()
         assert admitted == []                # capped forever
+
+    def test_windowed_metrics_watermark_drops_late_rows(self, spark, tmp_path):
+        """§2.8 watermark semantics: append-mode windows finalize once the
+        watermark passes their end; a row arriving LATER than the
+        watermark is dropped and cannot reopen a finalized window."""
+        import json as _json
+
+        from xcrawl3r_spark.streaming.windows import windowed_metrics
+
+        src = tmp_path / "ev_in"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt_win")
+        emitted: list[tuple] = []
+
+        def sink(batch_df, batch_id):
+            emitted.extend(
+                (str(r["win_start"]), r["event_type"], r["n_events"])
+                for r in batch_df.collect())
+
+        def write_batch(name, rows):
+            with open(src / name, "w") as f:
+                for ts, et, v in rows:
+                    f.write(_json.dumps({"ts": ts, "event_type": et,
+                                         "value": v}) + "\n")
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(
+                    "ts timestamp, event_type string, value double")
+                .json(str(src))
+            )
+            q = (
+                windowed_metrics(stream, window="1 hour",
+                                 watermark="10 minutes")
+                .writeStream.foreachBatch(sink)
+                .outputMode("append").option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        # batch 1: three rows in [10:00, 11:00) + one at 11:20 that pushes
+        # the watermark to 11:10 > 11:00, finalizing the 10:00 window
+        write_batch("b1.json", [
+            ("2024-01-01 10:05:00", "view", 1.0),
+            ("2024-01-01 10:30:00", "view", 2.0),
+            ("2024-01-01 10:45:00", "click", 3.0),
+            ("2024-01-01 11:20:00", "view", 4.0),
+        ])
+        run_once()
+        got1 = {(w, et): n for w, et, n in emitted}
+        assert got1 == {("2024-01-01 10:00:00", "view"): 2,
+                        ("2024-01-01 10:00:00", "click"): 1}
+        emitted.clear()
+        # batch 2: one LATE row at 10:50 (behind the 11:10 watermark ->
+        # dropped) + one at 12:30 that finalizes the 11:00 window
+        write_batch("b2.json", [
+            ("2024-01-01 10:50:00", "view", 9.0),
+            ("2024-01-01 12:30:00", "click", 1.0),
+        ])
+        run_once()
+        got2 = {(w, et): n for w, et, n in emitted}
+        # the 11:00 window emits ONLY the on-time 11:20 row; the late
+        # 10:50 row neither reopens 10:00 nor lands anywhere
+        assert got2 == {("2024-01-01 11:00:00", "view"): 1}

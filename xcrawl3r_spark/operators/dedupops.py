@@ -162,6 +162,74 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
+def simhash_near_dup(
+    docs: DataFrame,
+    hamming_max: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_chunk_df: int | None = None,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded bucket join + exact hamming
+    verify — the Manku/Jain/Sarma WWW'07 web-dedup design (public
+    knowledge; the reference has no near-dup at all).
+
+    The ``bits``-bit simhash is split into ``hamming_max + 1`` chunks; by
+    pigeonhole, any pair within hamming_max agrees on >= 1 whole chunk,
+    so the (chunk_idx, chunk_key) equi-join finds EVERY qualifying pair
+    (recall 1 by construction) at bucket-join cost instead of the n^2
+    cross join. Candidates are then verified with
+    bit_count(xor) <= hamming_max — exact, oracle-checkable.
+
+    Scale posture: 60/(h+1)-bit chunks give 2^15 buckets at h=3; at
+    10^10 docs a bucket averages ~10^5 docs, so in-bucket pairing is the
+    cost driver — ``max_chunk_df`` caps overfull buckets (dropping only
+    buckets whose df exceeds it, recall < 1 for those, logged via
+    ``log_dropped``), the same posting-list control as ngram_jaccard's.
+    The uncapped default is exact.
+    """
+    n_chunks = hamming_max + 1
+    width = bits // n_chunks
+    sig = simhash(docs, bits)
+    entries = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+        )
+        for c in range(n_chunks)
+    ]
+    bands = (
+        sig.select("doc_id", "simhash", F.explode(F.array(*entries)).alias("e"))
+        .select("doc_id", "simhash", "e.chunk", "e.key")
+    )
+    if max_chunk_df is not None:
+        full = (
+            bands.groupBy("chunk", "key").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_chunk_df).select("chunk", "key")
+        )
+        if log_dropped:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "simhash_near_dup: dropped %d buckets with df > %d",
+                full.count(), max_chunk_df)
+        bands = bands.join(F.broadcast(full), ["chunk", "key"], "left_anti")
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sh_a"), "chunk", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sh_b"), "chunk", "key")
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -187,18 +255,29 @@ def ngram_jaccard_pairs(
     """
     sh = docs.select("doc_id", F.explode(shingles_col(k=k)).alias("sh"))
     if max_shingle_df is not None:
-        common = (
-            sh.groupBy("sh").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df).select("sh")
-        )
+        from pyspark import StorageLevel
+
+        # df per shingle via an unbounded window over the SAME shuffle the
+        # downstream self-join needs (hash-partitioned by sh) — no second
+        # aggregation pass over the posting list. One materialization
+        # (DISK_ONLY local checkpoint; the deserialized default anti-scales
+        # with cores — see plans/crawl._ckpt) serves the cap filter, the
+        # optional drop-count log, the sizes agg, and both join sides —
+        # the uncapped path recomputes the shingle projection per consumer.
+        w = Window.partitionBy("sh")
+        sh_df = sh.withColumn("df", F.count("*").over(w)).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY)
         if log_dropped:
             import logging
 
-            n_dropped = common.count()
+            n_dropped = (
+                sh_df.filter(F.col("df") > max_shingle_df)
+                .agg(F.countDistinct("sh")).first()[0]
+            )
             logging.getLogger(__name__).info(
                 "ngram_jaccard: dropped %d shingles with df > %d",
                 n_dropped, max_shingle_df)
-        sh = sh.join(F.broadcast(common), "sh", "left_anti")
+        sh = sh_df.filter(F.col("df") <= max_shingle_df).drop("df")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")

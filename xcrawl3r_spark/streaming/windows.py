@@ -1,0 +1,54 @@
+"""Event-time windowed aggregates with watermarks (SURVEY §2.8): the A6
+crawl-metrics shape on an unbounded stream.
+
+The batch engine computes per-iteration metrics (plans/crawl.py A6); on a
+stream the idiomatic Spark form is a tumbling event-time window with a
+watermark bounding how long state waits for late data. ``windowed_metrics``
+works on BOTH streaming and batch frames — the batch application of the
+same plan is the oracle twin (registered as the ``stream_windowed_metrics``
+driver query with a DuckDB time_bucket oracle), so the streaming operator's
+semantics are pinned by the correctness gate, and the watermark's
+late-row-drop behavior is pinned by tests/test_streaming.py.
+
+Scale posture: the aggregation state is (window x key) — bounded by the
+watermark horizon, not the stream length; partial aggregation happens
+map-side per micro-batch, and the shuffle key (window, key) spreads load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time windows of counts + value sums per key.
+
+    Streaming input: ``withWatermark`` bounds state and drops rows later
+    than the watermark (append-mode windows finalize once the watermark
+    passes their end). Batch input: the identical plan minus the
+    watermark — Spark evaluates F.window on static frames too, which is
+    what makes this operator oracle-checkable.
+    """
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = F.window(ts_col, window)
+    return (
+        df.groupBy(win.alias("win"), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
