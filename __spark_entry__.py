@@ -456,6 +456,12 @@ def q_text_quality(spark, sf_dir):
     return textops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_text_gopher_quality(spark, sf_dir):
+    """Gopher rule filters (Rae et al. 2021 §A1.1) — the canonical
+    pre-training corpus gate, single map-side projection."""
+    return textops.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
 def q_text_langid(spark, sf_dir):
     return textops.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -566,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
+        "text_gopher_quality": q_text_gopher_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
@@ -1021,6 +1028,33 @@ def oracle_sql() -> dict[str, str]:
                         x -> list_contains({_STOP_SQL}, x))) / len(toks)
                         * 5.0) * 0.5, 6) as quality
             from t
+        """,
+        "text_gopher_quality": f"""
+            -- Gopher rules (Rae et al. 2021 §A1.1); raw (unrounded)
+            -- values in the pass conditions, mirroring the Spark side
+            with t as (
+              select doc_id, text, {_TOKENS_SQL} as toks from documents
+            ), f as (
+              select doc_id, len(toks) as n,
+                (length(trim(text)) - (len(toks) - 1)) / len(toks) as mwl,
+                (length(text) - length(replace(text, '#', ''))
+                 + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                  / len(toks) as symr,
+                len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                  / len(toks) as alphar,
+                len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                  as nstop
+              from t
+            )
+            select doc_id, cast(n as int) as n_words,
+                   round(mwl, 6) as mean_word_len,
+                   round(symr, 6) as symbol_ratio,
+                   round(alphar, 6) as alpha_word_ratio,
+                   cast(nstop as int) as n_stopwords,
+                   (n >= 50 and n <= 100000 and mwl >= 3.0 and mwl <= 10.0
+                    and symr <= 0.1 and alphar >= 0.8 and nstop >= 2)
+                     as passes
+            from f
         """,
         "text_langid": _langid_oracle(),
         "text_fingerprint": f"""

@@ -230,3 +230,28 @@ class TestRobotsMining:
         seen_off = {r["url"] for r in
                     Crawler(spark, cfg_off).crawl(seeds, pages_df).seen.collect()}
         assert "https://h0.test/private/x" in seen_off
+
+
+class TestGopherQuality:
+    def test_each_rule_gates(self, spark):
+        """One synthetic doc per Gopher rule violation; only the clean
+        doc passes."""
+        from xcrawl3r_spark.operators.textops import gopher_quality
+
+        # 60 words, stopword-rich, mean word length 4.4 (within [3, 10])
+        good = "the quick brown fox jumps over the lazy sleeping dogs " * 6
+        rows = [
+            (0, good),                                      # passes
+            (1, "short text only"),                         # < min_words
+            (2, "ab " * 60),                                # mean wlen < 3
+            (3, good + "#" * 60 + " x"),                    # symbol ratio
+            (4, ("12345 " * 55) + "the of"),                # alpha ratio
+            (5, "zebra quartz " * 30),                      # < 2 stopwords
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+        assert got[0]["passes"] is True
+        for d in range(1, 6):
+            assert got[d]["passes"] is False, (d, got[d])
+        assert got[1]["n_words"] == 3
+        assert got[5]["n_stopwords"] == 0

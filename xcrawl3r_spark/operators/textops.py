@@ -75,6 +75,55 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document-quality rule filters (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 — public rules, default
+    thresholds from the paper): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (# and ellipsis), fraction of words with
+    an alphabetic character, and a minimum stop-word count. Emits the
+    per-rule features plus the composite ``passes`` flag, all native
+    (single map-side projection, no shuffle — the canonical pre-training
+    corpus gate at any scale)."""
+    toks = tokens_col()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_wlen_raw = (F.length(F.trim("text")) - (n - 1)) / n
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_ratio_raw = n_alpha / n
+    n_symbols = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+        + (F.length("text")
+           - F.length(F.replace(F.col("text"), F.lit("...")))) / F.lit(3)
+    )
+    symbol_ratio_raw = n_symbols / n
+    passes = (
+        (n >= min_words) & (n <= max_words)
+        & (mean_wlen_raw >= min_mean_wlen) & (mean_wlen_raw <= max_mean_wlen)
+        & (symbol_ratio_raw <= max_symbol_ratio)
+        & (alpha_ratio_raw >= min_alpha_ratio)
+        & (n_stop >= min_stopwords)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_wlen_raw, 6).alias("mean_word_len"),
+        F.round(symbol_ratio_raw, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio_raw, 6).alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+        passes.alias("passes"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-marker language-ID heuristic: predicted language = argmax
     of marker-token counts, ties broken by language code (deterministic)."""
