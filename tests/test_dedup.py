@@ -202,3 +202,35 @@ def test_simhash_near_dup_pigeonhole_exact(spark, sf_dir):
               for r in dedupops.simhash_near_dup(
                   docs, hamming_max=3, max_chunk_df=2).collect()}
     assert capped <= got
+
+
+def test_stale_keys_keep_anti_join_exact(spark):
+    """Deferred filter folds (crawl-loop job reduction): keys not yet
+    folded into the Bloom filter are passed as stale_keys, and the result
+    must still equal the plain set difference — including the empty-filter
+    fast path."""
+    from pyspark.sql import functions as F
+
+    cand = spark.range(0, 2000).select(F.xxhash64("id").alias("dedup_key"),
+                                       F.col("id").alias("meta"))
+    seen_old = spark.range(500, 1000).select(
+        F.xxhash64("id").alias("dedup_key"))
+    seen_new = spark.range(1500, 1800).select(
+        F.xxhash64("id").alias("dedup_key"))  # NOT folded into the filter
+    seen = seen_old.unionByName(seen_new)
+    bloom = build_bloom(
+        seen_old.select(F.col("dedup_key").alias("url_hash")), 4, 1 << 16, 5)
+    got = anti_join_seen(
+        cand, seen, key="dedup_key", bloom=bloom, bloom_partitions=4,
+        bloom_bits=1 << 16, bloom_hashes=5, keys_unique=True,
+        stale_keys=seen_new,
+    )
+    want = cand.join(seen, "dedup_key", "left_anti")
+    assert sorted(r["meta"] for r in got.collect()) == sorted(
+        r["meta"] for r in want.collect())
+    # empty-filter fast path must honor stale_keys too
+    got_empty = anti_join_seen(
+        cand, seen_new, key="dedup_key", bloom={}, bloom_partitions=4,
+        keys_unique=True, stale_keys=seen_new)
+    want_empty = cand.join(seen_new, "dedup_key", "left_anti")
+    assert got_empty.count() == want_empty.count() == 1700

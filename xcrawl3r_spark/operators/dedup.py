@@ -171,6 +171,7 @@ def anti_join_seen(
     bloom_hashes: int = 7,
     keys_unique: bool = False,
     filter_kind: str = "bloom",
+    stale_keys: DataFrame | None = None,
 ) -> DataFrame:
     """candidates \\ seen on ``key`` (D1). Per-seed scope (D2) is folded
     into the key upstream: dedup_key = xxhash64(seed_id, url) — the same
@@ -183,10 +184,19 @@ def anti_join_seen(
     ``keys_unique``: the crawl loop only ever inserts post-anti-join,
     batch-deduped rows, so seen keys are unique by construction — skip the
     distinct's full-seen shuffle in that case.
+
+    ``stale_keys``: seen keys NOT yet folded into the probabilistic filter
+    (the crawl loop defers filter folds across a few iterations to save
+    per-iteration jobs). The maybe_seen=false bypass is only sound for
+    keys the filter has absorbed, so bypassing rows are exactly
+    anti-joined against this (small: a few recent iterations) set.
     """
     if bloom is not None and not bloom:
-        # empty filter (nothing seen yet): every candidate is new — skip
-        # both the Python probe round-trip and the join entirely
+        # empty filter: every candidate is new EXCEPT keys awaiting their
+        # filter fold — skip the Python probe round-trip, keep the (small)
+        # exact stale check
+        if stale_keys is not None:
+            return candidates.join(stale_keys.select(key), key, "left_anti")
         return candidates
     seen_keys = seen.select(key)
     if not keys_unique:
@@ -205,4 +215,6 @@ def anti_join_seen(
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = maybe.join(seen_keys, key, "left_anti")
+    if stale_keys is not None:
+        fresh = fresh.join(stale_keys.select(key), key, "left_anti")
     return fresh.unionByName(checked)

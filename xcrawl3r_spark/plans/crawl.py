@@ -242,6 +242,8 @@ class Crawler:
         # None -> mined from fetched robots bodies; a resumed run restores
         # the rules mined by its completed iterations (bit-identity)
         robots_rules = robots if robots is not None else initial_robots_rules
+        BLOOM_FOLD_EVERY = 4
+        bloom_pending: list[DataFrame] = []
         edges_parts: list[DataFrame] = []
         images_parts: list[DataFrame] = []
         errors_parts: list[DataFrame] = []
@@ -272,12 +274,18 @@ class Crawler:
             # (2) seen anti-join, Bloom-accelerated. Checkpointed ONCE —
             # every downstream branch (media/politeness/seen/fetch) derives
             # from this materialization instead of re-running the
-            # dedup+probe+anti-join chain.
+            # dedup+probe+anti-join chain. Keys not yet folded into the
+            # filter (deferred folds, below) are handed over as stale_keys
+            # so the filter's definitely-unseen bypass stays sound.
+            stale = None
+            for part in bloom_pending:
+                stale = part if stale is None else stale.unionByName(part)
             new = _ckpt(anti_join_seen(
                 cand, seen, key="dedup_key", bloom=bloom,
                 bloom_partitions=cfg.bloom_partitions,
                 bloom_bits=cfg.bloom_bits, bloom_hashes=cfg.bloom_hashes,
                 keys_unique=True, filter_kind=cfg.filter_kind,
+                stale_keys=stale,
             ))
             m["t_new"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
@@ -384,9 +392,18 @@ class Crawler:
             if cfg.depth > 0:
                 child = child.filter(F.col("depth") <= cfg.depth)
             frontier_next = self._with_keys(child).select(*FRONTIER_COLS)
-            frontier = _ckpt(self._priority_buckets(
+            frontier = self._priority_buckets(
                 frontier_next.unionByName(overflow.select(*FRONTIER_COLS))
-            ))
+            )
+            # The frontier is a cheap bounded-depth transform over this
+            # iteration's ALREADY-checkpointed extracted/flagged frames, so
+            # its own checkpoint buys no lineage truncation — only a
+            # per-iteration materialization job (~20% of loop jobs; fixed
+            # job overhead dominates small BFS waves). Materialize it only
+            # when a snapshot store commits it anyway (the commit is the
+            # materialization) or when range-bucketing wants layout.
+            if self.store is not None or cfg.frontier_range_partitions:
+                frontier = _ckpt(frontier)
 
             # edges/images/errors parts stay LAZY: they are cheap filters
             # over checkpointed parents, materialized once at the end (or
@@ -413,9 +430,21 @@ class Crawler:
             images_parts.append(images_it)
             errors_parts.append(errors_it)
             if bloom is not None:
-                inc = self._build_filter(
-                    seen_it.select(F.col("dedup_key").alias("url_hash")))
-                bloom = self._merge_filter(bloom, inc)
+                # fold NEW keys into the filter every few iterations, not
+                # every one: the filter is a pre-prune only — keys not yet
+                # folded are still caught by the exact anti-join (staleness
+                # is safe, it just prunes less) — and each fold is a full
+                # job whose fixed overhead dominates small BFS waves.
+                bloom_pending.append(seen_it.select("dedup_key"))
+                if len(bloom_pending) >= BLOOM_FOLD_EVERY:
+                    inc_src = bloom_pending[0]
+                    for part in bloom_pending[1:]:
+                        inc_src = inc_src.unionByName(part)
+                    bloom = self._merge_filter(
+                        bloom,
+                        self._build_filter(inc_src.select(
+                            F.col("dedup_key").alias("url_hash"))))
+                    bloom_pending = []
             m["t_frontier"] = round(time.perf_counter() - t0, 3)
 
             if self.store is not None:
