@@ -431,6 +431,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         max_shingle_df=NGRAM_MAX_SHINGLE_DF, log_dropped=True)
 
 
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end corpus cleaning: exact dedup -> Gopher rules -> MinHash
+    near-dup removal -> language-ID, composed as ONE declarative plan
+    (operators/pipeline.py) and checked against the same-staged SQL."""
+    from xcrawl3r_spark.operators.pipeline import corpus_clean
+
+    return corpus_clean(_t_wide(spark, sf_dir, "documents"))
+
+
 def q_stream_windowed_metrics(spark, sf_dir):
     """§2.8 windowed metrics: the streaming operator's plan applied to the
     static events table (identical code path minus the watermark) — the
@@ -583,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": q_sim_near_dup,
         "audio_features": q_audio_features,
         "stream_windowed_metrics": q_stream_windowed_metrics,
+        "corpus_clean": q_corpus_clean,
     }
 
 
@@ -601,6 +611,8 @@ _DOC_URL_SQL = (
 )
 
 _TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+_NORM_TEXT_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textops.STOPWORDS) + "]"
 
@@ -719,6 +731,54 @@ from shared
 join sizes sa on sa.doc_id = doc_a
 join sizes sb on sb.doc_id = doc_b
 where round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) >= {threshold}
+"""
+
+
+def _gopher_oracle() -> str:
+    """Gopher rules (Rae et al. 2021 §A1.1); raw (unrounded) values in
+    the pass conditions, mirroring the Spark side."""
+    return f"""
+with t as (
+  select doc_id, text, {_TOKENS_SQL} as toks from documents
+), f as (
+  select doc_id, len(toks) as n,
+    (length(trim(text)) - (len(toks) - 1)) / len(toks) as mwl,
+    (length(text) - length(replace(text, '#', ''))
+     + (length(text) - length(replace(text, '...', ''))) / 3.0)
+      / len(toks) as symr,
+    len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+      / len(toks) as alphar,
+    len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) as nstop
+  from t
+)
+select doc_id, cast(n as int) as n_words,
+       round(mwl, 6) as mean_word_len,
+       round(symr, 6) as symbol_ratio,
+       round(alphar, 6) as alpha_word_ratio,
+       cast(nstop as int) as n_stopwords,
+       (n >= 50 and n <= 100000 and mwl >= 3.0 and mwl <= 10.0
+        and symr <= 0.1 and alphar >= 0.8 and nstop >= 2) as passes
+from f
+"""
+
+
+def _corpus_clean_oracle() -> str:
+    """The corpus_clean composite assembled from the SAME SQL pieces its
+    stages are individually checked with."""
+    return f"""
+with keep as (
+  select min(doc_id) as doc_id
+  from (select doc_id, {md5_long_sql(_NORM_TEXT_SQL)} as fp from documents)
+  group by fp
+), gq as ({_gopher_oracle()}),
+nd as (select distinct doc_b as doc_id from ({_minhash_oracle()})),
+lang as ({_langid_oracle()})
+select d.doc_id, gq.n_words, gq.mean_word_len, lang.lang_pred
+from documents d
+join keep using (doc_id)
+join gq using (doc_id)
+join lang using (doc_id)
+where gq.passes and d.doc_id not in (select doc_id from nd)
 """
 
 
@@ -1029,33 +1089,8 @@ def oracle_sql() -> dict[str, str]:
                         * 5.0) * 0.5, 6) as quality
             from t
         """,
-        "text_gopher_quality": f"""
-            -- Gopher rules (Rae et al. 2021 §A1.1); raw (unrounded)
-            -- values in the pass conditions, mirroring the Spark side
-            with t as (
-              select doc_id, text, {_TOKENS_SQL} as toks from documents
-            ), f as (
-              select doc_id, len(toks) as n,
-                (length(trim(text)) - (len(toks) - 1)) / len(toks) as mwl,
-                (length(text) - length(replace(text, '#', ''))
-                 + (length(text) - length(replace(text, '...', ''))) / 3.0)
-                  / len(toks) as symr,
-                len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
-                  / len(toks) as alphar,
-                len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
-                  as nstop
-              from t
-            )
-            select doc_id, cast(n as int) as n_words,
-                   round(mwl, 6) as mean_word_len,
-                   round(symr, 6) as symbol_ratio,
-                   round(alphar, 6) as alpha_word_ratio,
-                   cast(nstop as int) as n_stopwords,
-                   (n >= 50 and n <= 100000 and mwl >= 3.0 and mwl <= 10.0
-                    and symr <= 0.1 and alphar >= 0.8 and nstop >= 2)
-                     as passes
-            from f
-        """,
+        "text_gopher_quality": _gopher_oracle(),
+        "corpus_clean": _corpus_clean_oracle(),
         "text_langid": _langid_oracle(),
         "text_fingerprint": f"""
             select doc_id, {md5_long_sql(norm_text)} as fp from documents

@@ -234,3 +234,29 @@ def test_stale_keys_keep_anti_join_exact(spark):
         keys_unique=True, stale_keys=seen_new)
     want_empty = cand.join(seen_new, "dedup_key", "left_anti")
     assert got_empty.count() == want_empty.count() == 1700
+
+
+def test_corpus_clean_stage_invariants(spark, sf_dir):
+    """corpus_clean composite: every survivor passes each stage's gate,
+    and the result is deterministic."""
+    from pyspark.sql import functions as F
+
+    from xcrawl3r_spark.operators import dedupops, textops
+    from xcrawl3r_spark.operators.pipeline import corpus_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus_clean(docs)
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert 0 < len(survivors) < docs.count()
+    gq_pass = {r["doc_id"] for r in
+               textops.gopher_quality(docs).filter("passes").collect()}
+    assert survivors <= gq_pass
+    nd_b = {r["doc_b"] for r in dedupops.minhash_lsh_pairs(docs).collect()}
+    assert not (survivors & nd_b)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    fp = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", F.md5(norm).alias("fp")).collect()}
+    fps = [fp[d] for d in survivors]
+    assert len(fps) == len(set(fps))  # no two survivors share content
+    again = {r["doc_id"] for r in corpus_clean(docs).collect()}
+    assert again == survivors
