@@ -471,6 +471,12 @@ def q_text_gopher_quality(spark, sf_dir):
     return textops.gopher_quality(_t(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition rules (dup-line fractions + top word-2-gram
+    character coverage), shuffle-based formulation."""
+    return textops.repetition_filters(_t_wide(spark, sf_dir, "documents"))
+
+
 def q_text_langid(spark, sf_dir):
     return textops.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -582,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_gopher_quality": q_text_gopher_quality,
+        "text_repetition": q_text_repetition,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
@@ -1090,6 +1097,46 @@ def oracle_sql() -> dict[str, str]:
             from t
         """,
         "text_gopher_quality": _gopher_oracle(),
+        "text_repetition": f"""
+            -- Gopher repetition rules; raw values in pass conditions
+            with l as (
+              select doc_id, unnest(string_split(text, chr(10))) as line
+              from documents
+            ), pl as (
+              select doc_id, line, count(*) as c from l group by 1, 2
+            ), la as (
+              select doc_id, sum(c) as nl, sum(c) - count(*) as ndup,
+                     sum(c * length(line)) as lc,
+                     sum(case when c > 1 then c * length(line) else 0 end)
+                       as dc
+              from pl group by doc_id
+            ), tok as (
+              select doc_id, {_TOKENS_SQL} as toks from documents
+            ), g as (
+              select doc_id, unnest(list_transform(range(1, len(toks)),
+                     i -> concat(toks[i], ' ', toks[i + 1]))) as gm
+              from tok where len(toks) >= 2
+            ), pg as (
+              select doc_id, gm, count(*) as c from g group by 1, 2
+            ), ga as (
+              select doc_id, max(c * length(gm)) as topc from pg
+              group by doc_id
+            )
+            select d.doc_id,
+                   round(la.ndup / la.nl, 6) as dup_line_frac,
+                   round(case when la.lc > 0 then la.dc / la.lc
+                         else 0.0 end, 6) as dup_line_char_frac,
+                   round(coalesce(ga.topc, 0) / length(d.text), 6)
+                     as top_2gram_char_frac,
+                   (la.ndup / la.nl <= 0.30
+                    and (case when la.lc > 0 then la.dc / la.lc else 0.0 end)
+                        <= 0.20
+                    and coalesce(ga.topc, 0) / length(d.text) <= 0.20)
+                     as passes
+            from documents d
+            join la using (doc_id)
+            left join ga using (doc_id)
+        """,
         "corpus_clean": _corpus_clean_oracle(),
         "text_langid": _langid_oracle(),
         "text_fingerprint": f"""

@@ -255,3 +255,24 @@ class TestGopherQuality:
             assert got[d]["passes"] is False, (d, got[d])
         assert got[1]["n_words"] == 3
         assert got[5]["n_stopwords"] == 0
+
+    def test_repetition_rules_gate(self, spark):
+        """Gopher repetition rules: duplicate lines and a dominating
+        2-gram each trip their filter; varied text passes."""
+        from xcrawl3r_spark.operators.textops import repetition_filters
+
+        varied = "\n".join(
+            f"alpha{i} beta{i} gamma{i} delta{i} omega{i * 7}"
+            for i in range(10))
+        dup_lines = "\n".join(["the same line again here"] * 8
+                              + ["one unique line"])
+        loop_gram = "spam ham " * 40
+        docs = spark.createDataFrame(
+            [(0, varied), (1, dup_lines), (2, loop_gram)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_filters(docs).collect()}
+        assert got[0]["passes"] is True
+        assert got[1]["passes"] is False
+        assert got[1]["dup_line_frac"] > 0.7
+        assert got[2]["passes"] is False
+        assert got[2]["top_2gram_char_frac"] > 0.2

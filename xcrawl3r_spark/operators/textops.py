@@ -124,6 +124,71 @@ def gopher_quality(
     )
 
 
+def repetition_filters(
+    docs: DataFrame,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, public): fraction
+    of duplicate lines, fraction of characters in duplicate lines, and
+    the fraction of characters covered by the single most frequent word
+    2-gram. Formulated as explode -> per-(doc, line/gram) counts ->
+    per-doc aggregate, i.e. shuffle-based with map-side partials — the
+    shape that scales to 100 TB (per-doc O(n²) array self-matching would
+    not)."""
+    lines = docs.select("doc_id", F.explode(F.split("text", r"\n")).alias("line"))
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    line_agg = per_line.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        (F.sum("c") - F.count("*")).alias("n_dup_lines"),
+        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line"))
+              .otherwise(F.lit(0))).alias("dup_line_chars"),
+    )
+    toks = tokens_col()
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gm"),
+    )
+    top_gram = (
+        grams.groupBy("doc_id", "gm").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("c") * F.length("gm")).alias("top2_chars"))
+    )
+    dup_line_frac = F.col("n_dup_lines") / F.col("n_lines")
+    dup_char_frac = F.when(
+        F.col("line_chars") > 0,
+        F.col("dup_line_chars") / F.col("line_chars")).otherwise(F.lit(0.0))
+    top2_frac = F.coalesce(F.col("top2_chars"), F.lit(0)) / F.length("text")
+    passes = (
+        (dup_line_frac <= max_dup_line_frac)
+        & (dup_char_frac <= max_dup_line_char_frac)
+        & (top2_frac <= max_top2gram_char_frac)
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(line_agg, "doc_id")
+        .join(top_gram, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(dup_line_frac, 6).alias("dup_line_frac"),
+            F.round(dup_char_frac, 6).alias("dup_line_char_frac"),
+            F.round(top2_frac, 6).alias("top_2gram_char_frac"),
+            passes.alias("passes"),
+        )
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-marker language-ID heuristic: predicted language = argmax
     of marker-token counts, ties broken by language code (deterministic)."""
