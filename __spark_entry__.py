@@ -431,6 +431,33 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         max_shingle_df=NGRAM_MAX_SHINGLE_DF, log_dropped=True)
 
 
+def _events_edges(spark, sf_dir):
+    """Deterministic bipartite link graph from events: user -> offset
+    event bucket (offset keeps the id spaces disjoint). Parallel edges
+    kept (emit-per-occurrence, like crawl edges)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 500 + 1_000_000).alias("dst"))
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank over the crawl-shaped edge list —
+    micro-rank units make the result bit-identical across engines
+    (float sums are shuffle-order-dependent and could never hash-match)."""
+    from xcrawl3r_spark.operators.graph import pagerank
+
+    return pagerank(_events_edges(spark, sf_dir), iters=3)
+
+
+def q_graph_components(spark, sf_dir):
+    """Min-label connected components (deterministic: labels are ids);
+    oracle is a recursive-CTE reachability closure."""
+    from xcrawl3r_spark.operators.graph import connected_components
+
+    return connected_components(_events_edges(spark, sf_dir))
+
+
 def q_corpus_clean(spark, sf_dir):
     """End-to-end corpus cleaning: exact dedup -> Gopher rules -> MinHash
     near-dup removal -> language-ID, composed as ONE declarative plan
@@ -600,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "corpus_clean": q_corpus_clean,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
     }
 
 
@@ -786,6 +815,53 @@ join keep using (doc_id)
 join gq using (doc_id)
 join lang using (doc_id)
 where gq.passes and d.doc_id not in (select doc_id from nd)
+"""
+
+
+_EDGES_SQL = (
+    "select user_id as src, event_id % 500 + 1000000 as dst from events"
+)
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled integer fixed-point PageRank — all sums cast to BIGINT
+    (HUGEINT degrades on the driver's pandas fetch)."""
+    sql = f"""
+with e as ({_EDGES_SQL}),
+nodes as (select src as id from e union select dst from e),
+outdeg as (select src, count(*) as d from e group by src),
+r0 as (select id, cast(1000000 as bigint) as rank from nodes)"""
+    for i in range(iters):
+        sql += f""",
+c{i + 1} as (
+  select e.dst as id,
+         cast(sum((r{i}.rank * 85) // (100 * outdeg.d)) as bigint) as s
+  from e
+  join r{i} on r{i}.id = e.src
+  join outdeg on outdeg.src = e.src
+  group by e.dst
+),
+r{i + 1} as (
+  select n.id, cast(150000 + coalesce(c{i + 1}.s, 0) as bigint) as rank
+  from nodes n left join c{i + 1} on c{i + 1}.id = n.id
+)"""
+    return sql + f"\nselect id, rank from r{iters}"
+
+
+_COMPONENTS_ORACLE = f"""
+with e0 as ({_EDGES_SQL}),
+und as (select a, b from (select src as a, dst as b from e0
+                          union select dst, src from e0)),
+nodes as (select distinct a as id from und),
+closure as (
+  with recursive r(id, lab) as (
+    select id, id from nodes
+    union
+    select und.a, r.lab from und join r on und.b = r.id
+  )
+  select id, min(lab) as component from r group by id
+)
+select id, component from closure
 """
 
 
@@ -1138,6 +1214,8 @@ def oracle_sql() -> dict[str, str]:
             left join ga using (doc_id)
         """,
         "corpus_clean": _corpus_clean_oracle(),
+        "graph_pagerank": _pagerank_oracle(),
+        "graph_components": _COMPONENTS_ORACLE,
         "text_langid": _langid_oracle(),
         "text_fingerprint": f"""
             select doc_id, {md5_long_sql(norm_text)} as fp from documents

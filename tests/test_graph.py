@@ -1,0 +1,54 @@
+"""Graph analytics (operators/graph.py): integer fixed-point PageRank and
+min-label connected components — hand-checked values, determinism."""
+
+from xcrawl3r_spark.operators.graph import SCALE, connected_components, pagerank
+
+
+def test_pagerank_hand_checked(spark):
+    # 1 -> 2, 1 -> 3, 2 -> 3, 3 -> 1 (classic 3-node example)
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(e, iters=1).collect()}
+    base = 150_000
+    # after 1 round from uniform SCALE: node2 <- half of 1's mass;
+    # node3 <- half of 1's + all of 2's; node1 <- all of 3's
+    assert got[2] == base + (SCALE * 85) // 200
+    assert got[3] == base + (SCALE * 85) // 200 + (SCALE * 85) // 100
+    assert got[1] == base + (SCALE * 85) // 100
+    # multi-round: deterministic, mass bounded
+    r3a = sorted((r["id"], r["rank"]) for r in pagerank(e, iters=3).collect())
+    r3b = sorted((r["id"], r["rank"]) for r in pagerank(e, iters=3).collect())
+    assert r3a == r3b
+    assert all(base <= rk < 3 * SCALE for _, rk in r3a)
+
+
+def test_pagerank_dangling_and_parallel_edges(spark):
+    # dangling node 9 (no out-edges) keeps only the base term for others;
+    # parallel edges weight the contribution
+    e = spark.createDataFrame(
+        [(1, 9), (1, 9), (1, 2)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(e, iters=1).collect()}
+    # node 9 receives 2/3 of node 1's damped mass, node 2 gets 1/3
+    assert got[9] == 150_000 + 2 * ((SCALE * 85) // 300)
+    assert got[2] == 150_000 + (SCALE * 85) // 300
+    assert got[1] == 150_000  # nothing points at 1
+
+
+def test_connected_components_two_islands(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11), (20, 20)],
+        "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 10
+    assert got[20] == 20
+
+
+def test_connected_components_chain_exceeding_one_round(spark):
+    # a path graph needs multiple label-propagation rounds
+    n = 12
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1

@@ -1,0 +1,137 @@
+"""Graph analytics over crawl edge tables: PageRank and connected
+components, engineered for cross-engine determinism.
+
+A crawl's natural output is a link graph (the edges table:
+emit-per-occurrence src_url -> url rows). Ranking hosts/pages by link
+structure is the canonical downstream analytics step (frontier
+prioritization, spam domain triage), so the engine ships it as a
+first-class operator.
+
+Determinism design: floating-point PageRank is NOT reproducible across
+engines — double addition is not associative, and shuffle order varies —
+so score sums could never hash-match a DuckDB oracle. Ranks are therefore
+kept in 64-bit integer fixed point (micro-rank units, 10^6 = 1.0), with
+integer floor division for the per-edge contribution. Integer addition is
+order-independent, so the result is bit-identical on any engine and any
+partitioning, and the driver's value-hash gate can pin it exactly.
+
+Scale posture: each iteration is one equi-join (edges ⋈ ranks, shuffled
+on src) + one aggregation (shuffled on dst) — the standard Pregel-free
+DataFrame formulation. ``iters`` is fixed (unrolled into the plan), so
+Catalyst sees a static DAG; for 10+ iterations at 10^10 edges you would
+checkpoint every few rounds like the crawl loop does (knob exposed).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000  # micro-rank fixed point: 10^6 == rank 1.0
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, damping_pct: int = 85,
+    src: str = "src", dst: str = "dst", checkpoint_every: int = 0,
+) -> DataFrame:
+    """(src, dst) edge list -> (id, rank) in micro-rank units.
+
+    rank_0 = SCALE for every node; each round:
+        rank_{i+1}(v) = (100 - damping_pct)% * SCALE
+                        + sum over in-edges (u,v) of
+                          (rank_i(u) * damping_pct) div (100 * outdeg(u))
+
+    All integer arithmetic (div = floor division), so results are
+    engine- and partitioning-independent. Dangling nodes keep the base
+    term only (their mass is dropped, the simple variant — documented).
+
+    ``checkpoint_every``: DISK_ONLY-checkpoint the rank table every k
+    rounds to cut plan depth on long runs (0 = off; the unrolled plan is
+    fine for small ``iters``).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (100 - damping_pct) * SCALE // 100
+    rank = nodes.withColumn("rank", F.lit(SCALE).cast("long"))
+    for i in range(iters):
+        contrib = (
+            e.join(rank.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(f"(rank * {damping_pct}) div (100 * outdeg)")
+                .alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        rank = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
+                .cast("long").alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            rank = rank.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    return rank
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 20,
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """(src, dst) undirected edge list -> (id, component) where component
+    is the minimum node id reachable — iterative label propagation
+    (min-hash-set convergence), the DataFrame form of large-star/small-star.
+
+    Deterministic: labels are ids, min() is order-independent. Converges
+    in <= diameter rounds; each round is one join + one aggregation.
+    The loop stops early when no label changes (one count per round —
+    a driver-side action, same pattern as the crawl's BFS loop)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a").agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
