@@ -111,3 +111,43 @@ def test_crawl_parity_with_cuckoo(spark, depth):
                       filter_kind="cuckoo", cuckoo_buckets=1 << 10)
     sim, res = run_both(spark, cfg)
     assert seen_set(res) == sim.seen
+
+
+@pytest.mark.parametrize("kind", ["cuckoo", "bloom"])
+def test_ttl_expire_and_recrawl(spark, kind):
+    """Windowed seen-set: expire_seen drops pre-window visits (cuckoo:
+    incremental filter DELETE; bloom: distributed rebuild) and a follow-up
+    crawl re-visits exactly the expired, still-reachable URLs."""
+    from xcrawl3r_spark.config import CrawlConfig
+    from xcrawl3r_spark.plans.crawl import Crawler
+
+    n = 6
+    pages = [
+        (f"https://h0.test/p/{i}", "text/html",
+         (f'<a href="https://h0.test/p/{i + 1}">n</a>'
+          if i + 1 < n else "<p>end</p>"), 200)
+        for i in range(n)
+    ]
+    pages_df = spark.createDataFrame(
+        pages, "url string, content_type string, body string, status int")
+    seeds = spark.createDataFrame(
+        [("s0", "https://h0.test/p/0")], "seed_id string, url string")
+    cfg = CrawlConfig(domains=["test"], include_subdomains=True, depth=0,
+                      expand_seeds=False, parallelism=0, filter_kind=kind,
+                      cuckoo_buckets=1 << 10)
+    c = Crawler(spark, cfg)
+    res1 = c.crawl(seeds, pages_df)
+    assert res1.seen.count() == n and res1.seen_filter
+    # expire everything first visited before iteration 4 (p0, p1, p2)
+    surviving, filt = c.expire_seen(res1.seen, res1.seen_filter, before_iter=4)
+    assert surviving.count() == n - 3
+    res2 = c.crawl(seeds, pages_df, initial_seen=surviving,
+                   initial_filter=filt)
+    revisited = {r["url"] for r in res2.seen.filter("iter >= 1").collect()} \
+        - {r["url"] for r in surviving.collect()}
+    assert revisited == {f"https://h0.test/p/{i}" for i in range(3)}
+    # the window boundary is respected: surviving URLs were NOT re-fetched
+    max_iter_surviving = {
+        r["url"]: r["iter"] for r in res2.seen.collect()
+        if r["url"] not in revisited}
+    assert all(v >= 4 for v in max_iter_surviving.values())

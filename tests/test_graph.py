@@ -52,3 +52,22 @@ def test_connected_components_chain_exceeding_one_round(spark):
     got = {r["id"]: r["component"] for r in connected_components(e).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_host_rank_over_crawl_edges(spark):
+    """Crawl -> edges -> host PageRank: the linked-to host outranks a
+    leaf host, and the result is deterministic."""
+    from xcrawl3r_spark.config import CrawlConfig
+    from xcrawl3r_spark.operators.graph import host_rank
+    from xcrawl3r_spark.plans.crawl import Crawler
+    from xcrawl3r_spark.sources import datagen as G
+
+    p = G.GraphParams(hosts=4, pages_per_host=6)
+    cfg = CrawlConfig(domains=["test"], include_subdomains=True, depth=3,
+                      parallelism=0)
+    res = Crawler(spark, cfg).crawl(
+        G.seeds_df(spark, p, 2), G.pages_df(spark, p, distributed=False))
+    ranks = {r["host"]: r["rank"] for r in host_rank(res.edges).collect()}
+    assert len(ranks) >= 2 and all(v > 0 for v in ranks.values())
+    again = {r["host"]: r["rank"] for r in host_rank(res.edges).collect()}
+    assert again == ranks

@@ -85,6 +85,21 @@ def pagerank(
     return rank
 
 
+def host_rank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Crawl edges (src_url, url) -> per-host PageRank: project URLs to
+    hosts, drop self-links, rank the host link graph. The glue between
+    CrawlResult.edges and the frontier-prioritization / spam-triage use
+    case (feed the ranks back as the A5 host_rank priority source)."""
+    e = edges.select(
+        F.lower(F.try_parse_url("src_url", F.lit("HOST"))).alias("src"),
+        F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("dst"),
+    ).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+    )
+    return pagerank(e, iters=iters).withColumnRenamed("id", "host")
+
+
 def connected_components(
     edges: DataFrame, max_iters: int = 20,
     src: str = "src", dst: str = "dst",

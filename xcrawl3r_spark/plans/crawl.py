@@ -79,6 +79,9 @@ class CrawlResult:
     iterations: int = 0
     #: per-iteration wall-clock phase timings + row counts (A6 metrics)
     metrics: list[dict] = field(default_factory=list)
+    #: the final probabilistic seen-filter (all seen keys folded) — feed
+    #: to expire_seen()/crawl(initial_filter=...) for TTL re-crawls
+    seen_filter: dict | None = None
 
 
 class Crawler:
@@ -180,6 +183,43 @@ class Crawler:
         )
         return self._with_keys(exploded).select(*FRONTIER_COLS)
 
+    # -- TTL / windowed seen-set (re-crawl support) ----------------------
+    def expire_seen(
+        self, seen: DataFrame, filt: dict[int, bytes] | None,
+        before_iter: int, max_expired_collect: int = 5_000_000,
+    ) -> tuple[DataFrame, dict[int, bytes] | None]:
+        """Windowed seen-set: drop rows first visited before
+        ``before_iter`` so a follow-up ``crawl(initial_seen=...,
+        initial_filter=...)`` re-visits them (TTL re-crawl).
+
+        With ``filter_kind='cuckoo'`` the expired keys are DELETED from
+        the filter incrementally (the capability the cuckoo fallback
+        exists for — Bloom bits cannot be unset). The expired-key batch is
+        driver-applied, bounded by the expiry window (one TTL quantum of
+        URLs, NOT the lifetime seen set); ``max_expired_collect`` guards
+        the bound — beyond it (or with Bloom) the filter is rebuilt
+        distributed from the surviving rows instead.
+        """
+        surviving = seen.filter(F.col("iter") >= before_iter)
+        if filt is None or not self.cfg.bloom_enabled:
+            return surviving, filt
+        expired = seen.filter(F.col("iter") < before_iter).select("dedup_key")
+        if self.cfg.filter_kind == "cuckoo":
+            n_expired = expired.count()
+            if n_expired <= max_expired_collect:
+                import numpy as np
+
+                from xcrawl3r_spark.operators.cuckoo import delete_from_cuckoo
+
+                hashes = np.array(
+                    [r["dedup_key"] for r in expired.collect()],
+                    dtype=np.int64)
+                return surviving, delete_from_cuckoo(
+                    filt, hashes, self.cfg.bloom_partitions)
+        # Bloom (no deletes) or over-bound cuckoo window: distributed rebuild
+        return surviving, self._build_filter(
+            surviving.select(F.col("dedup_key").alias("url_hash")))
+
     # -- the BFS loop ----------------------------------------------------
     def crawl(
         self,
@@ -191,6 +231,7 @@ class Crawler:
         initial_frontier: DataFrame | None = None,
         initial_seen: DataFrame | None = None,
         initial_robots_rules: DataFrame | None = None,
+        initial_filter: dict[int, bytes] | None = None,
         max_iterations: int = 1000,
     ) -> CrawlResult:
         cfg, spark = self.cfg, self.spark
@@ -230,14 +271,17 @@ class Crawler:
 
         # Incremental Bloom over dedup_key: fold in each iteration's NEW
         # rows only (merge_blooms), never rescan the whole seen set.
+        # ``initial_filter`` (e.g. from expire_seen's incremental cuckoo
+        # delete) skips the full rebuild over initial_seen.
         bloom: dict[int, bytes] | None = None
         if cfg.bloom_enabled:
-            bloom = (
-                self._build_filter(
+            if initial_filter is not None:
+                bloom = initial_filter
+            elif initial_seen is not None:
+                bloom = self._build_filter(
                     seen0.select(F.col("dedup_key").alias("url_hash")))
-                if initial_seen is not None
-                else {}
-            )
+            else:
+                bloom = {}
 
         # None -> mined from fetched robots bodies; a resumed run restores
         # the rules mined by its completed iterations (bit-identity)
@@ -472,6 +516,16 @@ class Crawler:
                 out = out.unionByName(p)
             return out
 
+        if bloom is not None and bloom_pending:
+            # fold the tail increments so the returned filter covers the
+            # whole seen set (TTL re-crawl feeds it back via initial_filter)
+            inc_src = bloom_pending[0]
+            for part in bloom_pending[1:]:
+                inc_src = inc_src.unionByName(part)
+            bloom = self._merge_filter(
+                bloom, self._build_filter(
+                    inc_src.select(F.col("dedup_key").alias("url_hash"))))
+
         return CrawlResult(
             edges=cat(edges_parts, "edges"),
             seen=seen,
@@ -479,6 +533,7 @@ class Crawler:
             errors=cat(errors_parts, "errors"),
             iterations=it - start_iteration,
             metrics=metrics,
+            seen_filter=bloom,
         )
 
     def resume(
