@@ -60,11 +60,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "text_quality",
+    "text_repetition",
     "text_langid",
     "sim_cosine_topk",
     "sim_near_dup",
+    "graph_pagerank",
+    "corpus_clean",
 ]
 
 
