@@ -495,7 +495,7 @@ def q_text_quality(spark, sf_dir):
 def q_text_gopher_quality(spark, sf_dir):
     """Gopher rule filters (Rae et al. 2021 §A1.1) — the canonical
     pre-training corpus gate, single map-side projection."""
-    return textops.gopher_quality(_t(spark, sf_dir, "documents"))
+    return textops.gopher_quality(_t_wide(spark, sf_dir, "documents"))
 
 
 def q_text_repetition(spark, sf_dir):
@@ -505,7 +505,10 @@ def q_text_repetition(spark, sf_dir):
 
 
 def q_text_langid(spark, sf_dir):
-    return textops.lang_id(_t(spark, sf_dir, "documents"))
+    # _t_wide: marker-matching over every (token, lang) pair is the
+    # heaviest per-row text projection — one single-row-group input split
+    # would run it on one core (measured 4.2 s -> sub-second at sf0.1)
+    return textops.lang_id(_t_wide(spark, sf_dir, "documents"))
 
 
 def q_text_fingerprint(spark, sf_dir):
