@@ -255,3 +255,36 @@ class TestBucketedSeenPath:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for t in ("xcrawl3r_seen_bucketed_0", "xcrawl3r_seen_bucketed_1"):
             spark.sql(f"drop table if exists {t}")
+
+
+class TestNewOperatorPlans:
+    def test_corpus_clean_stays_native_and_broadcasts(self, spark, sf_dir):
+        """The cleaning composite must stay JVM-native (no Python/Arrow
+        eval nodes — every stage is Catalyst expressions) and broadcast
+        the small near-dup drop side."""
+        from xcrawl3r_spark.operators.pipeline import corpus_clean
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(corpus_clean(docs))
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+        assert count_nodes(plan, "ArrowEvalPython") == 0, plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_pagerank_plan_no_cartesian(self, spark, sf_dir):
+        from xcrawl3r_spark.operators.graph import pagerank
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e = ev.selectExpr("user_id as src", "event_id % 500 as dst")
+        plan = plan_of(pagerank(e, iters=2))
+        assert count_nodes(plan, "CartesianProduct") == 0, plan
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+
+    def test_repetition_filters_native(self, spark, sf_dir):
+        from xcrawl3r_spark.operators.textops import repetition_filters
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(repetition_filters(docs))
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+        assert count_nodes(plan, "ArrowEvalPython") == 0, plan
+        # per-(doc, line/gram) counts must partially aggregate map-side
+        assert "partial_count" in plan or "partial" in plan.lower(), plan
