@@ -498,6 +498,12 @@ def q_text_gopher_quality(spark, sf_dir):
     return textops.gopher_quality(_t_wide(spark, sf_dir, "documents"))
 
 
+def q_text_c4(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): terminal-line
+    fraction, sentence floor, boilerplate markers."""
+    return textops.c4_filters(_t(spark, sf_dir, "documents"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher repetition rules (dup-line fractions + top word-2-gram
     character coverage), shuffle-based formulation."""
@@ -619,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_gopher_quality": q_text_gopher_quality,
         "text_repetition": q_text_repetition,
+        "text_c4": q_text_c4,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
@@ -1176,6 +1183,27 @@ def oracle_sql() -> dict[str, str]:
             from t
         """,
         "text_gopher_quality": _gopher_oracle(),
+        "text_c4": r"""
+            -- C4 heuristics (Raffel et al. 2020 §2.2)
+            with f as (
+              select doc_id, text,
+                     string_split(text, chr(10)) as lines,
+                     len(string_split(text, '.')) - 1
+                       + len(string_split(text, '!')) - 1
+                       + len(string_split(text, '?')) - 1 as n_sent,
+                     contains(lower(text), 'lorem ipsum') as lorem,
+                     contains(text, '{') as brace
+              from documents
+            )
+            select doc_id, cast(len(lines) as int) as n_lines,
+                   round(len(list_filter(lines,
+                         l -> regexp_matches(trim(l), '[.!?]["'']?$')))
+                         / len(lines), 6) as terminal_line_frac,
+                   cast(n_sent as int) as n_sentences,
+                   lorem as has_lorem, brace as has_brace,
+                   (not lorem and not brace and n_sent >= 3) as passes
+            from f
+        """,
         "text_repetition": f"""
             -- Gopher repetition rules; raw values in pass conditions
             with l as (

@@ -276,3 +276,22 @@ class TestGopherQuality:
         assert got[1]["dup_line_frac"] > 0.7
         assert got[2]["passes"] is False
         assert got[2]["top_2gram_char_frac"] > 0.2
+
+    def test_c4_rules_gate(self, spark):
+        from xcrawl3r_spark.operators.textops import c4_filters
+
+        rows = [
+            (0, "First sentence here. Second one too! A third? Yes."),
+            (1, "Contains Lorem Ipsum filler. More text. And more."),
+            (2, "Code block { return 1; } here. Sentences. Three."),
+            (3, "only one sentence."),
+            (4, "line without punct\nanother one.\nthird line here."),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in c4_filters(docs).collect()}
+        assert got[0]["passes"] is True and got[0]["n_sentences"] == 4
+        assert got[1]["passes"] is False and got[1]["has_lorem"]
+        assert got[2]["passes"] is False and got[2]["has_brace"]
+        assert got[3]["passes"] is False          # < 3 sentences
+        assert got[4]["n_lines"] == 3
+        assert abs(got[4]["terminal_line_frac"] - 2 / 3) < 1e-6

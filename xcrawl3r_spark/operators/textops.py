@@ -124,6 +124,37 @@ def gopher_quality(
     )
 
 
+def c4_filters(docs: DataFrame, min_sentences: int = 3) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, §2.2 — public):
+    per-line terminal-punctuation retention, minimum sentence count,
+    boilerplate markers ("lorem ipsum", code-brace '{'). Doc-level flags
+    plus the line-retention fraction, all native map-side expressions.
+
+    The reference corpus rule set drops LINES without terminal
+    punctuation and DOCS violating the doc-level rules; this operator
+    reports both so callers can apply either granularity."""
+    lines = F.split(F.col("text"), r"\n")
+    n_lines = F.size(lines)
+    kept = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"""[.!?]["']?$""")))
+    low = F.lower(F.col("text"))
+    n_sentences = F.size(F.split(F.col("text"), r"[.!?]")) - 1
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    passes = (
+        ~has_lorem & ~has_brace & (n_sentences >= min_sentences)
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.round(kept / n_lines, 6).alias("terminal_line_frac"),
+        n_sentences.cast("int").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        passes.alias("passes"),
+    )
+
+
 def repetition_filters(
     docs: DataFrame,
     max_dup_line_frac: float = 0.30,
