@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from xcrawl3r_spark.config import CrawlConfig  # noqa: E402
 from xcrawl3r_spark.functions import urls as U  # noqa: E402
-from xcrawl3r_spark.functions.hashing import md5_long, md5_long_sql  # noqa: E402
+from xcrawl3r_spark.functions.hashing import (  # noqa: E402
+    md5_long, md5_long_sql, seeded_sql,
+)
 from xcrawl3r_spark.operators import dedupops, simsearch, textops  # noqa: E402
 from xcrawl3r_spark.operators.dedup import anti_join_seen, build_bloom  # noqa: E402
 from xcrawl3r_spark.operators.politeness import politeness_select  # noqa: E402
@@ -525,6 +527,41 @@ def q_text_winnow(spark, sf_dir):
     return textops.winnow_fingerprints(_t_wide(spark, sf_dir, "documents"))
 
 
+def q_curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct word-trigram hits vs a
+    deterministic held-out subset (doc_id % 97 == 0), benchmark n-gram
+    hashes broadcast — the corpus side never shuffles its n-grams."""
+    from xcrawl3r_spark.operators import curation
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return curation.decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0))
+
+
+def q_curate_stratified_sample(spark, sf_dir):
+    """Deterministic per-language top-k sample (two-phase salted window;
+    bit-identical to the oracle's single-window formulation)."""
+    from xcrawl3r_spark.operators import curation
+
+    return curation.stratified_sample(_t(spark, sf_dir, "documents"), k=25)
+
+
+def q_curate_pack_budget(spark, sf_dir):
+    """Token-budget corpus packing: per-source cumulative admit in seeded
+    hash order until the 500-token budget is filled."""
+    from xcrawl3r_spark.operators import curation
+
+    return curation.pack_token_budget(
+        _t(spark, sf_dir, "documents"), budget=500)
+
+
+def q_curate_tfidf(spark, sf_dir):
+    """Per-source top-5 tf-idf terms (rational idf — cross-engine
+    bit-deterministic, no libm)."""
+    from xcrawl3r_spark.operators import curation
+
+    return curation.tfidf_top_terms(_t_wide(spark, sf_dir, "documents"), k=5)
+
+
 def _queries_emb(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qs = (
@@ -629,6 +666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
+        "curate_decontaminate": q_curate_decontaminate,
+        "curate_stratified_sample": q_curate_stratified_sample,
+        "curate_pack_budget": q_curate_pack_budget,
+        "curate_tfidf": q_curate_tfidf,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1259,6 +1300,69 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, (pos - 1) // {textops.WINNOW_W} as bucket,
                    min({md5_long_sql(f"substr(norm, cast(pos as int), {textops.WINNOW_K})")}) as fp
             from g group by doc_id, bucket
+        """,
+        "curate_decontaminate": rf"""
+            with toks as (select doc_id, {_TOKENS_SQL} as toks from documents),
+            dng as (
+              select doc_id,
+                     {md5_long_sql("array_to_string(list_slice(toks, i, i + 2), ' ')")}
+                         as ng_hash
+              from toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+                       as g(i)
+            ),
+            bng as (select distinct ng_hash from dng where doc_id % 97 = 0)
+            select t.doc_id,
+                   count(d.ng_hash) as n_ngrams,
+                   count(distinct case when b.ng_hash is not null
+                                       then d.ng_hash end) as n_hits,
+                   count(distinct case when b.ng_hash is not null
+                                       then d.ng_hash end) > 0 as contaminated
+            from toks t
+            left join dng d using (doc_id)
+            left join bng b on d.ng_hash = b.ng_hash
+            group by t.doc_id
+        """,
+        "curate_stratified_sample": f"""
+            with r as (
+              select doc_id, lang,
+                     cast(row_number() over (partition by lang
+                          order by {seeded_sql("cast(doc_id as varchar)", "strat")},
+                                   doc_id) as int) as rk
+              from documents)
+            select doc_id, lang, rk from r where rk <= 25
+        """,
+        "curate_pack_budget": f"""
+            with b as (
+              select doc_id, source,
+                     cast(len({_TOKENS_SQL}) as int) as n_tokens,
+                     {seeded_sql("cast(doc_id as varchar)", "pack")} as h
+              from documents),
+            c as (
+              select doc_id, source, n_tokens,
+                     cast(sum(n_tokens) over (partition by source
+                          order by h, doc_id
+                          rows between unbounded preceding and current row)
+                        as bigint) as cum_tokens
+              from b)
+            select doc_id, source, n_tokens, cum_tokens
+            from c where cum_tokens <= 500
+        """,
+        "curate_tfidf": f"""
+            with tok as (select source, unnest({_TOKENS_SQL}) as term
+                         from documents),
+            tf as (select source, term, count(*) as tf from tok group by 1, 2),
+            dfq as (select term, count(*) as df from tf group by 1),
+            ns as (select count(distinct source) as n_groups from documents),
+            scored as (
+              select source, term, cast(tf as bigint) as tf,
+                     cast(df as bigint) as df,
+                     round(tf * (n_groups + 1) / (df + 1), 6) as score
+              from tf join dfq using (term) cross join ns)
+            select source, term, tf, df, score,
+                   cast(row_number() over (partition by source
+                        order by score desc, term) as int) as rk
+            from scored qualify rk <= 5
         """,
         # 1-hour tumbling windows align on the hour in both engines
         # (Spark windows are epoch-aligned; time_bucket buckets on the hour)

@@ -69,6 +69,8 @@ HEADLINE = [
     "sim_near_dup",
     "graph_pagerank",
     "corpus_clean",
+    "curate_decontaminate",
+    "curate_tfidf",
 ]
 
 

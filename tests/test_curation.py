@@ -1,0 +1,118 @@
+"""Curation operators: benchmark decontamination, stratified sampling,
+token-budget packing, tf-idf top terms (operators/curation.py)."""
+
+from pyspark.sql import functions as F
+
+from xcrawl3r_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+class TestDecontaminate:
+    def test_benchmark_doc_fully_contaminated(self, spark):
+        docs = _docs(spark, [
+            (0, "alpha beta gamma delta", "en", "s1"),
+            (1, "alpha beta gamma delta epsilon", "en", "s1"),
+            (2, "zeta eta theta iota", "en", "s1"),
+        ])
+        bench = docs.filter(F.col("doc_id") == 0)
+        got = {r.doc_id: r for r in
+               curation.decontaminate(docs, bench).collect()}
+        # doc 0 is the benchmark: both its trigrams hit
+        assert got[0].n_ngrams == 2 and got[0].n_hits == 2
+        assert got[0].contaminated
+        # doc 1 contains both benchmark trigrams (plus one clean one)
+        assert got[1].n_ngrams == 3 and got[1].n_hits == 2
+        # doc 2 shares nothing
+        assert got[2].n_hits == 0 and not got[2].contaminated
+
+    def test_short_doc_has_zero_ngrams_but_is_kept(self, spark):
+        docs = _docs(spark, [(0, "one two", "en", "s1"),
+                             (1, "a b c d", "en", "s1")])
+        got = {r.doc_id: r for r in
+               curation.decontaminate(docs, docs.limit(0)).collect()}
+        assert got[0].n_ngrams == 0 and not got[0].contaminated
+        assert got[1].n_hits == 0
+
+    def test_repeated_hit_counted_once(self, spark):
+        docs = _docs(spark, [(0, "x y z q x y z", "en", "s1")])
+        bench = _docs(spark, [(9, "x y z", "en", "s1")])
+        r = curation.decontaminate(docs, bench).collect()[0]
+        # "x y z" occurs twice in doc 0 but is ONE distinct benchmark hit
+        assert r.n_hits == 1 and r.n_ngrams == 5
+
+
+class TestStratifiedSample:
+    def _corpus(self, spark):
+        rows = [(i, f"t {i}", ["en", "de", "fr"][i % 3], "s") for i in range(90)]
+        return _docs(spark, rows)
+
+    def test_exact_k_per_stratum(self, spark):
+        out = curation.stratified_sample(self._corpus(spark), k=7)
+        per = {r.lang: r.n for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert per == {"en": 7, "de": 7, "fr": 7}
+
+    def test_salting_is_semantics_free(self, spark):
+        docs = self._corpus(spark)
+        a = sorted((r.lang, r.doc_id, r.rk) for r in
+                   curation.stratified_sample(docs, k=5, n_salt=1).collect())
+        b = sorted((r.lang, r.doc_id, r.rk) for r in
+                   curation.stratified_sample(docs, k=5, n_salt=16).collect())
+        assert a == b
+
+    def test_small_stratum_returned_whole(self, spark):
+        docs = _docs(spark, [(0, "t", "en", "s"), (1, "t", "de", "s")])
+        out = curation.stratified_sample(docs, k=10)
+        assert out.count() == 2
+
+
+class TestPackTokenBudget:
+    def test_group_totals_within_budget(self, spark):
+        rows = [(i, " ".join(["w"] * (5 + i % 7)), "en", f"s{i % 3}")
+                for i in range(60)]
+        out = curation.pack_token_budget(_docs(spark, rows), budget=40)
+        per = out.groupBy("source").agg(F.sum("n_tokens").alias("tot")).collect()
+        assert per and all(r.tot <= 40 for r in per)
+
+    def test_admits_prefix_in_hash_order(self, spark):
+        rows = [(i, "a b c d e", "en", "s0") for i in range(10)]  # 5 tokens
+        out = curation.pack_token_budget(_docs(spark, rows), budget=12)
+        got = out.orderBy("cum_tokens").collect()
+        # 5-token docs into a 12 budget: exactly 2 admitted, cum 5 then 10
+        assert [r.cum_tokens for r in got] == [5, 10]
+
+    def test_doc_larger_than_budget_blocks_group(self, spark):
+        # first-fit, no skip-ahead: a huge doc first in hash order with
+        # cum > budget excludes itself AND everything after it
+        rows = [(i, " ".join(["w"] * 100), "en", "s0") for i in range(3)]
+        out = curation.pack_token_budget(_docs(spark, rows), budget=50)
+        assert out.count() == 0
+
+
+class TestTfidfTopTerms:
+    def test_rare_term_outranks_common(self, spark):
+        docs = _docs(spark, [
+            (0, "common rare0 common common", "en", "s0"),
+            (1, "common rare1 common common", "en", "s1"),
+        ])
+        out = curation.tfidf_top_terms(docs, k=2)
+        top = {r.source: r.term for r in out.filter(F.col("rk") == 1).collect()}
+        # tf(common)=3 in every source but df=2 -> 3*3/3=3.0;
+        # tf(rareN)=1, df=1 -> 1*3/2=1.5 ... common still wins on tf here
+        assert top == {"s0": "common", "s1": "common"}
+        r0 = {r.term: r for r in out.filter(F.col("source") == "s0").collect()}
+        assert r0["common"].score == 3.0 and r0["rare0"].score == 1.5
+
+    def test_rank_bounded_and_deterministic(self, spark):
+        rows = [(i, f"w{i % 5} w{i % 3} tie tie", "en", f"s{i % 4}")
+                for i in range(40)]
+        out1 = sorted(map(tuple, curation.tfidf_top_terms(
+            _docs(spark, rows), k=3).collect()))
+        out2 = sorted(map(tuple, curation.tfidf_top_terms(
+            _docs(spark, rows), k=3).collect()))
+        assert out1 == out2
+        assert all(t[-1] <= 3 for t in out1)

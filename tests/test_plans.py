@@ -105,6 +105,8 @@ class TestNoPythonInRelationalPaths:
         "dedup_simhash", "dedup_ngram_jaccard", "text_tokens",
         "text_quality", "text_langid", "text_fingerprint", "text_winnow",
         "sim_cosine_topk", "sim_lsh_topk", "sim_near_dup",
+        "curate_decontaminate", "curate_stratified_sample",
+        "curate_pack_budget", "curate_tfidf",
     ]
 
     @pytest.mark.parametrize("name", NATIVE_QUERIES)
@@ -279,6 +281,27 @@ class TestNewOperatorPlans:
         assert count_nodes(plan, "CartesianProduct") == 0, plan
         assert count_nodes(plan, "BatchEvalPython") == 0, plan
 
+    def test_decontaminate_broadcasts_benchmark(self, spark, sf_dir):
+        """The benchmark n-gram side must broadcast: the 100 TB corpus
+        side never shuffles its exploded n-grams, only the per-doc
+        aggregation keys."""
+        from xcrawl3r_spark.operators.curation import decontaminate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(decontaminate(docs, docs.filter("doc_id % 97 = 0")))
+        assert "BroadcastExchange" in plan, plan
+        assert count_nodes(plan, "SortMergeJoin") == 0, plan
+
+    def test_tfidf_partial_aggregates(self, spark, sf_dir):
+        """tf and df aggregations must combine map-side (partial_count)
+        before their shuffles."""
+        from xcrawl3r_spark.operators.curation import tfidf_top_terms
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(tfidf_top_terms(docs))
+        assert "partial_count" in plan, plan
+        assert count_nodes(plan, "CartesianProduct") == 0, plan
+
     def test_repetition_filters_native(self, spark, sf_dir):
         from xcrawl3r_spark.operators.textops import repetition_filters
 
@@ -286,5 +309,7 @@ class TestNewOperatorPlans:
         plan = plan_of(repetition_filters(docs))
         assert count_nodes(plan, "BatchEvalPython") == 0, plan
         assert count_nodes(plan, "ArrowEvalPython") == 0, plan
-        # per-(doc, line/gram) counts must partially aggregate map-side
-        assert "partial_count" in plan or "partial" in plan.lower(), plan
+        # every statistic is within-document (sorted-array run scan), so
+        # the plan must be ONE map stage: no shuffle, no join at all
+        assert count_nodes(plan, "Exchange") == 0, plan
+        assert "Join" not in plan, plan

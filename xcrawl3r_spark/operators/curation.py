@@ -1,0 +1,184 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+benchmark decontamination, stratified sampling, token-budget packing, and
+per-source tf-idf vocabulary ranking.
+
+Beyond the reference (xcrawl3r emits URLs only); these are the §2.10-class
+operators a 100 TB corpus pipeline runs after the crawl. All native
+``pyspark.sql.functions`` (JVM-side, whole-stage codegen) — no Python in
+the hot path. Every output value that must match the DuckDB oracle uses
+the cross-engine md5 60-bit hash (functions/hashing.py) or integer/
+deterministic-double arithmetic; no cross-row float accumulation.
+
+Scale posture (100 TB):
+- decontaminate: the benchmark side (a test-set's n-grams) is hashed to
+  60-bit longs, distinct'd, and broadcast — the corpus side never
+  shuffles its n-grams, only the per-doc aggregation keys. A 10M-ngram
+  benchmark broadcasts as ~80 MB of longs; above that pass
+  ``broadcast_bench=False`` and the join falls back to shuffle-hash on
+  the (narrow) hash column.
+- stratified_sample: two-phase salted top-k (same pattern as the
+  politeness window) so one giant stratum cannot serialize into a single
+  task.
+- pack_token_budget: a per-group running sum is inherently sequential
+  per group; groups are sources/hosts (bounded cardinality per group at
+  crawl scale). The window shuffles once on the group key.
+- tfidf_top_terms: two hash aggregations (map-side partials) + one
+  broadcast scalar + a per-source top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xcrawl3r_spark.functions.hashing import md5_long, seeded
+from xcrawl3r_spark.operators.textops import tokens_col
+
+
+def ngrams_col(n: int, text: str = "text"):
+    """Word n-grams of ``text`` as an array column (space-joined).
+    Documents shorter than ``n`` tokens yield an empty array (Spark's
+    ``sequence(1, 0)`` counts DOWN, so the short case must be guarded)."""
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many of the benchmark
+    set's word ``n``-grams it contains.
+
+    The standard pre-training hygiene step: held-out eval sets (the
+    ``benchmark`` frame, same schema as ``docs``) must not leak into the
+    training corpus. Output: (doc_id, n_ngrams, n_hits, contaminated)
+    where n_hits counts DISTINCT benchmark n-grams present in the doc.
+    """
+    bench_ng = (
+        benchmark.select(F.explode(ngrams_col(n)).alias("ng"))
+        .select(md5_long(F.col("ng")).alias("bh"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_ng = F.broadcast(bench_ng)
+    doc_ng = docs.select(
+        "doc_id", F.explode_outer(ngrams_col(n)).alias("ng")
+    ).withColumn("ng_hash", md5_long(F.col("ng")))
+    joined = doc_ng.join(bench_ng, doc_ng.ng_hash == bench_ng.bh, "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("ng_hash").alias("n_ngrams"),
+        F.count_distinct(
+            F.when(F.col("bh").isNotNull(), F.col("ng_hash"))
+        ).alias("n_hits"),
+    ).withColumn("contaminated", F.col("n_hits") > 0)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int,
+    stratum: str = "lang",
+    n_salt: int = 16,
+    seed: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum top-k sample: within each ``stratum``
+    value keep the ``k`` documents with the smallest seeded hash — a
+    reproducible uniform sample with exact per-stratum counts (what a
+    training-mix spec needs; rate-based Bernoulli can't hit exact counts).
+
+    Two-phase: a salted partial top-k bounds any single task to its salt
+    shard before the final per-stratum window — a 10^9-row stratum never
+    serializes into one task. Phase 1 is a strict superset of the final
+    top-k (each salt shard keeps its own k best), so the result is
+    bit-identical to the single-window formulation the oracle uses.
+    """
+    h = seeded(F.col("doc_id").cast("string"), seed).alias("h")
+    base = docs.select("doc_id", stratum, h)
+    w1 = Window.partitionBy(
+        stratum, F.pmod(F.col("h"), F.lit(n_salt))
+    ).orderBy("h", "doc_id")
+    survivors = (
+        base.withColumn("_prn", F.row_number().over(w1))
+        .filter(F.col("_prn") <= k)
+        .drop("_prn")
+    )
+    w2 = Window.partitionBy(stratum).orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .drop("h")
+    )
+
+
+def pack_token_budget(
+    docs: DataFrame,
+    budget: int,
+    group: str = "source",
+    seed: str = "pack",
+) -> DataFrame:
+    """Token-budget corpus packing: within each ``group``, admit documents
+    in deterministic (seeded-hash) order until the group's cumulative
+    whitespace-token count would exceed ``budget``.
+
+    The training-mix assembly step: each source contributes at most
+    ``budget`` tokens, chosen reproducibly. A document is admitted iff the
+    running total INCLUDING it is <= budget (first-fit in hash order, no
+    skip-ahead — deterministic and oracle-expressible).
+    Output: (doc_id, group, n_tokens, cum_tokens).
+    """
+    n_tokens = F.size(tokens_col()).alias("n_tokens")
+    h = seeded(F.col("doc_id").cast("string"), seed).alias("h")
+    base = docs.select("doc_id", group, n_tokens, h)
+    w = (
+        Window.partitionBy(group)
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("h")
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, group: str = "source") -> DataFrame:
+    """Per-``group`` top-k terms by tf-idf.
+
+    idf uses the RATIONAL form (n_groups + 1) / (df + 1) instead of its
+    logarithm: IEEE division of exact integers is correctly rounded and
+    therefore bit-identical across engines, while ln() is a libm call
+    whose last ulp differs between the JVM and DuckDB — the same
+    cross-engine determinism rule as the fixed-point pagerank
+    (operators/graph.py). Ranking is (score desc, term asc) — fully
+    deterministic. Output: (group, term, tf, df, score, rk).
+    """
+    tok = docs.select(group, F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy(group, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_groups = docs.select(
+        F.count_distinct(group).alias("n_groups")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * (F.col("n_groups") + 1) / (F.col("df") + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(group).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group, "term", "tf", "df", "score", "rk")
+    )
