@@ -443,6 +443,13 @@ def _events_edges(spark, sf_dir):
         (F.col("event_id") % 500 + 1_000_000).alias("dst"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Fuzzy-dedup removal step: MinHash-LSH pairs transitively closed
+    into clusters, one canonical doc kept per cluster (min doc_id);
+    oracle is the pair SQL + a recursive-CTE closure."""
+    return dedupops.near_dup_clusters(_t_wide(spark, sf_dir, "documents"))
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Integer fixed-point PageRank over the crawl-shaped edge list —
     micro-rank units make the result bit-identical across engines
@@ -658,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_gopher_quality": q_text_gopher_quality,
@@ -1188,6 +1196,24 @@ def oracle_sql() -> dict[str, str]:
             from documents group by 1
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_clusters": f"""
+            with pairs as ({_minhash_oracle()}),
+            und as (select doc_a as a, doc_b as b from pairs
+                    union select doc_b, doc_a from pairs),
+            nodes as (select distinct a as id from und),
+            closure as (
+              with recursive r(id, lab) as (
+                select id, id from nodes
+                union
+                select und.a, r.lab from und join r on und.b = r.id
+              )
+              select id, min(lab) as component from r group by id
+            )
+            select d.doc_id,
+                   coalesce(c.component, d.doc_id) as cluster,
+                   d.doc_id = coalesce(c.component, d.doc_id) as is_canonical
+            from documents d left join closure c on d.doc_id = c.id
+        """,
         "dedup_simhash": _simhash_oracle(),
         # n² hamming over the same simhash CTE: the Spark side's banded
         # bucket join is pigeonhole-exact, so results must match exactly

@@ -260,3 +260,25 @@ def test_corpus_clean_stage_invariants(spark, sf_dir):
     assert len(fps) == len(set(fps))  # no two survivors share content
     again = {r["doc_id"] for r in corpus_clean(docs).collect()}
     assert again == survivors
+
+
+def test_near_dup_clusters_transitive_canonical(spark):
+    """Cluster removal step: a~b and b~c (even if a,c never share a
+    bucket) must land in ONE cluster with min doc_id canonical;
+    singletons are their own canonical."""
+    from xcrawl3r_spark.operators.dedupops import near_dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    rows = [
+        (1, base),                              # cluster seed
+        (2, base + "tail2 x"),                  # near-dup of 1
+        (3, base + "tail2 x tail3 y z"),        # near-dup of 2 (chain)
+        (9, "totally different words entirely unrelated content here " * 9),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in near_dup_clusters(docs).collect()}
+    assert len(got) == 4
+    assert got[1].cluster == got[2].cluster == got[3].cluster == 1
+    assert got[1].is_canonical and not got[2].is_canonical
+    assert not got[3].is_canonical
+    assert got[9].cluster == 9 and got[9].is_canonical

@@ -133,6 +133,40 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    max_iters: int = 20,
+) -> DataFrame:
+    """The fuzzy-dedup REMOVAL step: LSH candidate pairs -> connected
+    components -> one canonical document per cluster (minimum doc_id).
+
+    Pair queries only surface candidates; an actual pipeline must also
+    transitively close them (a~b, b~c => one cluster) and pick which copy
+    to keep. Output covers the FULL corpus: (doc_id, cluster,
+    is_canonical) — keep iff is_canonical; singletons are their own
+    cluster. Deterministic: cluster = min reachable doc_id.
+
+    Scale: the component table only contains docs that appear in a pair
+    (the near-dup subset); the final assignment is one equi-join back to
+    the corpus, AQE-sized."""
+    from xcrawl3r_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, n_bands, rows_per_band)
+    comp = connected_components(pairs, max_iters=max_iters,
+                                src="doc_a", dst="doc_b")
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster"))
+    )
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash over whitespace tokens: bit i set iff
     sum over tokens of (+1 if bit i of md5_long(token) else -1) > 0."""
