@@ -42,7 +42,8 @@ def priority_cols(df: DataFrame) -> DataFrame:
 
 
 def politeness_flag(
-    frontier: DataFrame, budget: int, skew_salt: int = 0
+    frontier: DataFrame, budget: int, skew_salt: int = 0,
+    eligible: F.Column | None = None,
 ) -> DataFrame:
     """Add boolean ``_sel``: True for the per-(seed,host) top-``budget``
     rows by the deterministic order (depth, url_hash).
@@ -51,17 +52,34 @@ def politeness_flag(
     the caller can checkpoint the window result once and derive
     selected/overflow as cheap filters.
 
+    ``eligible``: rows where this column is False pass THROUGH the window
+    (added as ``_elig``) but never take a budget slot and never select —
+    they sort after every eligible row, so eligible rows' row_numbers
+    equal their rank among eligibles and ``_sel = rn <= budget & _elig``
+    is exactly the top-k over the eligible subset. This lets the crawl
+    flag media-aborted / robots-denied rows in the SAME frame (one
+    checkpoint per iteration instead of one per branch).
+
     Skew: with ``skew_salt`` > 0 the top-k runs in two phases — a partial
     top-``budget`` per (seed, host, pmod(url_hash, salt)) bucket, then the
     exact window over the <= salt*budget survivors per host. A hot host
     holding 30% of the frontier never serializes one shuffle partition;
     the result is identical to the single-window top-k (any global top-k
-    row is in its bucket's top-k).
+    row is in its bucket's top-k; an eligible bucket top-k row stays
+    top-k because ineligible rows sort last in the bucket too).
     """
-    order = [F.col("depth")]
+    order = []
+    if eligible is not None:
+        frontier = frontier.withColumn("_elig", eligible)
+        order.append(F.col("_elig").desc())
+    order.append(F.col("depth"))
     if "disc_iter" in frontier.columns:
         order.append(F.col("disc_iter"))   # discovery time (north-rule A5)
     order.append(F.col("url_hash"))
+
+    def sel(rn_ok: F.Column) -> F.Column:
+        return rn_ok & F.col("_elig") if eligible is not None else rn_ok
+
     if skew_salt > 1:
         wb = Window.partitionBy(
             "seed_id", "host", F.pmod(F.col("url_hash"), F.lit(skew_salt))
@@ -72,10 +90,10 @@ def politeness_flag(
             "_sel", F.lit(False))
         w = Window.partitionBy("seed_id", "host").orderBy(*order)
         ranked = survivors.drop("_brn").withColumn(
-            "_sel", F.row_number().over(w) <= budget)
+            "_sel", sel(F.row_number().over(w) <= budget))
         return ranked.unionByName(losers)
     w = Window.partitionBy("seed_id", "host").orderBy(*order)
-    return frontier.withColumn("_sel", F.row_number().over(w) <= budget)
+    return frontier.withColumn("_sel", sel(F.row_number().over(w) <= budget))
 
 
 def politeness_select(
@@ -150,12 +168,9 @@ def collapse_robots_rules(rules: DataFrame) -> DataFrame:
     )
 
 
-def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """North-rule robots.txt enforcement (the reference only MINES robots,
-    xcrawl3r.go:272): drop frontier rows whose path matches a deny prefix
-    unless a longer allow prefix matches. ``robots`` is a small table
-    (host, allow array<string>, deny array<string>) -> broadcast join.
-    """
+def _robots_allowed(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """frontier broadcast-joined with the rules table + ``_robots_ok``
+    boolean: longest-prefix deny unless an >=-length allow prefix wins."""
     path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     joined = frontier.join(F.broadcast(robots), "host", "left")
 
@@ -170,4 +185,21 @@ def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     allowed = best_deny.isNull() | (
         best_allow.isNotNull() & (best_allow >= best_deny)
     )
-    return joined.filter(allowed).drop("allow", "deny")
+    return joined.withColumn("_robots_ok", allowed).drop("allow", "deny")
+
+
+def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """North-rule robots.txt enforcement (the reference only MINES robots,
+    xcrawl3r.go:272): drop frontier rows whose path matches a deny prefix
+    unless a longer allow prefix matches. ``robots`` is a small table
+    (host, allow array<string>, deny array<string>) -> broadcast join.
+    """
+    return _robots_allowed(frontier, robots).filter(
+        F.col("_robots_ok")).drop("_robots_ok")
+
+
+def robots_flag(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Non-dropping variant of ``robots_filter``: every row kept, denial
+    recorded in ``_robots_ok`` — lets the crawl fold robots enforcement
+    into the single flagged-frame checkpoint."""
+    return _robots_allowed(frontier, robots)

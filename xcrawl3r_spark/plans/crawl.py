@@ -9,9 +9,10 @@ Per-iteration dataflow (SURVEY §3.4):
 
     frontier[i] --(within-batch dedup, min depth)--> candidates
       --(Bloom probe + exact left-anti vs seen)-->  new URLs          D1/D2
-      --(media split: image exts -> payload branch, marked seen)-->   F3
-      --(robots allow/deny broadcast join, optional)-->               north
-      --(per-(seed,host) budget top-k; overflow requeued)-->          A1
+      --(media flag: image exts -> payload branch, marked seen)-->    F3
+      --(robots allow/deny broadcast join -> flag, optional)-->       north
+      --(per-(seed,host) budget top-k; ineligible rows ride along
+         flagged — ONE checkpoint/iter; overflow requeued)-->         A1
       --(salted repartition, fetch = left join vs pages)-->           S4
       --(mapInPandas extraction: href/src/regex + .min. variants)--> E1-E4
       --(scope rlike)--> edges append (emit-per-occurrence)          F1/D3
@@ -46,7 +47,7 @@ from xcrawl3r_spark.operators.politeness import (
     collapse_robots_rules,
     parse_robots_rules,
     politeness_flag,
-    robots_filter,
+    robots_flag,
 )
 from xcrawl3r_spark.sinks.tables import (
     IcebergStore,
@@ -315,29 +316,48 @@ class Crawler:
                                     "url_hash", "host")).alias("_s"))
                 .select("dedup_key", "_s.*")
             )
-            # (2) seen anti-join, Bloom-accelerated. Checkpointed ONCE —
-            # every downstream branch (media/politeness/seen/fetch) derives
-            # from this materialization instead of re-running the
-            # dedup+probe+anti-join chain. Keys not yet folded into the
-            # filter (deferred folds, below) are handed over as stale_keys
-            # so the filter's definitely-unseen bypass stays sound.
+            # (2-5) seen anti-join -> media/robots flags -> politeness
+            # window, materialized as ONE flagged frame per iteration.
+            # Every downstream branch (media payload, fetch, overflow
+            # requeue, seen marking) is a cheap filter over this single
+            # DISK_ONLY checkpoint — the batch hits disk once, not once
+            # per branch. Keys not yet folded into the probabilistic
+            # filter (deferred folds, below) are handed over as
+            # stale_keys so the filter's definitely-unseen bypass stays
+            # sound. Ineligible rows (media-aborted F3, robots-denied)
+            # ride through the politeness window flagged _elig=False:
+            # they sort last, never take a budget slot, never select.
             stale = None
             for part in bloom_pending:
                 stale = part if stale is None else stale.unionByName(part)
-            new = _ckpt(anti_join_seen(
+            new = anti_join_seen(
                 cand, seen, key="dedup_key", bloom=bloom,
                 bloom_partitions=cfg.bloom_partitions,
                 bloom_bits=cfg.bloom_bits, bloom_hashes=cfg.bloom_hashes,
                 keys_unique=True, filter_kind=cfg.filter_kind,
                 stale_keys=stale,
-            ))
-            m["t_new"] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            # (3) media split: visited-marked but never fetched (F3);
-            # image exts feed the payload branch (north rule)
-            new = new.withColumn("_media", U.is_media_col(F.col("url")))
-            media = new.filter("_media").drop("_media")
-            fetchable = new.filter(~F.col("_media")).drop("_media")
+            ).withColumn("_media", U.is_media_col(F.col("url")))
+            # robots enforcement (north rule, off by default). With no
+            # rules table supplied, rules are mined from the robots.txt
+            # bodies the crawl itself fetches (seed expansion E5 fetches
+            # them in iteration 1, so enforcement starts at iteration 2 —
+            # the earliest any batch crawler can honor a live-fetched
+            # robots file). Media rows are exempt (never fetched).
+            if cfg.obey_robots and robots_rules is not None:
+                new = robots_flag(new, robots_rules)
+            else:
+                new = new.withColumn("_robots_ok", F.lit(True))
+            elig = ~F.col("_media") & F.col("_robots_ok")
+            if cfg.parallelism > 0:
+                flagged = _ckpt(politeness_flag(
+                    new, cfg.parallelism, cfg.skew_salt, eligible=elig))
+            else:
+                flagged = _ckpt(new.withColumn("_elig", elig)
+                                .withColumn("_sel", elig))
+            FLAGS = ["_media", "_robots_ok", "_elig", "_sel"]
+            media = flagged.filter("_media").drop(*FLAGS)
+            selected = flagged.filter("_sel").drop(*FLAGS)
+            overflow = flagged.filter(F.col("_elig") & ~F.col("_sel")).drop(*FLAGS)
             images_it = media.filter(U.is_image_col(F.col("url"))).select(
                 "seed_id", "url", F.lit(it).alias("iter"))
             if image_payloads is not None and cfg.ingest_images:
@@ -352,33 +372,13 @@ class Crawler:
                     images_it.join(image_payloads, "url", "left"),
                     carry=("seed_id", "url", "iter"),
                 )
-            # (4) robots enforcement (north rule, off by default). With
-            # no rules table supplied, rules are mined from the robots.txt
-            # bodies the crawl itself fetches (seed expansion E5 fetches
-            # them in iteration 1, so enforcement starts at iteration 2 —
-            # the earliest any batch crawler can honor a live-fetched
-            # robots file).
-            if cfg.obey_robots and robots_rules is not None:
-                fetchable = robots_filter(fetchable, robots_rules)
-            # (5) politeness budget: top-k per (seed, host), salted two-phase
-            # window (hot hosts never serialize one partition); overflow
-            # requeues. Flagged frame checkpointed once, selected/overflow
-            # are filters on it.
-            if cfg.parallelism > 0:
-                flagged = _ckpt(politeness_flag(
-                    fetchable, cfg.parallelism, cfg.skew_salt
-                ))
-                selected = flagged.filter(F.col("_sel")).drop("_sel")
-                overflow = flagged.filter(~F.col("_sel")).drop("_sel")
-            else:
-                selected, overflow = fetchable, fetchable.limit(0)
             # (6) mark seen: every scheduled request, incl. media-aborted
             seen_it = (
-                selected.unionByName(media)
+                flagged.filter(F.col("_sel") | F.col("_media"))
                 .select("seed_id", "url", "url_hash", "dedup_key", "host", "depth")
                 .withColumn("iter", F.lit(it))
             )
-            m["t_politeness"] = round(time.perf_counter() - t0, 3)
+            m["t_new"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             # (7) fetch: either the real Arrow-batched HTTP stage
             # (fetch_mode="http" — honors timeout/headers/proxies, per-row
