@@ -534,6 +534,20 @@ def q_text_winnow(spark, sf_dir):
     return textops.winnow_fingerprints(_t_wide(spark, sf_dir, "documents"))
 
 
+def q_text_pii(spark, sf_dir):
+    """PII scrub over documents with deterministic synthesized PII (the
+    corpus itself has none): email + phone counts and redaction."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" reach user"),
+            F.col("doc_id").cast("string"), F.lit("@ex-"), F.col("source"),
+            F.lit(".org or +1 555 010"),
+            (F.col("doc_id") % 10).cast("string"), F.lit(" now"),
+        ).alias("text"))
+    return textops.pii_scrub(docs)
+
+
 def q_curate_decontaminate(spark, sf_dir):
     """Benchmark decontamination: distinct word-trigram hits vs a
     deterministic held-out subset (doc_id % 97 == 0), benchmark n-gram
@@ -674,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
+        "text_pii": q_text_pii,
         "curate_decontaminate": q_curate_decontaminate,
         "curate_stratified_sample": q_curate_stratified_sample,
         "curate_pack_budget": q_curate_pack_budget,
@@ -1326,6 +1341,22 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, (pos - 1) // {textops.WINNOW_W} as bucket,
                    min({md5_long_sql(f"substr(norm, cast(pos as int), {textops.WINNOW_K})")}) as fp
             from g group by doc_id, bucket
+        """,
+        "text_pii": f"""
+            with d as (
+              select doc_id,
+                     concat(text, ' reach user', doc_id, '@ex-', source,
+                            '.org or +1 555 010', doc_id % 10, ' now') as text
+              from documents)
+            select doc_id,
+                   cast(len(regexp_extract_all(text,
+                        '{textops.PII_EMAIL_RE}')) as int) as n_emails,
+                   cast(len(regexp_extract_all(text,
+                        '{textops.PII_PHONE_RE}')) as int) as n_phones,
+                   regexp_replace(regexp_replace(text,
+                        '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{textops.PII_PHONE_RE}', '<PHONE>', 'g') as scrubbed
+            from d
         """,
         "curate_decontaminate": rf"""
             with toks as (select doc_id, {_TOKENS_SQL} as toks from documents),

@@ -116,3 +116,20 @@ class TestTfidfTopTerms:
             _docs(spark, rows), k=3).collect()))
         assert out1 == out2
         assert all(t[-1] <= 3 for t in out1)
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        from xcrawl3r_spark.operators.textops import pii_scrub
+
+        docs = _docs(spark, [
+            (0, "mail a.b+c@x-site.org or b@y.io, call +1 555 0100 99", "en", "s"),
+            (1, "no pii here at all", "en", "s"),
+            (2, "+12 3456789 and +1-555-010-0199 twice", "en", "s"),
+        ])
+        got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+        assert got[0].n_emails == 2 and got[0].n_phones == 1
+        assert got[0].scrubbed.count("<EMAIL>") == 2
+        assert "@" not in got[0].scrubbed
+        assert got[1].n_emails == 0 and got[1].scrubbed == "no pii here at all"
+        assert got[2].n_phones == 2 and got[2].scrubbed.count("<PHONE>") == 2

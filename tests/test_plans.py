@@ -105,7 +105,7 @@ class TestNoPythonInRelationalPaths:
         "dedup_simhash", "dedup_ngram_jaccard", "text_tokens",
         "text_quality", "text_langid", "text_fingerprint", "text_winnow",
         "sim_cosine_topk", "sim_lsh_topk", "sim_near_dup",
-        "curate_decontaminate", "curate_stratified_sample",
+        "text_pii", "curate_decontaminate", "curate_stratified_sample",
         "curate_pack_budget", "curate_tfidf",
     ]
 

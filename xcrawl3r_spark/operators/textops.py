@@ -321,3 +321,27 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
         .groupBy("doc_id", "bucket")
         .agg(F.min("gram_fp").alias("fp"))
     )
+
+
+# PII patterns shared with the DuckDB oracle (both engines use the same
+# source strings; constructs are in the RE2-compatible subset DuckDB
+# supports, evaluated identically by Java regex)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d[\d\- ]{7,}\d"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction pass (training-data hygiene): count and replace
+    email addresses and international-format phone numbers with typed
+    placeholder tokens. Single map-side projection — counts come from
+    ``regexp_count`` BEFORE the rewrite, so (doc_id, n_emails, n_phones,
+    scrubbed) is one whole-stage-codegen stage with zero shuffles."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE_RE)).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
