@@ -476,6 +476,15 @@ def q_corpus_clean(spark, sf_dir):
     return corpus_clean(_t_wide(spark, sf_dir, "documents"))
 
 
+def q_corpus_curate(spark, sf_dir):
+    """Full corpus assembly: one-scan map-side gates (exact-dup key,
+    Gopher, C4, repetition, lang-ID, token count) + near-dup cluster
+    canonicals + decontamination + per-source token-budget pack."""
+    from xcrawl3r_spark.operators.pipeline import corpus_curate
+
+    return corpus_curate(_t_wide(spark, sf_dir, "documents"), budget=1000)
+
+
 def q_stream_windowed_metrics(spark, sf_dir):
     """§2.8 windowed metrics: the streaming operator's plan applied to the
     static events table (identical code path minus the watermark) — the
@@ -701,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "corpus_clean": q_corpus_clean,
+        "corpus_curate": q_corpus_curate,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
     }
@@ -870,6 +880,163 @@ select doc_id, cast(n as int) as n_words,
         and symr <= 0.1 and alphar >= 0.8 and nstop >= 2) as passes
 from f
 """
+
+
+def _clusters_oracle() -> str:
+    return f"""
+            with pairs as ({_minhash_oracle()}),
+            und as (select doc_a as a, doc_b as b from pairs
+                    union select doc_b, doc_a from pairs),
+            nodes as (select distinct a as id from und),
+            closure as (
+              with recursive r(id, lab) as (
+                select id, id from nodes
+                union
+                select und.a, r.lab from und join r on und.b = r.id
+              )
+              select id, min(lab) as component from r group by id
+            )
+            select d.doc_id,
+                   coalesce(c.component, d.doc_id) as cluster,
+                   d.doc_id = coalesce(c.component, d.doc_id) as is_canonical
+            from documents d left join closure c on d.doc_id = c.id
+        """
+
+
+def _decontaminate_oracle() -> str:
+    return rf"""
+            with toks as (select doc_id, {_TOKENS_SQL} as toks from documents),
+            dng as (
+              select doc_id,
+                     {md5_long_sql("array_to_string(list_slice(toks, i, i + 2), ' ')")}
+                         as ng_hash
+              from toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+                       as g(i)
+            ),
+            bng as (select distinct ng_hash from dng where doc_id % 97 = 0)
+            select t.doc_id,
+                   count(d.ng_hash) as n_ngrams,
+                   count(distinct case when b.ng_hash is not null
+                                       then d.ng_hash end) as n_hits,
+                   count(distinct case when b.ng_hash is not null
+                                       then d.ng_hash end) > 0 as contaminated
+            from toks t
+            left join dng d using (doc_id)
+            left join bng b on d.ng_hash = b.ng_hash
+            group by t.doc_id
+        """
+
+
+def _corpus_curate_oracle(budget: int = 1000) -> str:
+    """The corpus_curate composite assembled from the SAME SQL pieces its
+    stages are individually gate-checked with (gopher/c4/repetition/
+    langid oracles, the cluster closure, the decontamination overlap, and
+    the pack window)."""
+    return f"""
+with lang as ({_langid_oracle()}),
+gq as ({_gopher_oracle()}),
+c4 as ({_c4_oracle(min_sentences=0)}),
+rep as ({_repetition_oracle()}),
+fpk as (
+  select doc_id, row_number() over (partition by fp order by doc_id) as fp_rk
+  from (select doc_id, {md5_long_sql(_NORM_TEXT_SQL)} as fp from documents)
+),
+canon as (select doc_id from ({_clusters_oracle()}) c where c.is_canonical),
+clean as (select doc_id from ({_decontaminate_oracle()}) x
+          where not x.contaminated),
+surv as (
+  select d.doc_id, d.source,
+         cast(len({_TOKENS_SQL}) as int) as n_tokens,
+         lang.lang_pred,
+         {seeded_sql("cast(doc_id as varchar)", "pack")} as h
+  from documents d
+  join lang using (doc_id)
+  join fpk using (doc_id)
+  join gq using (doc_id)
+  join c4 using (doc_id)
+  join rep using (doc_id)
+  join canon using (doc_id)
+  join clean using (doc_id)
+  where fpk.fp_rk = 1 and gq.passes and c4.passes and rep.passes
+),
+packed as (
+  select doc_id, source, lang_pred, n_tokens,
+         cast(sum(n_tokens) over (partition by source order by h, doc_id
+              rows between unbounded preceding and current row) as bigint)
+           as cum_tokens
+  from surv)
+select doc_id, source, lang_pred, n_tokens, cum_tokens
+from packed where cum_tokens <= {budget}
+"""
+
+
+def _c4_oracle(min_sentences: int = 3) -> str:
+    return rf"""
+            -- C4 heuristics (Raffel et al. 2020 §2.2)
+            with f as (
+              select doc_id, text,
+                     string_split(text, chr(10)) as lines,
+                     len(string_split(text, '.')) - 1
+                       + len(string_split(text, '!')) - 1
+                       + len(string_split(text, '?')) - 1 as n_sent,
+                     contains(lower(text), 'lorem ipsum') as lorem,
+                     contains(text, '{{') as brace
+              from documents
+            )
+            select doc_id, cast(len(lines) as int) as n_lines,
+                   round(len(list_filter(lines,
+                         l -> regexp_matches(trim(l), '[.!?]["'']?$')))
+                         / len(lines), 6) as terminal_line_frac,
+                   cast(n_sent as int) as n_sentences,
+                   lorem as has_lorem, brace as has_brace,
+                   (not lorem and not brace and n_sent >= {min_sentences})
+                     as passes
+            from f
+        """
+
+
+def _repetition_oracle() -> str:
+    return f"""
+            -- Gopher repetition rules; raw values in pass conditions
+            with l as (
+              select doc_id, unnest(string_split(text, chr(10))) as line
+              from documents
+            ), pl as (
+              select doc_id, line, count(*) as c from l group by 1, 2
+            ), la as (
+              select doc_id, sum(c) as nl, sum(c) - count(*) as ndup,
+                     sum(c * length(line)) as lc,
+                     sum(case when c > 1 then c * length(line) else 0 end)
+                       as dc
+              from pl group by doc_id
+            ), tok as (
+              select doc_id, {_TOKENS_SQL} as toks from documents
+            ), g as (
+              select doc_id, unnest(list_transform(range(1, len(toks)),
+                     i -> concat(toks[i], ' ', toks[i + 1]))) as gm
+              from tok where len(toks) >= 2
+            ), pg as (
+              select doc_id, gm, count(*) as c from g group by 1, 2
+            ), ga as (
+              select doc_id, max(c * length(gm)) as topc from pg
+              group by doc_id
+            )
+            select d.doc_id,
+                   round(la.ndup / la.nl, 6) as dup_line_frac,
+                   round(case when la.lc > 0 then la.dc / la.lc
+                         else 0.0 end, 6) as dup_line_char_frac,
+                   round(coalesce(ga.topc, 0) / length(d.text), 6)
+                     as top_2gram_char_frac,
+                   (la.ndup / la.nl <= 0.30
+                    and (case when la.lc > 0 then la.dc / la.lc else 0.0 end)
+                        <= 0.20
+                    and coalesce(ga.topc, 0) / length(d.text) <= 0.20)
+                     as passes
+            from documents d
+            join la using (doc_id)
+            left join ga using (doc_id)
+        """
 
 
 def _corpus_clean_oracle() -> str:
@@ -1211,24 +1378,7 @@ def oracle_sql() -> dict[str, str]:
             from documents group by 1
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
-        "dedup_clusters": f"""
-            with pairs as ({_minhash_oracle()}),
-            und as (select doc_a as a, doc_b as b from pairs
-                    union select doc_b, doc_a from pairs),
-            nodes as (select distinct a as id from und),
-            closure as (
-              with recursive r(id, lab) as (
-                select id, id from nodes
-                union
-                select und.a, r.lab from und join r on und.b = r.id
-              )
-              select id, min(lab) as component from r group by id
-            )
-            select d.doc_id,
-                   coalesce(c.component, d.doc_id) as cluster,
-                   d.doc_id = coalesce(c.component, d.doc_id) as is_canonical
-            from documents d left join closure c on d.doc_id = c.id
-        """,
+        "dedup_clusters": _clusters_oracle(),
         "dedup_simhash": _simhash_oracle(),
         # n² hamming over the same simhash CTE: the Spark side's banded
         # bucket join is pigeonhole-exact, so results must match exactly
@@ -1265,68 +1415,10 @@ def oracle_sql() -> dict[str, str]:
             from t
         """,
         "text_gopher_quality": _gopher_oracle(),
-        "text_c4": r"""
-            -- C4 heuristics (Raffel et al. 2020 §2.2)
-            with f as (
-              select doc_id, text,
-                     string_split(text, chr(10)) as lines,
-                     len(string_split(text, '.')) - 1
-                       + len(string_split(text, '!')) - 1
-                       + len(string_split(text, '?')) - 1 as n_sent,
-                     contains(lower(text), 'lorem ipsum') as lorem,
-                     contains(text, '{') as brace
-              from documents
-            )
-            select doc_id, cast(len(lines) as int) as n_lines,
-                   round(len(list_filter(lines,
-                         l -> regexp_matches(trim(l), '[.!?]["'']?$')))
-                         / len(lines), 6) as terminal_line_frac,
-                   cast(n_sent as int) as n_sentences,
-                   lorem as has_lorem, brace as has_brace,
-                   (not lorem and not brace and n_sent >= 3) as passes
-            from f
-        """,
-        "text_repetition": f"""
-            -- Gopher repetition rules; raw values in pass conditions
-            with l as (
-              select doc_id, unnest(string_split(text, chr(10))) as line
-              from documents
-            ), pl as (
-              select doc_id, line, count(*) as c from l group by 1, 2
-            ), la as (
-              select doc_id, sum(c) as nl, sum(c) - count(*) as ndup,
-                     sum(c * length(line)) as lc,
-                     sum(case when c > 1 then c * length(line) else 0 end)
-                       as dc
-              from pl group by doc_id
-            ), tok as (
-              select doc_id, {_TOKENS_SQL} as toks from documents
-            ), g as (
-              select doc_id, unnest(list_transform(range(1, len(toks)),
-                     i -> concat(toks[i], ' ', toks[i + 1]))) as gm
-              from tok where len(toks) >= 2
-            ), pg as (
-              select doc_id, gm, count(*) as c from g group by 1, 2
-            ), ga as (
-              select doc_id, max(c * length(gm)) as topc from pg
-              group by doc_id
-            )
-            select d.doc_id,
-                   round(la.ndup / la.nl, 6) as dup_line_frac,
-                   round(case when la.lc > 0 then la.dc / la.lc
-                         else 0.0 end, 6) as dup_line_char_frac,
-                   round(coalesce(ga.topc, 0) / length(d.text), 6)
-                     as top_2gram_char_frac,
-                   (la.ndup / la.nl <= 0.30
-                    and (case when la.lc > 0 then la.dc / la.lc else 0.0 end)
-                        <= 0.20
-                    and coalesce(ga.topc, 0) / length(d.text) <= 0.20)
-                     as passes
-            from documents d
-            join la using (doc_id)
-            left join ga using (doc_id)
-        """,
+        "text_c4": _c4_oracle(),
+        "text_repetition": _repetition_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
+        "corpus_curate": _corpus_curate_oracle(budget=1000),
         "graph_pagerank": _pagerank_oracle(),
         "graph_components": _COMPONENTS_ORACLE,
         "text_langid": _langid_oracle(),
@@ -1358,28 +1450,7 @@ def oracle_sql() -> dict[str, str]:
                         '{textops.PII_PHONE_RE}', '<PHONE>', 'g') as scrubbed
             from d
         """,
-        "curate_decontaminate": rf"""
-            with toks as (select doc_id, {_TOKENS_SQL} as toks from documents),
-            dng as (
-              select doc_id,
-                     {md5_long_sql("array_to_string(list_slice(toks, i, i + 2), ' ')")}
-                         as ng_hash
-              from toks,
-                   unnest(generate_series(1, greatest(len(toks) - 2, 0)))
-                       as g(i)
-            ),
-            bng as (select distinct ng_hash from dng where doc_id % 97 = 0)
-            select t.doc_id,
-                   count(d.ng_hash) as n_ngrams,
-                   count(distinct case when b.ng_hash is not null
-                                       then d.ng_hash end) as n_hits,
-                   count(distinct case when b.ng_hash is not null
-                                       then d.ng_hash end) > 0 as contaminated
-            from toks t
-            left join dng d using (doc_id)
-            left join bng b on d.ng_hash = b.ng_hash
-            group by t.doc_id
-        """,
+        "curate_decontaminate": _decontaminate_oracle(),
         "curate_stratified_sample": f"""
             with r as (
               select doc_id, lang,

@@ -133,3 +133,33 @@ class TestPiiScrub:
         assert "@" not in got[0].scrubbed
         assert got[1].n_emails == 0 and got[1].scrubbed == "no pii here at all"
         assert got[2].n_phones == 2 and got[2].scrubbed.count("<PHONE>") == 2
+
+
+class TestCorpusCurate:
+    def test_stage_invariants(self, spark, sf_dir):
+        from xcrawl3r_spark.operators.pipeline import corpus_curate
+        from xcrawl3r_spark.operators.textops import gopher_quality
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = corpus_curate(docs, budget=1000).collect()
+        assert out, "composite gated the whole corpus to empty"
+        # pack invariant: per-source token totals within budget
+        per: dict = {}
+        for r in out:
+            per[r.source] = per.get(r.source, 0) + r.n_tokens
+        assert all(tot <= 1000 for tot in per.values())
+        # survivors passed the Gopher gate (spot-check one upstream stage)
+        ids = {r.doc_id for r in out}
+        gq_fail = {r.doc_id for r in gopher_quality(docs).collect()
+                   if not r.passes}
+        assert not (ids & gq_fail)
+        # benchmark members drop themselves (full self-overlap)
+        assert not any(i % 97 == 0 for i in ids)
+
+    def test_deterministic(self, spark, sf_dir):
+        from xcrawl3r_spark.operators.pipeline import corpus_curate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = sorted(map(tuple, corpus_curate(docs, budget=800).collect()))
+        b = sorted(map(tuple, corpus_curate(docs, budget=800).collect()))
+        assert a == b and len(a) > 0

@@ -302,6 +302,23 @@ class TestNewOperatorPlans:
         assert "partial_count" in plan, plan
         assert count_nodes(plan, "CartesianProduct") == 0, plan
 
+    def test_corpus_curate_single_scan_gates(self, spark, sf_dir):
+        """The composite's six map-side gates (exact-dup key, Gopher, C4,
+        repetition, lang-ID, tokens) must come from ONE text-bearing scan
+        — only the minhash and decontamination branches (different fan-out
+        shapes) plus doc_id-only pruned scans may add more. No Python
+        nodes anywhere."""
+        from xcrawl3r_spark.operators.pipeline import corpus_curate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(corpus_curate(docs))
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+        assert count_nodes(plan, "ArrowEvalPython") == 0, plan
+        # text-bearing scans: flags + minhash + decon doc side + decon
+        # bench side = 4; any further scans must be doc_id-only (pruned)
+        n_text_scans = plan.count("ReadSchema: struct<doc_id:bigint,text")
+        assert n_text_scans <= 4, f"{n_text_scans} text scans\n{plan}"
+
     def test_repetition_filters_native(self, spark, sf_dir):
         from xcrawl3r_spark.operators.textops import repetition_filters
 

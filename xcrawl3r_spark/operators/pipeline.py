@@ -57,3 +57,81 @@ def corpus_clean(docs: DataFrame) -> DataFrame:
         .join(lang, "doc_id")
         .select("doc_id", "n_words", "mean_word_len", "lang_pred")
     )
+
+
+def corpus_curate(
+    docs: DataFrame,
+    budget: int = 5000,
+    bench_mod: int = 97,
+    decon_ngram: int = 3,
+    c4_min_sentences: int = 0,
+) -> DataFrame:
+    """The FULL training-corpus assembly pipeline: every map-side gate in
+    ONE scan, the three genuinely-shuffling stages as separate branches,
+    and a final per-source token-budget pack.
+
+        1. one projection computes content_fp (exact-dup key), Gopher
+           quality passes, C4 passes, Gopher repetition passes, token
+           count, language-ID, and the pack ordering hash — 6 operators,
+           ONE pass over the 100 TB corpus (the naive composition joins
+           6 single-operator frames = 6 extra scans + shuffles);
+        2. exact dedup = row_number over content_fp (keep min doc_id) —
+           one shuffle, no join-back;
+        3. near-dup removal = LSH pairs -> connected components -> keep
+           cluster canonicals (dedupops.near_dup_clusters);
+        4. decontamination vs the deterministic held-out subset
+           (doc_id % bench_mod == 0), contaminated rows dropped — note
+           the benchmark members drop themselves (full self-overlap);
+        5. pack survivors to ``budget`` tokens per source in seeded-hash
+           order (curation.pack_token_budget semantics, inlined on the
+           already-computed n_tokens/h columns).
+
+    Output: (doc_id, source, lang_pred, n_tokens, cum_tokens).
+    Deterministic end-to-end; oracle-checked as ``corpus_curate``.
+
+    ``c4_min_sentences`` defaults to 0 here (vs the paper's 3 in
+    ``c4_filters``): the sentence floor assumes punctuated prose, and a
+    corpus without terminal punctuation — like the synthetic gate corpus
+    — would gate to empty, hiding every downstream stage. The lorem/
+    brace boilerplate rules still apply.
+    """
+    from pyspark.sql import Window
+
+    from xcrawl3r_spark.functions.hashing import seeded
+    from xcrawl3r_spark.operators import curation
+
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    ranked = textops.lang_ranked_col()
+    flags = docs.select(
+        "doc_id", "source",
+        md5_long(norm).alias("content_fp"),
+        textops.gopher_passes_col().alias("gq_ok"),
+        textops.c4_passes_col(c4_min_sentences).alias("c4_ok"),
+        textops.repetition_passes_col().alias("rep_ok"),
+        F.size(textops.tokens_col()).alias("n_tokens"),
+        ranked[0]["lang"].alias("lang_pred"),
+        seeded(F.col("doc_id").cast("string"), "pack").alias("h"),
+    )
+    fp_w = Window.partitionBy("content_fp").orderBy("doc_id")
+    gated = (
+        flags.withColumn("_fp_rk", F.row_number().over(fp_w))
+        .filter((F.col("_fp_rk") == 1) & F.col("gq_ok") & F.col("c4_ok")
+                & F.col("rep_ok"))
+        .drop("_fp_rk", "gq_ok", "c4_ok", "rep_ok", "content_fp")
+    )
+    canon = dedupops.near_dup_clusters(docs).filter(
+        F.col("is_canonical")).select("doc_id")
+    clean = curation.decontaminate(
+        docs, docs.filter(F.col("doc_id") % bench_mod == 0), n=decon_ngram
+    ).filter(~F.col("contaminated")).select("doc_id")
+    survivors = gated.join(canon, "doc_id").join(clean, "doc_id")
+    pack_w = (
+        Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        survivors
+        .withColumn("cum_tokens", F.sum("n_tokens").over(pack_w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "source", "lang_pred", "n_tokens", "cum_tokens")
+    )

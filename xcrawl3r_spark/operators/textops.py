@@ -93,34 +93,59 @@ def gopher_quality(
     per-rule features plus the composite ``passes`` flag, all native
     (single map-side projection, no shuffle — the canonical pre-training
     corpus gate at any scale)."""
+    r = gopher_raw_cols()
+    passes = gopher_passes_col(
+        min_words, max_words, min_mean_wlen, max_mean_wlen,
+        max_symbol_ratio, min_alpha_ratio, min_stopwords)
+    return docs.select(
+        "doc_id",
+        r["n"].alias("n_words"),
+        F.round(r["mean_wlen"], 6).alias("mean_word_len"),
+        F.round(r["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(r["alpha_ratio"], 6).alias("alpha_word_ratio"),
+        r["n_stop"].alias("n_stopwords"),
+        passes.alias("passes"),
+    )
+
+
+def gopher_raw_cols() -> dict[str, Column]:
+    """The Gopher rule features as raw (unrounded) column expressions over
+    a ``text`` column — shared by ``gopher_quality`` and the one-scan
+    ``corpus_curate`` composite."""
     toks = tokens_col()
     n = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    mean_wlen_raw = (F.length(F.trim("text")) - (n - 1)) / n
+    mean_wlen = (F.length(F.trim("text")) - (n - 1)) / n
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
-    alpha_ratio_raw = n_alpha / n
     n_symbols = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
         + (F.length("text")
            - F.length(F.replace(F.col("text"), F.lit("...")))) / F.lit(3)
     )
-    symbol_ratio_raw = n_symbols / n
-    passes = (
-        (n >= min_words) & (n <= max_words)
-        & (mean_wlen_raw >= min_mean_wlen) & (mean_wlen_raw <= max_mean_wlen)
-        & (symbol_ratio_raw <= max_symbol_ratio)
-        & (alpha_ratio_raw >= min_alpha_ratio)
-        & (n_stop >= min_stopwords)
-    )
-    return docs.select(
-        "doc_id",
-        n.alias("n_words"),
-        F.round(mean_wlen_raw, 6).alias("mean_word_len"),
-        F.round(symbol_ratio_raw, 6).alias("symbol_ratio"),
-        F.round(alpha_ratio_raw, 6).alias("alpha_word_ratio"),
-        n_stop.alias("n_stopwords"),
-        passes.alias("passes"),
+    return {
+        "n": n, "n_stop": n_stop, "mean_wlen": mean_wlen,
+        "alpha_ratio": n_alpha / n, "symbol_ratio": n_symbols / n,
+    }
+
+
+def gopher_passes_col(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> Column:
+    r = gopher_raw_cols()
+    return (
+        (r["n"] >= min_words) & (r["n"] <= max_words)
+        & (r["mean_wlen"] >= min_mean_wlen)
+        & (r["mean_wlen"] <= max_mean_wlen)
+        & (r["symbol_ratio"] <= max_symbol_ratio)
+        & (r["alpha_ratio"] >= min_alpha_ratio)
+        & (r["n_stop"] >= min_stopwords)
     )
 
 
@@ -133,17 +158,11 @@ def c4_filters(docs: DataFrame, min_sentences: int = 3) -> DataFrame:
     The reference corpus rule set drops LINES without terminal
     punctuation and DOCS violating the doc-level rules; this operator
     reports both so callers can apply either granularity."""
-    lines = F.split(F.col("text"), r"\n")
-    n_lines = F.size(lines)
-    kept = F.size(F.filter(
-        lines, lambda ln: F.trim(ln).rlike(r"""[.!?]["']?$""")))
-    low = F.lower(F.col("text"))
-    n_sentences = F.size(F.split(F.col("text"), r"[.!?]")) - 1
-    has_lorem = low.contains("lorem ipsum")
-    has_brace = F.col("text").contains("{")
-    passes = (
-        ~has_lorem & ~has_brace & (n_sentences >= min_sentences)
-    )
+    r = c4_raw_cols()
+    n_lines, kept = r["n_lines"], r["kept_lines"]
+    n_sentences, has_lorem, has_brace = (
+        r["n_sentences"], r["has_lorem"], r["has_brace"])
+    passes = c4_passes_col(min_sentences)
     return docs.select(
         "doc_id",
         n_lines.alias("n_lines"),
@@ -152,6 +171,106 @@ def c4_filters(docs: DataFrame, min_sentences: int = 3) -> DataFrame:
         has_lorem.alias("has_lorem"),
         has_brace.alias("has_brace"),
         passes.alias("passes"),
+    )
+
+
+def c4_raw_cols() -> dict[str, Column]:
+    """C4 heuristic features as raw column expressions over ``text`` —
+    shared by ``c4_filters`` and the one-scan ``corpus_curate``."""
+    lines = F.split(F.col("text"), r"\n")
+    return {
+        "n_lines": F.size(lines),
+        "kept_lines": F.size(F.filter(
+            lines, lambda ln: F.trim(ln).rlike(r"""[.!?]["']?$"""))),
+        "n_sentences": F.size(F.split(F.col("text"), r"[.!?]")) - 1,
+        "has_lorem": F.lower(F.col("text")).contains("lorem ipsum"),
+        "has_brace": F.col("text").contains("{"),
+    }
+
+
+def c4_passes_col(min_sentences: int = 3) -> Column:
+    r = c4_raw_cols()
+    return (~r["has_lorem"] & ~r["has_brace"]
+            & (r["n_sentences"] >= min_sentences))
+
+
+def _run_scan(sorted_arr: Column) -> Column:
+    """Scan a SORTED array; returns struct(dupchars, maxchars): total
+    chars in elements whose run length > 1 (counted per occurrence) and
+    max over runs of run_len * element_len. Single `F.aggregate` pass."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dupchars"),
+        F.lit(0).cast("long").alias("maxchars"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        prev_chars = acc["run"] * F.coalesce(
+            F.length(acc["prev"]), F.lit(0)).cast("long")
+        dup = F.when(~same & (acc["run"] > 1),
+                     acc["dupchars"] + prev_chars
+                     ).otherwise(acc["dupchars"])
+        mx = F.when(~same, F.greatest(acc["maxchars"], prev_chars)
+                    ).otherwise(acc["maxchars"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        dup.alias("dupchars"), mx.alias("maxchars"))
+
+    def finish(acc):
+        last_chars = acc["run"] * F.coalesce(
+            F.length(acc["prev"]), F.lit(0)).cast("long")
+        return F.struct(
+            F.when(acc["run"] > 1, acc["dupchars"] + last_chars)
+            .otherwise(acc["dupchars"]).alias("dupchars"),
+            F.greatest(acc["maxchars"], last_chars).alias("maxchars"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def repetition_raw_cols() -> dict[str, Column]:
+    """The Gopher repetition fractions as raw column expressions over
+    ``text`` — shared by ``repetition_filters`` and the one-scan
+    ``corpus_curate`` composite."""
+    lines = F.split("text", r"\n")
+    toks = tokens_col()
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"),
+        lambda acc, ln: acc + F.length(ln).cast("long"))
+    dup_line_chars = _run_scan(F.array_sort(lines))["dupchars"]
+    top2_chars = _run_scan(F.array_sort(grams))["maxchars"]
+    dup_line_frac = (
+        (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines))
+    dup_char_frac = F.when(
+        line_chars > 0, dup_line_chars / line_chars).otherwise(F.lit(0.0))
+    top2_frac = top2_chars / F.length("text")
+    return {
+        "dup_line_frac": dup_line_frac,
+        "dup_char_frac": dup_char_frac,
+        "top2_frac": top2_frac,
+    }
+
+
+def repetition_passes_col(
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+) -> Column:
+    r = repetition_raw_cols()
+    return (
+        (r["dup_line_frac"] <= max_dup_line_frac)
+        & (r["dup_char_frac"] <= max_dup_line_char_frac)
+        & (r["top2_frac"] <= max_top2gram_char_frac)
     )
 
 
@@ -174,79 +293,14 @@ def repetition_filters(
     compute facts that never leave the row). At 100 TB this is
     embarrassingly parallel and bounded by scan bandwidth; a single
     document's line/gram array is the only memory term."""
-
-    def run_scan(sorted_arr):
-        """Scan a SORTED array; returns struct(dupchars, maxchars):
-        total chars in elements whose run length > 1 (counted per
-        occurrence) and max over runs of run_len * element_len."""
-        init = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("dupchars"),
-            F.lit(0).cast("long").alias("maxchars"),
-        )
-
-        def step(acc, x):
-            same = acc["prev"].isNotNull() & (x == acc["prev"])
-            prev_chars = acc["run"] * F.coalesce(
-                F.length(acc["prev"]), F.lit(0)).cast("long")
-            dup = F.when(~same & (acc["run"] > 1),
-                         acc["dupchars"] + prev_chars
-                         ).otherwise(acc["dupchars"])
-            mx = F.when(~same, F.greatest(acc["maxchars"], prev_chars)
-                        ).otherwise(acc["maxchars"])
-            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-            return F.struct(x.alias("prev"), run.alias("run"),
-                            dup.alias("dupchars"), mx.alias("maxchars"))
-
-        def finish(acc):
-            last_chars = acc["run"] * F.coalesce(
-                F.length(acc["prev"]), F.lit(0)).cast("long")
-            return F.struct(
-                F.when(acc["run"] > 1, acc["dupchars"] + last_chars)
-                .otherwise(acc["dupchars"]).alias("dupchars"),
-                F.greatest(acc["maxchars"], last_chars).alias("maxchars"),
-            )
-
-        return F.aggregate(sorted_arr, init, step, finish)
-
-    lines = F.split("text", r"\n")
-    toks = tokens_col()
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    stats = docs.select(
+    r = repetition_raw_cols()
+    passes = repetition_passes_col(
+        max_dup_line_frac, max_dup_line_char_frac, max_top2gram_char_frac)
+    return docs.select(
         "doc_id",
-        F.length("text").alias("text_chars"),
-        F.size(lines).alias("n_lines"),
-        (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
-        F.aggregate(
-            lines, F.lit(0).cast("long"),
-            lambda acc, ln: acc + F.length(ln).cast("long"),
-        ).alias("line_chars"),
-        run_scan(F.array_sort(lines))["dupchars"].alias("dup_line_chars"),
-        run_scan(F.array_sort(grams))["maxchars"].alias("top2_chars"),
-    )
-    dup_line_frac = F.col("n_dup_lines") / F.col("n_lines")
-    dup_char_frac = F.when(
-        F.col("line_chars") > 0,
-        F.col("dup_line_chars") / F.col("line_chars")).otherwise(F.lit(0.0))
-    top2_frac = F.col("top2_chars") / F.col("text_chars")
-    passes = (
-        (dup_line_frac <= max_dup_line_frac)
-        & (dup_char_frac <= max_dup_line_char_frac)
-        & (top2_frac <= max_top2gram_char_frac)
-    )
-    return stats.select(
-        "doc_id",
-        F.round(dup_line_frac, 6).alias("dup_line_frac"),
-        F.round(dup_char_frac, 6).alias("dup_line_char_frac"),
-        F.round(top2_frac, 6).alias("top_2gram_char_frac"),
+        F.round(r["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(r["dup_char_frac"], 6).alias("dup_line_char_frac"),
+        F.round(r["top2_frac"], 6).alias("top_2gram_char_frac"),
         passes.alias("passes"),
     )
 
@@ -254,6 +308,19 @@ def repetition_filters(
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-marker language-ID heuristic: predicted language = argmax
     of marker-token counts, ties broken by language code (deterministic)."""
+    ranked = lang_ranked_col()
+    return docs.select(
+        "doc_id",
+        "lang",
+        ranked[0]["lang"].alias("lang_pred"),
+        (-ranked[0]["neg"]).cast("int").alias("marker_hits"),
+    )
+
+
+def lang_ranked_col() -> Column:
+    """The language-ID argmax as a column expression (array of
+    (neg_score, lang) structs sorted best-first) — shared by ``lang_id``
+    and the one-scan ``corpus_curate`` composite."""
     toks = tokens_col()
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
@@ -263,17 +330,11 @@ def lang_id(docs: DataFrame) -> DataFrame:
     # argmax with lang-code tie-break: max of (score, reversed-lang) structs
     # won't give lexicographic-smallest lang on ties, so sort desc by score
     # then asc by lang via array_sort on (-score, lang)
-    ranked = F.array_sort(
+    return F.array_sort(
         F.array(*[
             F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang"))
             for s in scores
         ])
-    )
-    return docs.select(
-        "doc_id",
-        "lang",
-        ranked[0]["lang"].alias("lang_pred"),
-        (-ranked[0]["neg"]).cast("int").alias("marker_hits"),
     )
 
 
