@@ -476,6 +476,15 @@ def q_corpus_clean(spark, sf_dir):
     return corpus_clean(_t_wide(spark, sf_dir, "documents"))
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Gap-based sessionization (session_window) applied to the static
+    events table — the oracle pins the merge/boundary semantics the
+    streaming form runs with."""
+    from xcrawl3r_spark.streaming.windows import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
 def q_corpus_curate(spark, sf_dir):
     """Full corpus assembly: one-scan map-side gates (exact-dup key,
     Gopher, C4, repetition, lang-ID, token count) + near-dup cluster
@@ -709,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": q_sim_near_dup,
         "audio_features": q_audio_features,
         "stream_windowed_metrics": q_stream_windowed_metrics,
+        "stream_sessionize": q_stream_sessionize,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
         "graph_pagerank": q_graph_pagerank,
@@ -1501,6 +1511,34 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) as n_events,
                    round(sum(value), 6) as sum_value
             from events group by 1, 2, 3
+        """,
+        "stream_sessionize": """
+            with s as (
+              select user_id, ts,
+                     -- Spark merges an event at EXACTLY last+gap into the
+                     -- running session (pytest-pinned): break only on > gap
+                     case when lag(ts) over w is null
+                               or epoch(ts) - epoch(lag(ts) over w) > 1800
+                          then 1 else 0 end as brk
+              from events
+              window w as (partition by user_id order by ts)
+            ), s2 as (
+              select user_id, ts,
+                     sum(brk) over (partition by user_id order by ts
+                          rows between unbounded preceding and current row)
+                       as sid
+              from s
+            )
+            select user_id,
+                   min(ts) as session_start,
+                   max(ts) + interval '30 minutes' as session_end,
+                   count(*) as n_events,
+                   -- Spark's unix_timestamp FLOORS each endpoint to whole
+                   -- seconds (ts has microseconds); cast(double) would
+                   -- round and disagree by 1 on ~half the sessions
+                   cast(floor(epoch(max(ts) + interval '30 minutes'))
+                        - floor(epoch(min(ts))) as bigint) as duration_sec
+            from s2 group by user_id, sid
         """,
         "sim_cosine_topk": _cosine_oracle(),
         "sim_lsh_topk": _lsh_topk_oracle(),

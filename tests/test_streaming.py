@@ -222,3 +222,32 @@ class TestStatefulStreaming:
         # the 11:00 window emits ONLY the on-time 11:20 row; the late
         # 10:50 row neither reopens 10:00 nor lands anywhere
         assert got2 == {("2024-01-01 11:00:00", "view"): 1}
+
+
+class TestSessionize:
+    def test_gap_merge_and_exact_boundary(self, spark):
+        from xcrawl3r_spark.streaming.windows import sessionize
+
+        rows = [
+            # user 1: 3 events inside one session (gaps < 30 min), then a
+            # 4th exactly 30 min after the 3rd -> MERGES (Spark breaks
+            # only on diff > gap), then a 5th at gap+1s -> NEW session
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 10:25:00"),
+            (1, "2024-01-01 10:55:00"),
+            (1, "2024-01-01 11:25:01"),
+            # user 2: single event
+            (2, "2024-01-01 09:00:00"),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+            "user_id", "cast(ts as timestamp) as ts")
+        got = sorted(
+            ((r.user_id, str(r.session_start), r.n_events, r.duration_sec)
+             for r in sessionize(ev).collect())
+        )
+        assert got == [
+            (1, "2024-01-01 10:00:00", 4, 5100),   # 55 min span + 30 gap
+            (1, "2024-01-01 11:25:01", 1, 1800),
+            (2, "2024-01-01 09:00:00", 1, 1800),
+        ]

@@ -52,3 +52,38 @@ def windowed_metrics(
             "sum_value",
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: per ``key``, events closer than ``gap``
+    merge into one session (Spark ``session_window`` — the idiomatic
+    streaming-stateful form; on batch frames the identical plan is
+    oracle-checkable). Session end is last-event + gap; an event exactly
+    ``gap`` after the last one MERGES into the running session (Spark
+    breaks only on diff > gap — pytest-pinned; the lag/cumsum SQL twin
+    mirrors this with > gap).
+
+    Scale posture: state per (key, open session), bounded by the
+    watermark horizon on streams; one shuffle on the session key.
+    Output: (key, session_start, session_end, n_events, duration_sec).
+    """
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    sw = F.session_window(ts_col, gap)
+    return (
+        df.groupBy(sw.alias("sess"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            (F.unix_timestamp(F.col("sess.end"))
+             - F.unix_timestamp(F.col("sess.start"))).alias("duration_sec"),
+        )
+    )
