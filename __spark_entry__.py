@@ -1453,7 +1453,11 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    cast(len(regexp_extract_all(text,
                         '{textops.PII_EMAIL_RE}')) as int) as n_emails,
-                   cast(len(regexp_extract_all(text,
+                   -- phones count on the email-scrubbed intermediate so
+                   -- counts always match the <PHONE> tokens in scrubbed
+                   cast(len(regexp_extract_all(
+                        regexp_replace(text, '{textops.PII_EMAIL_RE}',
+                                       '<EMAIL>', 'g'),
                         '{textops.PII_PHONE_RE}')) as int) as n_phones,
                    regexp_replace(regexp_replace(text,
                         '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
@@ -1509,7 +1513,10 @@ def oracle_sql() -> dict[str, str]:
                    time_bucket(interval '1 hour', ts) + interval '1 hour'
                        as win_end,
                    event_type, count(*) as n_events,
-                   round(sum(value), 6) as sum_value
+                   -- integer cent-sum: exact, order-independent (a raw
+                   -- float sum is shuffle-order-dependent in final ulps)
+                   sum(cast(round(value * 100) as bigint)) / 100.0
+                     as sum_value
             from events group by 1, 2, 3
         """,
         "stream_sessionize": """

@@ -141,13 +141,22 @@ def test_ttl_expire_and_recrawl(spark, kind):
     # expire everything first visited before iteration 4 (p0, p1, p2)
     surviving, filt = c.expire_seen(res1.seen, res1.seen_filter, before_iter=4)
     assert surviving.count() == n - 3
+    # CONTRACT (r2 review finding): the follow-up crawl continues the
+    # iteration clock — restarting at 1 would stamp re-visits OLDER than
+    # surviving rows and invert the TTL ordering for the next cycle
     res2 = c.crawl(seeds, pages_df, initial_seen=surviving,
-                   initial_filter=filt)
-    revisited = {r["url"] for r in res2.seen.filter("iter >= 1").collect()} \
-        - {r["url"] for r in surviving.collect()}
+                   initial_filter=filt,
+                   start_iteration=res1.iterations + 1)
+    survived_urls = {r["url"] for r in surviving.collect()}
+    revisited = {
+        r["url"] for r in res2.seen.filter(
+            f"iter > {res1.iterations}").collect()} - survived_urls
     assert revisited == {f"https://h0.test/p/{i}" for i in range(3)}
     # the window boundary is respected: surviving URLs were NOT re-fetched
-    max_iter_surviving = {
-        r["url"]: r["iter"] for r in res2.seen.collect()
-        if r["url"] not in revisited}
-    assert all(v >= 4 for v in max_iter_surviving.values())
+    iter_by_url = {r["url"]: r["iter"] for r in res2.seen.collect()}
+    assert all(4 <= iter_by_url[u] <= res1.iterations for u in survived_urls)
+    # the clock stays monotone: a SECOND expire cycle now expires the
+    # oldest-visited rows (the survivors of cycle 1), not the re-visits
+    surviving2, _ = c.expire_seen(
+        res2.seen, res2.seen_filter, before_iter=res1.iterations + 1)
+    assert {r["url"] for r in surviving2.collect()} == revisited

@@ -134,6 +134,17 @@ class TestPiiScrub:
         assert got[1].n_emails == 0 and got[1].scrubbed == "no pii here at all"
         assert got[2].n_phones == 2 and got[2].scrubbed.count("<PHONE>") == 2
 
+    def test_phone_inside_email_counts_once(self, spark):
+        """r2 review finding: a digit run inside an email must not count
+        as a phone — counts always equal the placeholder tokens."""
+        from xcrawl3r_spark.operators.textops import pii_scrub
+
+        docs = _docs(spark, [(0, "write user+15551234567@x.org today", "en", "s")])
+        r = pii_scrub(docs).collect()[0]
+        assert r.n_emails == 1 and r.n_phones == 0
+        assert r.scrubbed == "write <EMAIL> today"
+        assert r.scrubbed.count("<PHONE>") == r.n_phones
+
 
 class TestCorpusCurate:
     def test_stage_invariants(self, spark, sf_dir):

@@ -71,3 +71,28 @@ def test_host_rank_over_crawl_edges(spark):
     assert len(ranks) >= 2 and all(v > 0 for v in ranks.values())
     again = {r["host"]: r["rank"] for r in host_rank(res.edges).collect()}
     assert again == ranks
+
+
+def test_components_long_chain_converges(spark):
+    """A 40-node path graph needs > 20 plain-propagation rounds; the
+    pointer-jumping shortcut must converge it (r2 review finding: the
+    old form silently returned 11 split components for a 31-node path)."""
+    from xcrawl3r_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "src long, dst long")
+    out = connected_components(e).collect()
+    assert {r.component for r in out} == {0}
+    assert len(out) == 40
+
+
+def test_components_raises_when_unconverged(spark):
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    import pytest
+
+    from xcrawl3r_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iters=2)

@@ -209,7 +209,12 @@ class TestBucketedSeenPath:
         from xcrawl3r_spark.plans.crawl import Crawler
         from xcrawl3r_spark.sources import datagen as G  # noqa: F401
 
-        for t in ("xcrawl3r_seen_bucketed_0", "xcrawl3r_seen_bucketed_1"):
+        def bucketed_tables():
+            return sorted(
+                t.name for t in spark.catalog.listTables()
+                if t.name.startswith("xcrawl3r_seen_bucketed"))
+
+        for t in bucketed_tables():
             spark.sql(f"drop table if exists {t}")
         n = 12  # chain of 12 pages -> 12 iterations -> collapse at 8
         pages = [
@@ -231,7 +236,8 @@ class TestBucketedSeenPath:
 
         res_b = Crawler(spark, cfg(8)).crawl(seeds, pages_df)
         seen_b = {(r["url"], r["depth"]) for r in res_b.seen.collect()}
-        assert spark.catalog.tableExists("xcrawl3r_seen_bucketed_0")
+        made = bucketed_tables()
+        assert made, "no bucketed seen table created"  # run-scoped name
         res_p = Crawler(spark, cfg(0)).crawl(seeds, pages_df)
         assert seen_b == {(r["url"], r["depth"]) for r in res_p.seen.collect()}
         assert len(seen_b) == n
@@ -243,7 +249,7 @@ class TestBucketedSeenPath:
         # the bucketed-read plan is the one that matters at scale.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            seen_tbl = spark.table("xcrawl3r_seen_bucketed_0")
+            seen_tbl = spark.table(made[0])
             cand = spark.range(0, 1000).select(
                 F.xxhash64("id").alias("dedup_key"),
                 F.col("id").cast("string").alias("url"))
@@ -255,8 +261,37 @@ class TestBucketedSeenPath:
             probe.count()
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        for t in ("xcrawl3r_seen_bucketed_0", "xcrawl3r_seen_bucketed_1"):
+        for t in bucketed_tables():
             spark.sql(f"drop table if exists {t}")
+
+    def test_bucketed_seen_two_runs_do_not_clobber(self, spark):
+        """Run-scoped table names (r2 review finding): a second bucketed
+        crawl must not overwrite the first run's seen table while its
+        CrawlResult still references it."""
+        from xcrawl3r_spark.config import CrawlConfig
+        from xcrawl3r_spark.plans.crawl import Crawler
+
+        def mk_pages(host, n):
+            return spark.createDataFrame(
+                [(f"https://{host}.test/p/{i}", "text/html",
+                  (f'<a href="https://{host}.test/p/{i + 1}">n</a>'
+                   if i + 1 < n else "<p>end</p>"), 200)
+                 for i in range(n)],
+                "url string, content_type string, body string, status int")
+
+        cfg = CrawlConfig(
+            domains=["test"], include_subdomains=True, depth=0,
+            expand_seeds=False, parallelism=0, bloom_enabled=False,
+            bucketed_seen=4)
+        seeds_a = spark.createDataFrame(
+            [("s0", "https://ha.test/p/0")], "seed_id string, url string")
+        res_a = Crawler(spark, cfg).crawl(seeds_a, mk_pages("ha", 10))
+        before = sorted(r["url"] for r in res_a.seen.collect())
+        seeds_b = spark.createDataFrame(
+            [("s0", "https://hb.test/p/0")], "seed_id string, url string")
+        Crawler(spark, cfg).crawl(seeds_b, mk_pages("hb", 10)).seen.count()
+        after = sorted(r["url"] for r in res_a.seen.collect())
+        assert before == after and len(before) == 10
 
 
 class TestNewOperatorPlans:

@@ -118,6 +118,17 @@ class CrawlConfig:
     #: buckets matter and the sampling cost amortizes
     frontier_range_partitions: int | None = 0
 
+    def __post_init__(self) -> None:
+        # free-string mode knobs fail fast: fetch_mode='HTTP' (or a typo)
+        # would otherwise silently crawl the deterministic pages-join test
+        # double instead of the network
+        if self.fetch_mode not in ("table", "http"):
+            raise ValueError(
+                f"fetch_mode must be 'table' or 'http', got {self.fetch_mode!r}")
+        if self.filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(
+                f"filter_kind must be 'bloom' or 'cuckoo', got {self.filter_kind!r}")
+
     @classmethod
     def from_yaml(cls, path: str | None = None, **overrides) -> "CrawlConfig":
         """S8 config source: YAML file + ``XCRAWL3R_*`` env + overrides,

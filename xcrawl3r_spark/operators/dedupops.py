@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from xcrawl3r_spark.functions.hashing import md5_long
+from xcrawl3r_spark.operators import textops
 
 N_BANDS = 8
 ROWS_PER_BAND = 4
@@ -60,7 +61,7 @@ def shingles_col(text: Column | str = "text", k: int = SHINGLE_K) -> Column:
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup by content hash: keeper = min doc_id per group."""
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    norm = textops.norm_text_col()
     return (
         docs.select(md5_long(norm).alias("content_fp"), "doc_id")
         .groupBy("content_fp")
@@ -280,12 +281,14 @@ def ngram_jaccard_pairs(
     docs (posting-list cap). This is the load-bearing web-scale knob, not
     an optimization: the shared-shingle self-join is quadratic in
     per-shingle document frequency, so one stop-word-like shingle with
-    df=10^6 alone yields ~5*10^11 candidate pairs. The capped set is
-    SMALL by construction (only ultra-common shingles exceed the cap), so
-    it broadcasts — the full posting list is filtered map-side without a
-    shuffle. ``log_dropped`` additionally counts and logs the dropped
-    shingles (one tiny extra action; silent truncation reads as "covered
-    everything" when it didn't). None = exact all-pairs-sharing-a-shingle.
+    df=10^6 alone yields ~5*10^11 candidate pairs. The cap is computed
+    as an unbounded count window over partitionBy(sh) — the SAME hash
+    shuffle the downstream self-join needs anyway, so the cap adds no
+    extra pass over the posting list (it is NOT a broadcast; the posting
+    list is the big side and rides its one shuffle). ``log_dropped``
+    additionally counts and logs the dropped shingles (one tiny extra
+    action; silent truncation reads as "covered everything" when it
+    didn't). None = exact all-pairs-sharing-a-shingle.
     """
     sh = docs.select("doc_id", F.explode(shingles_col(k=k)).alias("sh"))
     if max_shingle_df is not None:
@@ -298,9 +301,12 @@ def ngram_jaccard_pairs(
         # with cores — see plans/crawl._ckpt) serves the cap filter, the
         # optional drop-count log, the sizes agg, and both join sides —
         # the uncapped path recomputes the shingle projection per consumer.
+        # eager=False: materialize at the FIRST action, not at plan
+        # construction (building the query must not run Spark jobs —
+        # plan audits and bench setup call this without executing).
         w = Window.partitionBy("sh")
         sh_df = sh.withColumn("df", F.count("*").over(w)).localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY)
+            eager=False, storageLevel=StorageLevel.DISK_ONLY)
         if log_dropped:
             import logging
 

@@ -36,7 +36,7 @@ def corpus_clean(docs: DataFrame) -> DataFrame:
     """documents(doc_id, text, ...) -> surviving rows with quality + lang
     annotations. Deterministic: survivors and annotations depend only on
     content."""
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    norm = textops.norm_text_col()
     with_fp = docs.select("doc_id", md5_long(norm).alias("content_fp"))
     keepers = (
         with_fp.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
@@ -100,7 +100,7 @@ def corpus_curate(
     from xcrawl3r_spark.functions.hashing import seeded
     from xcrawl3r_spark.operators import curation
 
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    norm = textops.norm_text_col()
     ranked = textops.lang_ranked_col()
     flags = docs.select(
         "doc_id", "source",

@@ -33,6 +33,16 @@ def tokens_col(text: Column | str = "text") -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def norm_text_col(text: Column | str = "text") -> Column:
+    """Whitespace-collapsed, lowered text — THE canonical content-normal
+    form. Exact dedup, document fingerprints, winnowing, and both
+    cleaning composites must share this expression bit-for-bit (its
+    DuckDB twin is ``_NORM_TEXT_SQL`` in ``__spark_entry__``); a drifted
+    copy silently desyncs their keep/drop decisions."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
 def token_count(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (ceil(chars/4) per
     token, the classic ~4-chars-per-token heuristic) per document."""
@@ -343,7 +353,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     text (md5-based — matches the DuckDB oracle exactly)."""
     from xcrawl3r_spark.functions.hashing import md5_long
 
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    norm = norm_text_col()
     return docs.select("doc_id", md5_long(norm).alias("fp"))
 
 
@@ -365,7 +375,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     gram fan-out after map-side partial min)."""
     from xcrawl3r_spark.functions.hashing import md5_long
 
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    norm = norm_text_col()
     n_grams = F.length(norm) - (k - 1)
     positions = F.when(
         n_grams >= 1, F.sequence(F.lit(1), n_grams)
@@ -394,15 +404,19 @@ PII_PHONE_RE = r"\+\d[\d\- ]{7,}\d"
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """PII redaction pass (training-data hygiene): count and replace
     email addresses and international-format phone numbers with typed
-    placeholder tokens. Single map-side projection — counts come from
-    ``regexp_count`` BEFORE the rewrite, so (doc_id, n_emails, n_phones,
-    scrubbed) is one whole-stage-codegen stage with zero shuffles."""
-    scrubbed = F.regexp_replace(
-        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
-        PII_PHONE_RE, "<PHONE>")
+    placeholder tokens. Single map-side projection, zero shuffles.
+
+    Counts are consistent with the output by construction: emails count
+    on the raw text, phones count on the email-scrubbed intermediate
+    (a digit run inside an email — 'user+15551234567@x.org' — would
+    otherwise count as a phone yet never appear as a <PHONE> token), so
+    n_emails/n_phones always equal the placeholder counts in
+    ``scrubbed``."""
+    emails_gone = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(emails_gone, PII_PHONE_RE, "<PHONE>")
     return docs.select(
         "doc_id",
         F.regexp_count("text", F.lit(PII_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count("text", F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(emails_gone, F.lit(PII_PHONE_RE)).alias("n_phones"),
         scrubbed.alias("scrubbed"),
     )

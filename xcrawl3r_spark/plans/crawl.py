@@ -86,6 +86,12 @@ class CrawlResult:
 
 
 class Crawler:
+    #: session-wide run counter: each crawl() gets its own bucketed-seen
+    #: table namespace. With a fixed name, two Crawlers in one session
+    #: (or a later crawl while the first CrawlResult.seen is still held)
+    #: would overwrite each other's seen table mid-plan.
+    _run_seq = 0
+
     def __init__(self, spark: SparkSession, cfg: CrawlConfig | None = None):
         from xcrawl3r_spark.session import ship_package
 
@@ -193,6 +199,14 @@ class Crawler:
         ``before_iter`` so a follow-up ``crawl(initial_seen=...,
         initial_filter=...)`` re-visits them (TTL re-crawl).
 
+        CONTRACT: the follow-up ``crawl(initial_seen=surviving, ...)``
+        must pass ``start_iteration`` greater than the expired run's last
+        iteration (``prev.iterations + 1``). The ``iter`` column is the
+        TTL clock; restarting at the default 1 stamps re-visited URLs
+        OLDER than the surviving rows, so a second expire_seen cycle
+        would expire the most recently visited URLs and keep the stalest
+        — the inverse of a TTL window.
+
         With ``filter_kind='cuckoo'`` the expired keys are DELETED from
         the filter incrementally (the capability the cuckoo fallback
         exists for — Bloom bits cannot be unset). The expired-key batch is
@@ -236,6 +250,8 @@ class Crawler:
         max_iterations: int = 1000,
     ) -> CrawlResult:
         cfg, spark = self.cfg, self.spark
+        Crawler._run_seq += 1
+        run_id = Crawler._run_seq  # namespaces this run's bucketed tables
         scope = cfg.scope_pattern()
         empty = {
             "edges": spark.createDataFrame(
@@ -462,7 +478,8 @@ class Crawler:
                     # side); only the small per-iteration candidate batch
                     # shuffles. Ping-pong names: a catalog table cannot be
                     # overwritten while the plan still reads it.
-                    name = f"xcrawl3r_seen_bucketed_{self._bucket_flip}"
+                    name = (f"xcrawl3r_seen_bucketed_r{run_id}"
+                            f"_{self._bucket_flip}")
                     self._bucket_flip ^= 1
                     write_bucketed(seen, name, "dedup_key",
                                    cfg.bucketed_seen, sort_col="dedup_key")

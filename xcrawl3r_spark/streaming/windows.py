@@ -38,11 +38,16 @@ def windowed_metrics(
     """
     df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     win = F.window(ts_col, window)
+    # value sums in integer fixed-point (cents): a raw float sum is
+    # shuffle-order-dependent in the last ulps and can round differently
+    # across engines/runs at the 6-dp boundary (the CLAUDE.md cross-engine
+    # float-sum rule). Cent-sums are exact; /100.0 is correctly rounded.
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         df.groupBy(win.alias("win"), *keys)
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            (F.sum(cents) / F.lit(100.0)).alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
