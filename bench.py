@@ -71,6 +71,8 @@ HEADLINE = [
     "corpus_clean",
     "curate_decontaminate",
     "curate_tfidf",
+    "corpus_curate",
+    "stream_sessionize",
 ]
 
 

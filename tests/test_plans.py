@@ -106,7 +106,7 @@ class TestNoPythonInRelationalPaths:
         "text_quality", "text_langid", "text_fingerprint", "text_winnow",
         "sim_cosine_topk", "sim_lsh_topk", "sim_near_dup",
         "text_pii", "curate_decontaminate", "curate_stratified_sample",
-        "curate_pack_budget", "curate_tfidf",
+        "curate_pack_budget", "curate_tfidf", "stream_sessionize",
     ]
 
     @pytest.mark.parametrize("name", NATIVE_QUERIES)
