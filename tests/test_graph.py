@@ -81,9 +81,12 @@ def test_components_long_chain_converges(spark):
 
     e = spark.createDataFrame(
         [(i, i + 1) for i in range(39)], "src long, dst long")
-    out = connected_components(e).collect()
-    assert {r.component for r in out} == {0}
-    assert len(out) == 40
+    # both physical strategies must agree: driver union-find (default for
+    # small edge lists) and the distributed pointer-jumping loop
+    for thresh in (1_000_000, 0):
+        out = connected_components(e, driver_threshold=thresh).collect()
+        assert {r.component for r in out} == {0}, f"threshold={thresh}"
+        assert len(out) == 40
 
 
 def test_components_raises_when_unconverged(spark):
@@ -95,4 +98,4 @@ def test_components_raises_when_unconverged(spark):
     e = spark.createDataFrame(
         [(i, i + 1) for i in range(39)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(e, max_iters=2)
+        connected_components(e, max_iters=2, driver_threshold=0)

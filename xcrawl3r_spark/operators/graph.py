@@ -100,22 +100,69 @@ def host_rank(edges: DataFrame, iters: int = 3) -> DataFrame:
     return pagerank(e, iters=iters).withColumnRenamed("id", "host")
 
 
+def _components_driver(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Union-find over a COLLECTED edge list (min-id roots: union always
+    attaches the larger root under the smaller, so each set's root is its
+    minimum element — the same (id, component) contract as the
+    distributed loop, computed in O(E a(E)) driver time."""
+    rows = edges.select(src, dst).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:           # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    from pyspark.sql.types import StructField, StructType
+
+    node_type = edges.schema[src].dataType
+    schema = StructType([StructField("id", node_type),
+                         StructField("component", node_type)])
+    data = [(x, find(x)) for x in sorted(parent)]
+    return edges.sparkSession.createDataFrame(data, schema)
+
+
 def connected_components(
     edges: DataFrame, max_iters: int = 20,
     src: str = "src", dst: str = "dst",
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(src, dst) undirected edge list -> (id, component) where component
-    is the minimum node id reachable — min-label propagation with a
-    pointer-jumping shortcut (component <- component's component) each
-    round, the DataFrame form of large-star/small-star.
+    is the minimum node id reachable.
 
-    Deterministic: labels are ids, min() is order-independent. The
-    shortcut halves the remaining path each round, so convergence is
+    Two physical strategies behind one contract:
+    - edge count <= ``driver_threshold``: collect + union-find on the
+      driver (the same bounded small-side-to-driver move as the Bloom
+      bitsets and IVF centroids). An iterative DataFrame loop costs
+      several Spark jobs PER ROUND regardless of data size — measured
+      ~10 s for a 477-node pair graph at sf0.1 — while 10^6 collected
+      edges union-find in well under a second. 0 disables.
+    - above it: min-label propagation with a pointer-jumping shortcut
+      (component <- component's component) each round, the DataFrame
+      form of large-star/small-star — the 10^9-edge path.
+
+    Deterministic either way: labels are ids, min() is order-independent.
+    The shortcut halves the remaining path each round, so convergence is
     O(log diameter) — max_iters=20 covers diameters up to ~2^20, vs the
     plain-propagation form where a 30-node chain silently exceeds 20
     rounds. The loop stops early when no label changes; if max_iters is
     exhausted while labels are still moving the result would be WRONG
     (split components), so that raises instead of returning."""
+    if driver_threshold and edges.limit(driver_threshold + 1).count() \
+            <= driver_threshold:
+        return _components_driver(edges, src, dst)
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
