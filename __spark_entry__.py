@@ -668,6 +668,23 @@ def q_audio_features(spark, sf_dir):
     return M.audio_features(clips).drop("part_id")
 
 
+#: queries registered WITHOUT a DuckDB oracle, each for a declared reason
+#: (binary-codec output or approximate-by-design). Every other queries()
+#: key MUST have an oracle_sql() twin — pinned by
+#: tests/test_queries_oracle.py::test_registry_oracle_parity, so a new
+#: query cannot silently ship rows-only and the driver gate always covers
+#: the full registry.
+ROWS_ONLY = frozenset({
+    "e7_image_verify",    # binary codec output — not SQL-expressible
+    "mm_image_features",  # binary codec output
+    "mm_resize",          # binary codec output
+    "mm_frame_sample",    # binary codec output (sandbox XVID container)
+    "audio_features",     # binary codec output (sandbox XPCM container)
+    "sim_ivf_topk",       # approximate by design; exactness pinned by
+                          # sim_ivf_full_probe + pytest recall floor
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_scope_filter": q_f1_scope_filter,

@@ -75,6 +75,20 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+def test_registry_oracle_parity():
+    """Every registered query is driver-gate-covered: it either has a
+    DuckDB oracle twin or is on the explicit ROWS_ONLY list (r2 verdict
+    item 1 — three queries silently missed the driver sweep; this pins
+    registry/oracle parity so the gate always sees the full registry)."""
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert oracles <= qs, f"orphan oracles: {sorted(oracles - qs)}"
+    assert qs - oracles == set(entrymod.ROWS_ONLY), (
+        f"queries without oracle or ROWS_ONLY declaration: "
+        f"{sorted(qs - oracles - entrymod.ROWS_ONLY)}; "
+        f"stale ROWS_ONLY entries: {sorted(entrymod.ROWS_ONLY & oracles)}")
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

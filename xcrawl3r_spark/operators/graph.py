@@ -100,12 +100,13 @@ def host_rank(edges: DataFrame, iters: int = 3) -> DataFrame:
     return pagerank(e, iters=iters).withColumnRenamed("id", "host")
 
 
-def _components_driver(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Union-find over a COLLECTED edge list (min-id roots: union always
-    attaches the larger root under the smaller, so each set's root is its
-    minimum element — the same (id, component) contract as the
-    distributed loop, computed in O(E a(E)) driver time."""
-    rows = edges.select(src, dst).collect()
+def _components_driver(
+    edges: DataFrame, rows: list[tuple], src: str, dst: str
+) -> DataFrame:
+    """Union-find over an already-collected edge-tuple list (min-id roots:
+    union always attaches the larger root under the smaller, so each set's
+    root is its minimum element — the same (id, component) contract as the
+    distributed loop, computed in O(E a(E)) driver time)."""
     parent: dict = {}
 
     def find(x):
@@ -116,8 +117,7 @@ def _components_driver(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = r[0], r[1]
+    for a, b in rows:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -137,7 +137,7 @@ def _components_driver(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def connected_components(
     edges: DataFrame, max_iters: int = 20,
     src: str = "src", dst: str = "dst",
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """(src, dst) undirected edge list -> (id, component) where component
     is the minimum node id reachable.
@@ -147,11 +147,23 @@ def connected_components(
       driver (the same bounded small-side-to-driver move as the Bloom
       bitsets and IVF centroids). An iterative DataFrame loop costs
       several Spark jobs PER ROUND regardless of data size — measured
-      ~10 s for a 477-node pair graph at sf0.1 — while 10^6 collected
-      edges union-find in well under a second. 0 disables.
+      ~10 s for a 477-node pair graph at sf0.1 — while 10^5-10^6
+      collected edges union-find in well under a second. 0 disables.
+      DRIVER MEMORY: the probe holds up to threshold+1 edge tuples plus
+      a parent dict keyed by node value — roughly 50-100 MB per 250k
+      string-id edges (more for long ids; the threshold counts rows, not
+      bytes). Size it to your driver heap.
     - above it: min-label propagation with a pointer-jumping shortcut
       (component <- component's component) each round, the DataFrame
       form of large-star/small-star — the 10^9-edge path.
+
+    The size probe and the edge fetch are ONE pass (``limit(threshold+1)
+    .collect()``): a separate count would execute the whole upstream plan
+    (e.g. the LSH candidate pipeline behind near_dup_clusters) twice.
+    When the probe overflows, the distributed loop's reused ``und`` frame
+    is lineage-truncated (lazy DISK_ONLY localCheckpoint) so each
+    iteration re-reads materialized blocks instead of re-running the
+    upstream plan per round.
 
     Deterministic either way: labels are ids, min() is order-independent.
     The shortcut halves the remaining path each round, so convergence is
@@ -160,14 +172,20 @@ def connected_components(
     rounds. The loop stops early when no label changes; if max_iters is
     exhausted while labels are still moving the result would be WRONG
     (split components), so that raises instead of returning."""
-    if driver_threshold and edges.limit(driver_threshold + 1).count() \
-            <= driver_threshold:
-        return _components_driver(edges, src, dst)
+    if driver_threshold:
+        probe = [
+            (r[0], r[1])
+            for r in edges.select(src, dst).limit(driver_threshold + 1).collect()
+        ]
+        if len(probe) <= driver_threshold:
+            return _components_driver(edges, probe, src, dst)
+        del probe
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = (
         und.select(F.col("a").alias("id"))

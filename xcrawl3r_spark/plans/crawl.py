@@ -99,6 +99,14 @@ class Crawler:
         ship_package(spark)  # workers need the package for UDF stages
         self.cfg = cfg or CrawlConfig()
         self._bucket_flip = 0  # ping-pong index for cfg.bucketed_seen tables
+        #: this Crawler's live bucketed-seen table from its LAST crawl —
+        #: dropped at the start of the next crawl() so a long-lived
+        #: session (StreamingCrawler runs one crawl per micro-batch)
+        #: keeps at most one run's table alive per Crawler. Consequence
+        #: (documented): starting a new crawl() on the same Crawler
+        #: invalidates the previous CrawlResult.seen when
+        #: cfg.bucketed_seen is on — collect what you need first.
+        self._prev_bucket_tables: list[str] = []
         if self.cfg.iceberg_catalog:
             self.store = IcebergStore(
                 spark, self.cfg.iceberg_catalog, self.cfg.iceberg_namespace)
@@ -252,6 +260,10 @@ class Crawler:
         cfg, spark = self.cfg, self.spark
         Crawler._run_seq += 1
         run_id = Crawler._run_seq  # namespaces this run's bucketed tables
+        for t in self._prev_bucket_tables:  # see __init__ — bounded catalog
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        self._prev_bucket_tables = []
+        last_bucket_table: str | None = None
         scope = cfg.scope_pattern()
         empty = {
             "edges": spark.createDataFrame(
@@ -484,6 +496,7 @@ class Crawler:
                     write_bucketed(seen, name, "dedup_key",
                                    cfg.bucketed_seen, sort_col="dedup_key")
                     seen = spark.table(name)
+                    last_bucket_table = name
                 else:
                     seen = _ckpt(seen)
                 seen_parts = [seen]
@@ -532,6 +545,16 @@ class Crawler:
             for p in parts[1:]:
                 out = out.unionByName(p)
             return out
+
+        if last_bucket_table is not None:
+            # the final seen reads only the LAST-written flip; the other
+            # flip's table (re-written every other collapse) is dead —
+            # drop it now, remember the live one for the next crawl()
+            for i in (0, 1):
+                t = f"xcrawl3r_seen_bucketed_r{run_id}_{i}"
+                if t != last_bucket_table:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+            self._prev_bucket_tables = [last_bucket_table]
 
         if bloom is not None and bloom_pending:
             # fold the tail increments so the returned filter covers the

@@ -27,6 +27,7 @@ def windowed_metrics(
     watermark: str = "10 minutes",
     ts_col: str = "ts",
     keys: tuple[str, ...] = ("event_type",),
+    value_scale: int = 2,
 ) -> DataFrame:
     """Tumbling event-time windows of counts + value sums per key.
 
@@ -35,19 +36,27 @@ def windowed_metrics(
     passes their end). Batch input: the identical plan minus the
     watermark — Spark evaluates F.window on static frames too, which is
     what makes this operator oracle-checkable.
+
+    ``value_scale``: decimal places of the fixed-point value quantum.
+    Sums run in integer fixed point (each row quantized to
+    10^value_scale units before summing) because a raw float sum is
+    shuffle-order-dependent in the last ulps and can round differently
+    across engines/runs (the cross-engine float-sum rule) — the
+    determinism trade-off is that digits beyond ``value_scale`` are
+    rounded away per row. The default (2, i.e. cents) fits
+    currency-like metrics; callers with finer-grained values opt into a
+    finer quantum (int64 headroom: sum of |value|*10^scale must stay
+    below 2^63).
     """
     df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     win = F.window(ts_col, window)
-    # value sums in integer fixed-point (cents): a raw float sum is
-    # shuffle-order-dependent in the last ulps and can round differently
-    # across engines/runs at the 6-dp boundary (the CLAUDE.md cross-engine
-    # float-sum rule). Cent-sums are exact; /100.0 is correctly rounded.
-    cents = F.round(F.col("value") * 100).cast("long")
+    quantum = 10 ** value_scale
+    fixed = F.round(F.col("value") * quantum).cast("long")
     return (
         df.groupBy(win.alias("win"), *keys)
         .agg(
             F.count("*").alias("n_events"),
-            (F.sum(cents) / F.lit(100.0)).alias("sum_value"),
+            (F.sum(fixed) / F.lit(float(quantum))).alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
