@@ -647,12 +647,21 @@ def q_sim_ivf_full_probe(spark, sf_dir):
     return simsearch.ivf_topk(emb, qs, k=10, n_centroids=16, n_probe=16)
 
 
+#: per-bucket df cap for the flagship embedding-near-dup entry — the
+#: scale-safe registered default (a low-entropy embedding corpus collapses
+#: into few LSH buckets and the in-bucket self-join goes quadratic; see
+#: embedding_near_dup). Mirrored in the oracle.
+SIM_MAX_BUCKET_DF = 1024
+
+
 def q_sim_near_dup(spark, sf_dir):
-    """n_planes derived from corpus size — see q_sim_lsh_topk."""
+    """n_planes derived from corpus size — see q_sim_lsh_topk; hot
+    buckets capped at SIM_MAX_BUCKET_DF (oracle mirrors the cap)."""
     emb, _ = _queries_emb(spark, sf_dir)
     np_ = simsearch.derive_n_planes(emb.count())
     return simsearch.embedding_near_dup(
-        emb, dims=64, threshold=0.25, n_planes=np_)
+        emb, dims=64, threshold=0.25, n_planes=np_,
+        max_bucket_df=SIM_MAX_BUCKET_DF, log_dropped=True)
 
 
 def q_audio_features(spark, sf_dir):
@@ -1246,21 +1255,34 @@ select query_id, vec_id, cosine, rank from (
 """
 
 
-def _near_dup_oracle(threshold: float = 0.25) -> str:
+def _near_dup_oracle(threshold: float = 0.25,
+                     max_bucket_df: int | None = None) -> str:
     dot = (
         "(select sum(x * y) from (select unnest(list_transform(a.embedding, v -> cast(v as double))) as x, "
         "unnest(list_transform(b.embedding, v -> cast(v as double))) as y) z)"
     )
     na = "sqrt((select sum(x * x) from (select unnest(list_transform(a.embedding, v -> cast(v as double))) as x) z))"
     nb = "sqrt((select sum(y * y) from (select unnest(list_transform(b.embedding, v -> cast(v as double))) as y) z))"
+    src = "corpus"
+    cap_cte = ""
+    if max_bucket_df is not None:
+        # mirror of the Spark side's per-bucket df cap: buckets with
+        # df > max_bucket_df are dropped before the self-join
+        cap_cte = f""",
+capped as (
+  select c.* from corpus c
+  where c.bucket in (select bucket from corpus
+                     group by bucket having count(*) <= {max_bucket_df})
+)"""
+        src = "capped"
     return f"""
 with {_LSH_PARAMS_SQL},
 corpus as (
   select vec_id, embedding, {_bucket_sql('embedding')} as bucket from embeddings
-)
+){cap_cte}
 select distinct a.vec_id as vec_a, b.vec_id as vec_b,
        round({dot} / ({na} * {nb}), 6) as cosine
-from corpus a join corpus b on a.bucket = b.bucket and a.vec_id < b.vec_id
+from {src} a join {src} b on a.bucket = b.bucket and a.vec_id < b.vec_id
 where round({dot} / ({na} * {nb}), 6) >= {threshold}
 """
 
@@ -1566,5 +1588,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_cosine_topk": _cosine_oracle(),
         "sim_lsh_topk": _lsh_topk_oracle(),
-        "sim_near_dup": _near_dup_oracle(),
+        "sim_near_dup": _near_dup_oracle(max_bucket_df=SIM_MAX_BUCKET_DF),
     }

@@ -282,3 +282,43 @@ def test_near_dup_clusters_transitive_canonical(spark):
     assert got[1].is_canonical and not got[2].is_canonical
     assert not got[3].is_canonical
     assert got[9].cluster == 9 and got[9].is_canonical
+
+
+def test_embedding_near_dup_bucket_cap_bounds_degenerate_corpus(spark):
+    """A degenerate (all-near-identical) embedding corpus collapses into
+    ONE LSH bucket — uncapped, the self-join scores n(n-1)/2 pairs; with
+    max_bucket_df the hot bucket is dropped entirely (bounded candidate
+    count, recall traded and logged), mirroring the ngram/simhash
+    posting-list caps (r2 verdict item 2)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from xcrawl3r_spark.operators import simsearch
+
+    rng = np.random.RandomState(11)  # test-only data synthesis
+    n, dims = 60, 16
+    base = rng.normal(size=dims)
+    base /= np.linalg.norm(base)
+    rows = [
+        (i, [float(x) for x in base + 1e-4 * rng.normal(size=dims)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = simsearch.embedding_near_dup(emb, dims=dims, threshold=0.99)
+    assert uncapped.count() == n * (n - 1) // 2  # quadratic blowup
+    capped = simsearch.embedding_near_dup(
+        emb, dims=dims, threshold=0.99, max_bucket_df=16, log_dropped=True)
+    assert capped.count() == 0  # the one hot bucket exceeds the cap
+    # a mixed corpus: cap drops ONLY the hot bucket; spread vectors keep
+    # their within-bucket pairs (two exact duplicates far from `base`)
+    other = rng.normal(size=dims)
+    other /= np.linalg.norm(other)
+    if float(np.dot(other, base)) > 0:
+        other = -other  # ensure a different orthant from the hot cluster
+    rows2 = rows + [(1000, [float(x) for x in other]),
+                    (1001, [float(x) for x in other])]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    capped2 = simsearch.embedding_near_dup(
+        emb2, dims=dims, threshold=0.99, max_bucket_df=16, log_dropped=True)
+    got = {(r["vec_a"], r["vec_b"]) for r in capped2.collect()}
+    assert got == {(1000, 1001)}

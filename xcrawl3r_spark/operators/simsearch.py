@@ -142,13 +142,46 @@ def lsh_bucket_topk(
 def embedding_near_dup(
     embeddings: DataFrame, dims: int, threshold: float = 0.95,
     n_planes: int = N_PLANES,
+    max_bucket_df: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), LSH-blocked:
     only pairs sharing a bucket are scored (at web scale this is the
-    difference between a bucket join and an n^2 cross join)."""
+    difference between a bucket join and an n^2 cross join).
+
+    ``max_bucket_df`` caps the per-bucket document frequency — the same
+    posting-list control as ``dedupops.ngram_jaccard_pairs`` /
+    ``simhash_near_dup``. ``derive_n_planes`` keeps the EXPECTED bucket
+    size ~64, but a low-entropy corpus (many near-identical vectors —
+    exactly the near-dup use case) collapses into few buckets and the
+    in-bucket self-join goes quadratic; the cap drops only buckets whose
+    df exceeds it (recall < 1 for those, counted and logged via
+    ``log_dropped``). The df count is an unbounded window over
+    partitionBy(bucket) — the SAME hash shuffle the self-join needs, so
+    the cap adds no extra pass; one lazy DISK_ONLY checkpoint serves the
+    filter, the drop log, and both join sides (without it the expensive
+    bucket projection re-runs per consumer). None = exact within-bucket.
+    """
     base = embeddings.select(
         "vec_id", _vec_d("embedding").alias("v")
     ).withColumn("bucket", bucket_col(F.col("v"), dims, n_planes))
+    if max_bucket_df is not None:
+        from pyspark import StorageLevel
+
+        w = Window.partitionBy("bucket")
+        base = base.withColumn("df", F.count("*").over(w)).localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        if log_dropped:
+            import logging
+
+            n_dropped = (
+                base.filter(F.col("df") > max_bucket_df)
+                .agg(F.countDistinct("bucket")).first()[0]
+            )
+            logging.getLogger(__name__).info(
+                "embedding_near_dup: dropped %d buckets with df > %d",
+                n_dropped, max_bucket_df)
+        base = base.filter(F.col("df") <= max_bucket_df).drop("df")
     a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
     return (
