@@ -135,6 +135,62 @@ def phash64(pixels: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """Vectorized ``phash64`` over an (N, H, W, 3) uint8 stack -> int64[N].
+
+    Bit-identical to the per-image function (same float64 means, same
+    MSB-first bit packing); exists so the Arrow verify/feature stages can
+    hash a whole equal-dimension batch in one numpy pass instead of a
+    row-at-a-time Python loop (r2 verdict perf item)."""
+    n, h, w, _ = stack.shape
+    gray = stack.astype(np.float64).mean(axis=3)
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        gray = np.pad(gray, ((0, 0), (0, ph), (0, pw)), mode="edge")
+    bh, bw = gray.shape[1] // 8, gray.shape[2] // 8
+    blocks = gray.reshape(n, 8, bh, 8, bw).mean(axis=(2, 4))
+    bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    v = (bits.reshape(n, 64).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64)
+    return v.view(np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (hamming weight) for uint64/int64
+    arrays — numpy 1.x has no bit_count ufunc."""
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(x.shape[0], 64).sum(axis=1).astype(np.int64)
+    )
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized PSNR over matching (N, H, W, 3) stacks -> float64[N]
+    (inf where identical), same arithmetic as ``psnr``."""
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean(
+        axis=(1, 2, 3))
+    out = np.full(mse.shape, np.inf)
+    nz = mse > 0
+    out[nz] = 20.0 * np.log10(255.0) - 10.0 * np.log10(mse[nz])
+    return out
+
+
+def synth_pixels_batch(ids, w: int, h: int) -> np.ndarray:
+    """Vectorized ``synth_pixels`` for N ids at one (w, h) ->
+    (N, h, w, 3) uint8, bit-identical to the per-id function (integer
+    arithmetic throughout — no float intermediates)."""
+    seeds = np.array([zlib.crc32(i.encode()) & 0xFFFFFFFF for i in ids],
+                     dtype=np.int64)
+    yy, xx = np.mgrid[0:h, 0:w]
+    gx = xx * 255 // max(w - 1, 1)
+    gy = yy * 255 // max(h - 1, 1)
+    r = (gx[None] + (seeds % 97)[:, None, None]) % 256
+    g = (gy[None] + (seeds % 89)[:, None, None]) % 256
+    b = ((xx + yy)[None] + seeds[:, None, None]) % 256
+    return np.stack([r, g, b], axis=3).astype(np.uint8)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0:

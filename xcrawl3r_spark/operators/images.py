@@ -25,9 +25,10 @@ from pyspark.sql import DataFrame
 
 from xcrawl3r_spark.functions.imagecodec import (
     decode_image,
-    phash64,
-    psnr,
-    synth_pixels,
+    phash64_batch,
+    popcount64,
+    psnr_batch,
+    synth_pixels_batch,
 )
 
 VERIFY_SCHEMA = (
@@ -43,13 +44,6 @@ LINEAGE_SCHEMA = "part_id int, n_rows long, n_ok long, stage string"
 def _verify_batches_carry(carry: tuple[str, ...],
                           expected_caption: str | None = None,
                           synthetic_pixel_check: bool = True):
-    def _caption_ok(r) -> bool:
-        if expected_caption is not None:
-            return getattr(r, expected_caption) is not None and \
-                r.caption == getattr(r, expected_caption)
-        # synthetic-corpus fallback: the generator's caption convention
-        return r.caption == f"caption for {r.image_id}"
-
     def _verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tc = TaskContext.get()
         part_id = tc.partitionId() if tc is not None else -1
@@ -59,57 +53,113 @@ def _verify_batches_carry(carry: tuple[str, ...],
             "phash_ok", "psnr_db", "pixel_ok", "caption_ok", "part_id",
         ]
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                extra = tuple(getattr(r, c) for c in carry)
-                if r.bytes is None or r.fmt is None:
-                    # payload never fetched (absent from the payload table)
-                    rows.append(extra + (r.image_id, r.w, r.h, r.fmt,
-                                         r.caption, r.phash,
-                                         None, None, None, None, False, None,
-                                         False, False, part_id))
-                    continue
-                try:
-                    pixels = decode_image(r.bytes, r.fmt)
-                except (ValueError, NotImplementedError):
-                    rows.append(extra + (r.image_id, r.w, r.h, r.fmt,
-                                         r.caption, r.phash,
-                                         None, None, None, None, False, None,
-                                         False, False, part_id))
-                    continue
-                dh, dw = pixels.shape[:2]
-                lossless = r.fmt == "png"
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame([], columns=cols)
+                continue
+            ids = pdf["image_id"].tolist()
+            fmts = pdf["fmt"].tolist()
+            ws, hs = pdf["w"].tolist(), pdf["h"].tolist()
+            phashes = pdf["phash"].tolist()
+            # per-row CODEC boundary only: variable-length zlib payloads
+            # can't stack. All math below runs batched per dimension group.
+            decoded: list = []
+            for bts, fmt in zip(pdf["bytes"].tolist(), fmts):
+                px = None
+                if bts is not None and fmt is not None:
+                    try:
+                        px = decode_image(bts, fmt)
+                    except (ValueError, NotImplementedError):
+                        px = None
+                decoded.append(px)
+            # defaults = the unfetched/undecodable row shape
+            dec_w: list = [None] * n
+            dec_h: list = [None] * n
+            ph_rec: list = [None] * n
+            ph_ham: list = [None] * n
+            ph_ok = [False] * n
+            psnr_db: list = [None] * n
+            pix_ok = [False] * n
+            cap_ok = [False] * n
+            # caption equality, vectorized (applied to decoded rows only —
+            # undecodable rows stay False like every other invariant)
+            if expected_caption is not None:
+                exp = pdf[expected_caption]
+                cap_all = (exp.notna() & (pdf["caption"] == exp)).tolist()
+            else:
+                # synthetic-corpus fallback: the generator's caption
+                # convention (fillna: absent-payload rows have a null
+                # image_id; they're undecodable so cap_all is never read
+                # for them, but str + None would throw in the vector add)
+                cap_all = (
+                    pdf["caption"]
+                    == ("caption for " + pdf["image_id"].fillna(""))
+                ).tolist()
+            # group decodable rows by (decoded dims, carried dims): within
+            # a group every stack/ref/psnr/phash op is one numpy pass —
+            # the r2 row-at-a-time itertuples loop spent ~ms/row on numpy
+            # call overhead for what is per-batch math
+            groups: dict[tuple, list[int]] = {}
+            for i, px in enumerate(decoded):
+                if px is not None:
+                    groups.setdefault(
+                        (px.shape[0], px.shape[1], ws[i], hs[i]), []
+                    ).append(i)
+            for (dh, dw, rw, rh), idxs in groups.items():
+                stack = np.stack([decoded[i] for i in idxs])
+                ph_arr = phash64_batch(stack)
+                carried = np.array([int(phashes[i]) for i in idxs],
+                                   dtype=np.int64)
+                ham = popcount64(ph_arr.view(np.uint64)
+                                 ^ carried.view(np.uint64))
+                lossless = np.array([fmts[i] == "png" for i in idxs])
+                # perceptual-hash invariant: exact for lossless; a lossy
+                # codec may flip a few low-signal bits -> hamming tol 4
+                okph = np.where(lossless, ham == 0, ham <= 4)
+                p: np.ndarray | None
                 if synthetic_pixel_check:
                     # synthetic-corpus ground truth: regenerate the pixels
                     # (only possible because the test corpus is generated)
-                    ref = synth_pixels(r.image_id, r.w, r.h)
-                    if ref.shape == pixels.shape:
-                        p = psnr(ref, pixels)
-                        pixel_ok = bool(
-                            np.array_equal(ref, pixels) if lossless
-                            else p >= 40.0
-                        )
+                    if (dh, dw) == (rh, rw):
+                        ref = synth_pixels_batch([ids[i] for i in idxs],
+                                                 rw, rh)
+                        p = psnr_batch(ref, stack)
+                        eq = (ref == stack).all(axis=(1, 2, 3))
+                        okpix = np.where(lossless, eq, p >= 40.0)
                     else:
-                        p, pixel_ok = 0.0, False
+                        p = np.zeros(len(idxs))
+                        okpix = np.zeros(len(idxs), dtype=bool)
                 else:
                     # general corpus: the payload-carried phash + dims are
                     # the ground truth (no regenerable reference pixels)
-                    p, pixel_ok = None, True
-                ph = phash64(pixels)
-                # perceptual-hash invariant: exact for lossless; a lossy
-                # codec may flip a few low-signal bits -> hamming tol 4
-                hamming = bin((ph ^ r.phash) & ((1 << 64) - 1)).count("1")
-                phash_ok = hamming == 0 if lossless else hamming <= 4
-                if not synthetic_pixel_check:
-                    pixel_ok = phash_ok
-                rows.append(extra + (
-                    r.image_id, r.w, r.h, r.fmt, r.caption, r.phash,
-                    dw, dh, ph, hamming, phash_ok,
-                    None if p == float("inf") else p,
-                    pixel_ok and dw == r.w and dh == r.h, _caption_ok(r),
-                    part_id,
-                ))
-            yield pd.DataFrame(rows, columns=cols)
+                    p = None
+                    okpix = okph
+                dims_ok = dw == rw and dh == rh
+                for j, i in enumerate(idxs):
+                    dec_w[i], dec_h[i] = dw, dh
+                    ph_rec[i] = int(ph_arr[j])
+                    ph_ham[i] = int(ham[j])
+                    ph_ok[i] = bool(okph[j])
+                    if p is not None:
+                        psnr_db[i] = None if np.isinf(p[j]) else float(p[j])
+                    pix_ok[i] = bool(okpix[j]) and dims_ok
+                    cap_ok[i] = bool(cap_all[i])
+            # reset_index: list-valued columns align positionally, so the
+            # passthrough Series must too (batch frames usually carry a
+            # clean RangeIndex, but that's not contractual)
+            base = pdf.reset_index(drop=True)
+            data = {c: base[c] for c in carry}
+            data.update({
+                "image_id": base["image_id"], "w": base["w"], "h": base["h"],
+                "fmt": base["fmt"], "caption": base["caption"],
+                "phash": base["phash"],
+                "decoded_w": dec_w, "decoded_h": dec_h,
+                "phash_recomputed": ph_rec, "phash_hamming": ph_ham,
+                "phash_ok": ph_ok, "psnr_db": psnr_db,
+                "pixel_ok": pix_ok, "caption_ok": cap_ok,
+                "part_id": part_id,
+            })
+            yield pd.DataFrame(data, columns=cols)
 
     return _verify_batches
 

@@ -149,26 +149,46 @@ def _shipped(df: DataFrame) -> DataFrame:
 
 
 def image_features(images: DataFrame) -> DataFrame:
-    """(image_id, bytes, fmt) -> per-channel stats + phash (real)."""
+    """(image_id, bytes, fmt) -> per-channel stats + phash (real).
+
+    Decode stays a per-row codec call (variable-length zlib); the stats
+    and phash math runs numpy-batched per dimension group — the same
+    vectorization as operators/images.py's verify stage."""
+    from xcrawl3r_spark.functions.imagecodec import phash64_batch
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
+        cols = ["image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
+                "std_gray", "phash", "part_id"]
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
+            decoded, keep = [], []
+            for i, (bts, fmt) in enumerate(
+                    zip(pdf["bytes"].tolist(), pdf["fmt"].tolist())):
                 try:
-                    px = decode_image(r.bytes, r.fmt)
+                    decoded.append(decode_image(bts, fmt))
+                    keep.append(i)
                 except (ValueError, NotImplementedError):
                     continue
-                gray = px.astype(np.float64).mean(axis=2)
-                rows.append((r.image_id, px.shape[1], px.shape[0], r.fmt,
-                             float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
-                             float(px[:, :, 2].mean()), float(gray.std()),
-                             phash64(px), pid))
-            yield pd.DataFrame(rows, columns=[
-                "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
-                "std_gray", "phash", "part_id"])
+            groups: dict[tuple, list[int]] = {}
+            for j, px in enumerate(decoded):
+                groups.setdefault(px.shape[:2], []).append(j)
+            ids = pdf["image_id"].tolist()
+            fmts = pdf["fmt"].tolist()
+            rows = []
+            for (h, w), js in groups.items():
+                stack = np.stack([decoded[j] for j in js])
+                fl = stack.astype(np.float64)
+                means = fl.mean(axis=(1, 2))            # (N, 3)
+                stds = fl.mean(axis=3).std(axis=(1, 2))  # gray std per image
+                phs = phash64_batch(stack)
+                for k, j in enumerate(js):
+                    i = keep[j]
+                    rows.append((ids[i], w, h, fmts[i],
+                                 float(means[k, 0]), float(means[k, 1]),
+                                 float(means[k, 2]), float(stds[k]),
+                                 int(phs[k]), pid))
+            yield pd.DataFrame(rows, columns=cols)
 
     return _shipped(images).select("image_id", "bytes", "fmt").mapInPandas(
         gen, IMAGE_FEATURES_SCHEMA)

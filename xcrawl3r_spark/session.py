@@ -34,7 +34,17 @@ def build_pkg_zip(dest: str | None = None, force: bool = False) -> str:
         raise RuntimeError(
             f"cannot locate package source for zipping: {pkgdir}")
     root = os.path.dirname(pkgdir)
-    zpath = dest or os.path.join(tempfile.gettempdir(), "xcrawl3r_spark_pkg.zip")
+    # the default zip path is keyed by the package's source root: two
+    # checkouts (e.g. a git worktree of an old rev for an A/B bench next
+    # to the live repo) must not share one zip — the newer-checkout
+    # rebuild has a fresh mtime, so the other checkout's staleness check
+    # passes and it silently ships the WRONG code to executors (found by
+    # the /verify drive: AttributeError on a just-added function).
+    import hashlib
+
+    tag = hashlib.md5(root.encode()).hexdigest()[:8]
+    zpath = dest or os.path.join(
+        tempfile.gettempdir(), f"xcrawl3r_spark_pkg_{tag}.zip")
     # a cached zip is stale the moment any package module is newer than it
     # (a stale zip ships silently and workers ModuleNotFoundError on any
     # module added since — caught by the /verify drive, keep this check)
