@@ -108,6 +108,27 @@ def test_http_fetch_injects_headers(spark, http_site):
         assert hdrs.get("User-Agent") == "xcrawl3r-spark"
 
 
+def test_http_fetch_referer_and_default_ua(spark, http_site):
+    """extensions.Referer (xcrawl3r.go:307) + the CLI's default identity
+    UA (main.go:259-265): followed links carry the discovering page as
+    Referer; seeds (no discovering page) send none; with no configured
+    User-Agent the default one is sent."""
+    from xcrawl3r_spark.operators.fetch import DEFAULT_USER_AGENT
+
+    _Handler.site = _chain_site(http_site)
+    seeds = spark.createDataFrame(
+        [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+    Crawler(spark, _cfg()).crawl(seeds)
+    by_path = {p: h for p, h in _Handler.requests}
+    assert "Referer" not in by_path["/p/0"]            # seed: no source page
+    assert by_path["/p/1"]["Referer"] == f"{http_site}/p/0"
+    # /p/2 is discovered from BOTH /p/0 and /p/1 but dedups to its first
+    # (depth-min, deterministic) discovery — referer is the depth-1 page
+    assert by_path["/p/2"]["Referer"] == f"{http_site}/p/0"
+    for hdrs in by_path.values():
+        assert hdrs["User-Agent"] == DEFAULT_USER_AGENT
+
+
 def test_http_fetch_timeout_becomes_error_row(spark, http_site):
     """Timeouts are per-row error captures (never task failures): /slow
     sleeps past cfg.timeout, lands in errors, and the crawl continues."""

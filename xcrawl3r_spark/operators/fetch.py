@@ -53,6 +53,15 @@ FETCH_FIELDS = [
     StructField("status", IntegerType()),
 ]
 
+#: default User-Agent when cfg.headers sets none — the analog of the
+#: reference CLI's always-appended identity header
+#: "<name> <version> (repo url)" (cmd/xcrawl3r/main.go:259-265; user
+#: headers are appended after it, so an explicit UA overrides).
+DEFAULT_USER_AGENT = (
+    "xcrawl3r_spark (compatible; xcrawl3r 1.2.0 "
+    "https://github.com/hueristiq/xcrawl3r)"
+)
+
 
 def parse_header_lines(headers: list[str]) -> list[tuple[str, str]]:
     """"Name: value" strings -> header pairs; malformed lines (no colon)
@@ -72,9 +81,18 @@ def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
     status columns. Stdlib-only (urllib) so executors need no extra
     packages."""
     headers = parse_header_lines(cfg.headers)
+    if not any(k.lower() == "user-agent" for k, _ in headers):
+        headers.append(("User-Agent", DEFAULT_USER_AGENT))
     timeout = max(1, int(cfg.timeout))
     proxies = [p for p in (cfg.proxies or []) if p]
     workers = max(1, int(cfg.concurrency))
+    # Referer = the page the link was found on (extensions.Referer,
+    # pkg/xcrawl3r/xcrawl3r.go:307). The frontier carries src_url; rows
+    # without one (seeds, replayed frontiers) send no Referer, and the
+    # extension overrides an explicit Referer header when a source page
+    # IS known — matching the reference's registration order (the
+    # extension hooks after the header-injection callback).
+    has_src = "src_url" in df.columns
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import urllib.error
@@ -83,10 +101,13 @@ def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
 
         rr = itertools.count()  # per-task proxy round-robin (xcrawl3r.go:332)
 
-        def one(url: str) -> tuple:
+        def one(url: str, referer: str | None = None) -> tuple:
             req = urllib.request.Request(url)
             for k, v in headers:
                 req.add_header(k, v)
+            if referer is not None:
+                req.remove_header("Referer")
+                req.add_header("Referer", referer)
             handlers = []
             if proxies:
                 p = proxies[next(rr) % len(proxies)]
@@ -107,8 +128,14 @@ def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
         for pdf in batches:
             out = pdf.copy()
             if len(pdf):
+                urls = pdf["url"].astype(str)
+                refs = (
+                    [r if isinstance(r, str) else None
+                     for r in pdf["src_url"].tolist()]
+                    if has_src else [None] * len(pdf)
+                )
                 with ThreadPoolExecutor(max_workers=workers) as ex:
-                    res = list(ex.map(one, pdf["url"].astype(str)))
+                    res = list(ex.map(one, urls, refs))
             else:
                 res = []
             out["content_type"] = pd.Series(

@@ -56,7 +56,7 @@ from xcrawl3r_spark.sinks.tables import (
 )
 
 FRONTIER_COLS = ["seed_id", "url", "url_hash", "dedup_key", "host", "depth",
-                 "disc_iter"]
+                 "disc_iter", "src_url"]
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
@@ -195,6 +195,9 @@ class Crawler:
             base.select("seed_id", F.explode(targets).alias("url"))
             .withColumn("depth", F.lit(1))
             .withColumn("disc_iter", F.lit(0))
+            # seeds have no discovering page -> no Referer for them
+            # (extensions.Referer only fires on followed links)
+            .withColumn("src_url", F.lit(None).cast("string"))
         )
         return self._with_keys(exploded).select(*FRONTIER_COLS)
 
@@ -280,6 +283,11 @@ class Crawler:
 
         if initial_frontier is not None:
             frontier = initial_frontier
+            if "src_url" not in frontier.columns:
+                # frontiers built before the Referer column existed (old
+                # snapshots, replay harnesses) — no discovering page known
+                frontier = frontier.withColumn(
+                    "src_url", F.lit(None).cast("string"))
         else:
             # seeds pass through the same scope gate as everything else
             # (colly URLFilters applies to seed visits too, xcrawl3r.go:273)
@@ -341,7 +349,8 @@ class Crawler:
             cand = (
                 frontier.groupBy("dedup_key")
                 .agg(F.min(F.struct("depth", "disc_iter", "seed_id", "url",
-                                    "url_hash", "host")).alias("_s"))
+                                    "url_hash", "host", "src_url"))
+                     .alias("_s"))
                 .select("dedup_key", "_s.*")
             )
             # (2-5) seen anti-join -> media/robots flags -> politeness
@@ -460,6 +469,9 @@ class Crawler:
             # plus politeness overflow (same depth, just delayed)
             child = extracted.select(
                 "seed_id", F.col("url"), (F.col("depth") + 1).alias("depth"),
+                # the discovering page -> next fetch's Referer
+                # (extensions.Referer, xcrawl3r.go:307)
+                F.col("src_url"),
             ).withColumn("disc_iter", F.lit(it))
             if cfg.depth > 0:
                 child = child.filter(F.col("depth") <= cfg.depth)
