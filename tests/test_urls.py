@@ -179,6 +179,30 @@ class TestRegexExtraction:
         assert U.extract_urls_regex("x https://a.b.test/p y") == [
             "https://a.b.test/p"]
 
+    def test_extract_full_tld_floor(self):
+        """r2 verdict item 6: the scheme-less branch now carries the full
+        public TLD set — sponsored gTLDs (.museum/.travel/.aero), any
+        ccTLD (not just the old ~70-entry subset), and new-program gTLDs
+        — so css/js tokens the reference's IANA-complete extractor finds
+        are no longer missed."""
+        assert U.extract_urls_regex("visit foo.museum/exhibits now") == [
+            "foo.museum/exhibits"]
+        assert U.extract_urls_regex("x nav.travel/deals y cdn.aero z") == [
+            "nav.travel/deals", "cdn.aero"]
+        # ccTLDs outside the old subset
+        assert U.extract_urls_regex("a.rs b.ke c.vn d.ee") == [
+            "a.rs", "b.ke", "c.vn", "d.ee"]
+        assert U.extract_urls_regex("url(static.site.co.za/x.png)") == [
+            "static.site.co.za/x.png"]
+        # new-gTLD forms
+        assert U.extract_urls_regex("see docs.page/x and my.blog") == [
+            "docs.page/x", "my.blog"]
+        # prefix TLDs disambiguate via the word boundary: .co vs .com
+        assert U.extract_urls_regex("go shop.co and shop.com now") == [
+            "shop.co", "shop.com"]
+        # still no file-ext false positives
+        assert U.extract_urls_regex("load a.css b.json c.yaml") == []
+
     def test_schemeless_resolution_matches_reference(self):
         """The reference resolves extracted tokens with colly's
         Request.AbsoluteURL (xcrawl3r.go:111): a scheme-less token is a
