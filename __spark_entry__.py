@@ -1077,21 +1077,25 @@ def _repetition_oracle() -> str:
 
 def _corpus_clean_oracle() -> str:
     """The corpus_clean composite assembled from the SAME SQL pieces its
-    stages are individually checked with."""
+    stages are individually checked with. r3 semantic bump: the near-dup
+    stage keeps CLUSTER CANONICALS (recursive-CTE closure of the LSH
+    pairs, min-id per component) instead of dropping raw-pair doc_b's —
+    same closure SQL the dedup_clusters gate uses."""
     return f"""
 with keep as (
   select min(doc_id) as doc_id
   from (select doc_id, {md5_long_sql(_NORM_TEXT_SQL)} as fp from documents)
   group by fp
 ), gq as ({_gopher_oracle()}),
-nd as (select distinct doc_b as doc_id from ({_minhash_oracle()})),
+canon as (select doc_id from ({_clusters_oracle()}) c where c.is_canonical),
 lang as ({_langid_oracle()})
 select d.doc_id, gq.n_words, gq.mean_word_len, lang.lang_pred
 from documents d
 join keep using (doc_id)
 join gq using (doc_id)
+join canon using (doc_id)
 join lang using (doc_id)
-where gq.passes and d.doc_id not in (select doc_id from nd)
+where gq.passes
 """
 
 

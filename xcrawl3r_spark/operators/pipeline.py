@@ -6,10 +6,13 @@ Stages (all lazy; Catalyst sees ONE plan):
  1. exact dedup  — keep the min-doc_id representative per content hash;
  2. Gopher rules — drop documents failing the Rae et al. 2021 quality
     rules (gopher_quality.passes);
- 3. near-dup removal — MinHash+LSH candidate pairs; of each pair the
-    larger doc_id is dropped (deterministic keep-smallest rule — the
-    cheap stand-in for connected-component clustering, which needs an
-    iterative algorithm; documented divergence);
+ 3. near-dup removal — MinHash+LSH pairs transitively closed into
+    clusters; only each cluster's canonical (min doc_id) survives
+    (dedupops.near_dup_clusters — the same removal semantic as
+    corpus_curate. CHANGED in r3: earlier versions dropped the larger
+    doc_id of each raw pair, which under-removes transitively-connected
+    duplicates that never share a bucket; both composites now share the
+    principled cluster semantic);
  4. language-ID — annotate survivors with the marker-heuristic lang_pred.
 
 Everything is a composition of already-oracle-checked operators, and the
@@ -43,9 +46,13 @@ def corpus_clean(docs: DataFrame) -> DataFrame:
         .select("doc_id")
     )
     gq = textops.gopher_quality(docs)
+    # drop = cluster NON-canonicals (the near-dup losers) — the small
+    # side at corpus scale (canonicals are ~the whole corpus; their
+    # complement is only the docs that lost their cluster), so the
+    # anti-join side stays broadcastable
     near_drops = (
-        dedupops.minhash_lsh_pairs(docs)
-        .select(F.col("doc_b").alias("doc_id")).distinct()
+        dedupops.near_dup_clusters(docs)
+        .filter(~F.col("is_canonical")).select("doc_id")
     )
     lang = textops.lang_id(docs).select("doc_id", "lang_pred")
     return (
