@@ -99,3 +99,26 @@ def test_components_raises_when_unconverged(spark):
         [(i, i + 1) for i in range(39)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, max_iters=2, driver_threshold=0)
+
+
+def test_pagerank_dangling_redistribute(spark):
+    """dangling="redistribute": out-degree-0 mass is spread uniformly
+    each round, so total rank stays near n*SCALE (minus only integer
+    floor loss), while the drop variant leaks the dangling mass; both
+    stay deterministic across shuffles."""
+    from xcrawl3r_spark.operators.graph import SCALE, pagerank
+
+    # star: 1 -> {2,3,4}; 2,3,4 are dangling leaves (the crawl shape)
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    drop = {r["id"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    red = {r["id"]: r["rank"]
+           for r in pagerank(e, iters=3, dangling="redistribute").collect()}
+    assert set(drop) == set(red) == {1, 2, 3, 4}
+    assert sum(red.values()) > sum(drop.values())  # leaked mass recovered
+    # redistribution conserves mass up to integer floor loss per round
+    assert sum(red.values()) > 4 * SCALE - 4 * 3 * 2  # n*(iters)*ulp slack
+    assert red[2] == red[3] == red[4]                 # symmetry
+    again = {r["id"]: r["rank"]
+             for r in pagerank(e, iters=3, dangling="redistribute").collect()}
+    assert again == red                               # deterministic

@@ -34,6 +34,7 @@ SCALE = 1_000_000  # micro-rank fixed point: 10^6 == rank 1.0
 def pagerank(
     edges: DataFrame, iters: int = 3, damping_pct: int = 85,
     src: str = "src", dst: str = "dst", checkpoint_every: int = 0,
+    dangling: str = "drop",
 ) -> DataFrame:
     """(src, dst) edge list -> (id, rank) in micro-rank units.
 
@@ -41,15 +42,30 @@ def pagerank(
         rank_{i+1}(v) = (100 - damping_pct)% * SCALE
                         + sum over in-edges (u,v) of
                           (rank_i(u) * damping_pct) div (100 * outdeg(u))
+                        [+ dangling share, see below]
 
     All integer arithmetic (div = floor division), so results are
-    engine- and partitioning-independent. Dangling nodes keep the base
-    term only (their mass is dropped, the simple variant — documented).
+    engine- and partitioning-independent.
+
+    ``dangling``:
+    - ``"drop"`` (default): dangling nodes keep the base term only —
+      their mass leaves the system (the simple variant).
+    - ``"redistribute"``: each round the summed rank of out-degree-0
+      nodes is spread uniformly: every node additionally receives
+      (dangling_sum * damping_pct) div (100 * n_nodes). Crawl host
+      graphs are dangling-heavy (leaf pages), where the drop variant
+      deflates every score. The share rides the plan as a broadcast
+      1-row aggregate (crossJoin of a scalar frame — no driver
+      collect, the plan stays lazy); integer sums keep it
+      deterministic. Overflow bound: dangling_sum * damping_pct must
+      stay under 2^63 — holds to ~10^14 micro-rank nodes.
 
     ``checkpoint_every``: DISK_ONLY-checkpoint the rank table every k
     rounds to cut plan depth on long runs (0 = off; the unrolled plan is
     fine for small ``iters``).
     """
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be drop|redistribute: {dangling!r}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -59,6 +75,10 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = (100 - damping_pct) * SCALE // 100
     rank = nodes.withColumn("rank", F.lit(SCALE).cast("long"))
+    if dangling == "redistribute":
+        n_nodes = nodes.agg(F.count("*").alias("n_nodes"))  # 1-row frame
+        dangling_ids = nodes.join(
+            outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
     for i in range(iters):
         contrib = (
             e.join(rank.withColumnRenamed("id", "src"), "src")
@@ -71,14 +91,18 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("in_mass"))
         )
-        rank = (
-            nodes.join(contrib, "id", "left")
-            .select(
-                "id",
-                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0)))
-                .cast("long").alias("rank"),
+        gain = F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))
+        stepped = nodes.join(contrib, "id", "left")
+        if dangling == "redistribute":
+            dsum = (
+                rank.join(dangling_ids, "id")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dmass"))
             )
-        )
+            scalars = F.broadcast(dsum.crossJoin(n_nodes))
+            stepped = stepped.crossJoin(scalars)
+            gain = gain + F.expr(
+                f"(dmass * {damping_pct}) div (100 * n_nodes)")
+        rank = stepped.select("id", gain.cast("long").alias("rank"))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             rank = rank.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.DISK_ONLY)
