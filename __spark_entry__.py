@@ -459,6 +459,18 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(_events_edges(spark, sf_dir), iters=3)
 
 
+def q_graph_pagerank_dangling(spark, sf_dir):
+    """PageRank with per-round uniform redistribution of dangling mass —
+    the variant crawl host graphs want (leaf pages are dangling-heavy;
+    the events edge graph's 500 dst buckets are ALL dangling, so this
+    exercises the share on every node). Same integer fixed-point
+    determinism; oracle adds the share term to the unrolled SQL."""
+    from xcrawl3r_spark.operators.graph import pagerank
+
+    return pagerank(_events_edges(spark, sf_dir), iters=3,
+                    dangling="redistribute")
+
+
 def q_graph_components(spark, sf_dir):
     """Min-label connected components (deterministic: labels are ids);
     oracle is a recursive-CTE reachability closure."""
@@ -492,6 +504,25 @@ def q_corpus_curate(spark, sf_dir):
     from xcrawl3r_spark.operators.pipeline import corpus_curate
 
     return corpus_curate(_t_wide(spark, sf_dir, "documents"), budget=1000)
+
+
+def q_stream_dedup_state(spark, sf_dir):
+    """§2.8 stateful dedup, driver-pinned: the applyInPandasWithState
+    group logic (first occurrence per url_hash, bucket-sharded state) run
+    as one batch micro-batch via applyInPandas. Keyed with the
+    cross-engine md5 hash so the DuckDB oracle reproduces hashes and
+    buckets exactly; urls are built to collide (doc_id % 211) so the
+    dedup actually dedups."""
+    from xcrawl3r_spark.streaming import stateful
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 211).cast("string"),
+                 F.lit(".test/p")).alias("url"))
+    keyed = urls.select(
+        "url", md5_long(F.col("url")).alias("url_hash")
+    ).withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(64)))
+    return stateful.dedup_state_machine_batch(keyed)
 
 
 def q_stream_windowed_metrics(spark, sf_dir):
@@ -743,11 +774,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_full_probe": q_sim_ivf_full_probe,
         "sim_near_dup": q_sim_near_dup,
         "audio_features": q_audio_features,
+        "stream_dedup_state": q_stream_dedup_state,
         "stream_windowed_metrics": q_stream_windowed_metrics,
         "stream_sessionize": q_stream_sessionize,
         "corpus_clean": q_corpus_clean,
         "corpus_curate": q_corpus_curate,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_dangling": q_graph_pagerank_dangling,
         "graph_components": q_graph_components,
     }
 
@@ -1104,15 +1137,27 @@ _EDGES_SQL = (
 )
 
 
-def _pagerank_oracle(iters: int = 3) -> str:
+def _pagerank_oracle(iters: int = 3, dangling: bool = False) -> str:
     """Unrolled integer fixed-point PageRank — all sums cast to BIGINT
-    (HUGEINT degrades on the driver's pandas fetch)."""
+    (HUGEINT degrades on the driver's pandas fetch). ``dangling=True``
+    adds the per-round uniform redistribution of out-degree-0 mass,
+    mirroring pagerank(dangling="redistribute")'s integer share."""
     sql = f"""
 with e as ({_EDGES_SQL}),
 nodes as (select src as id from e union select dst from e),
+ncnt as (select cast(count(*) as bigint) as n from nodes),
 outdeg as (select src, count(*) as d from e group by src),
 r0 as (select id, cast(1000000 as bigint) as rank from nodes)"""
     for i in range(iters):
+        share = ""
+        if dangling:
+            sql += f""",
+d{i} as (
+  select cast(coalesce(sum(rank), 0) as bigint) as dmass from r{i}
+  where id not in (select src from e)
+)"""
+            share = (f" + (select (dmass * 85) // (100 * nn.n)"
+                     f" from d{i}, ncnt nn)")
         sql += f""",
 c{i + 1} as (
   select e.dst as id,
@@ -1123,7 +1168,8 @@ c{i + 1} as (
   group by e.dst
 ),
 r{i + 1} as (
-  select n.id, cast(150000 + coalesce(c{i + 1}.s, 0) as bigint) as rank
+  select n.id,
+         cast(150000 + coalesce(c{i + 1}.s, 0){share} as bigint) as rank
   from nodes n left join c{i + 1} on c{i + 1}.id = n.id
 )"""
     return sql + f"\nselect id, rank from r{iters}"
@@ -1473,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": _corpus_clean_oracle(),
         "corpus_curate": _corpus_curate_oracle(budget=1000),
         "graph_pagerank": _pagerank_oracle(),
+        "graph_pagerank_dangling": _pagerank_oracle(dangling=True),
         "graph_components": _COMPONENTS_ORACLE,
         "text_langid": _langid_oracle(),
         "text_fingerprint": f"""
@@ -1548,6 +1595,17 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() over (partition by source
                         order by score desc, term) as int) as rk
             from scored qualify rk <= 5
+        """,
+        "stream_dedup_state": f"""
+            with u as (
+              select distinct concat('https://h', doc_id % 211, '.test/p')
+                     as url
+              from documents
+            )
+            select {md5_long_sql('url')} % 64 as bucket,
+                   url,
+                   {md5_long_sql('url')} as url_hash
+            from u
         """,
         # 1-hour tumbling windows align on the hour in both engines
         # (Spark windows are epoch-aligned; time_bucket buckets on the hour)

@@ -78,6 +78,31 @@ def dedup_stream_batch_equiv(urls: DataFrame) -> DataFrame:
     )
 
 
+def dedup_state_machine_batch(keyed: DataFrame) -> DataFrame:
+    """Run the stateful operator's EXACT group logic (``_dedup_one_group``
+    — the code ``applyInPandasWithState`` executes per bucket) over a
+    static (bucket, url, url_hash) frame via ``applyInPandas``: one
+    micro-batch against empty state.
+
+    This is the driver-gate twin that pins the stateful semantic with a
+    SQL oracle (r2 verdict item 9): the emitted set equals
+    distinct-by-hash, which SQL expresses directly. Deterministic as long
+    as equal hashes come from equal urls (true for any real url keying —
+    the hash is a function of the url)."""
+
+    class _EmptyState:
+        exists = False
+        get = None
+
+        def update(self, value):  # state dies with the batch
+            pass
+
+    def one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return next(_dedup_one_group(key, iter([pdf]), _EmptyState()))
+
+    return keyed.groupBy("bucket").applyInPandas(one, OUT_SCHEMA)
+
+
 def host_budget_stream(
     urls: DataFrame, budget: int, n_buckets: int = 64,
     lifetime_cap: int | None = None,
