@@ -153,6 +153,72 @@ def run_crawl(spark, params=None, cfg=None, with_payloads=False):
     return best[0], best[1]
 
 
+def run_crawl_http(spark, n_pages=512, fanout=8):
+    """S4 on the hot path: crawl a localhost fixture site over REAL HTTP
+    (fetch_mode="http" — the Arrow-batched urllib stage with Referer/UA,
+    per-row error capture). Fixed page count and a local server keep the
+    number deterministic and network-noise-free, so fetch-stage
+    regressions are visible without polluting the headline crawl (which
+    stays on the deterministic pages-join double).
+
+    Site shape: /p/0 fans out to /p/{8i+1..8i+8} — a depth-~3 BFS tree,
+    so the metric is dominated by the fetch stage, not per-iteration
+    driver overhead. Returns (pages_fetched, seconds)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from xcrawl3r_spark.plans.crawl import Crawler
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            try:
+                i = int(self.path.rsplit("/", 1)[1])
+            except ValueError:
+                i = -1
+            if 0 <= i < n_pages:
+                links = "".join(
+                    f'<a href="/p/{j}">l</a>'
+                    for j in range(fanout * i + 1, fanout * i + 1 + fanout)
+                    if j < n_pages)
+                data = f"<html><body>{links}</body></html>".encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+            else:
+                data = b"nf"
+                self.send_response(404)
+                self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    server.daemon_threads = True
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    try:
+        cfg = _crawl_cfg(fetch_mode="http", expand_seeds=False,
+                         bloom_enabled=False, domains=["127.0.0.1"],
+                         include_subdomains=False, concurrency=32)
+        seeds = spark.createDataFrame(
+            [("s0", f"{base}/p/0")], "seed_id string, url string")
+        reps = int(os.environ.get("BENCH_CRAWL_REPS", "2"))
+        best = None
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            res = Crawler(spark, cfg).crawl(seeds)
+            n = res.seen.count()
+            dt = time.perf_counter() - t0
+            assert n == n_pages, f"http crawl fetched {n}, want {n_pages}"
+            if best is None or dt < best[1]:
+                best = (n, dt)
+        return best
+    finally:
+        server.shutdown()
+
+
 def _one_replay(spark, p):
     from pyspark.sql import functions as F
 
@@ -295,6 +361,8 @@ def main() -> None:
             spark, params=G.GraphParams(hosts=50, pages_per_host=200),
             with_payloads=True)
         timings["crawl_images_e2e"] = round(img_sec, 3)
+        n_http, http_sec = run_crawl_http(spark)
+        timings["crawl_http_e2e"] = round(http_sec, 3)
 
         result = {
             "metric": "headline_total",
@@ -306,6 +374,8 @@ def main() -> None:
             "crawl_urls_per_sec": urls_per_sec,
             "crawl_images_verified": n_img,
             "crawl_images_per_sec": round(n_img / img_sec, 1),
+            "crawl_http_pages": n_http,
+            "crawl_http_pages_per_sec": round(n_http / http_sec, 1),
         }
         if scaling:
             spark.stop()
