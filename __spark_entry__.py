@@ -471,6 +471,24 @@ def q_graph_pagerank_dangling(spark, sf_dir):
                     dangling="redistribute")
 
 
+def q_graph_host_rank(spark, sf_dir):
+    """host_rank end-to-end: crawl-shaped (src_url, url) edges projected
+    to their lowercase hosts (self-links dropped) and PageRanked — the
+    frontier-prioritization / spam-triage feedback operator. URLs are
+    synthesized from events so the oracle can mirror the host projection
+    with a regexp (DuckDB has no parse_url)."""
+    from xcrawl3r_spark.operators.graph import host_rank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("https://h"), (F.col("user_id") % 40).cast("string"),
+                 F.lit(".test/p/"), F.col("event_id")).alias("src_url"),
+        F.concat(F.lit("https://h"), (F.col("event_id") % 60).cast("string"),
+                 F.lit(".test/q")).alias("url"),
+    )
+    return host_rank(edges, iters=3)
+
+
 def q_graph_components(spark, sf_dir):
     """Min-label connected components (deterministic: labels are ids);
     oracle is a recursive-CTE reachability closure."""
@@ -624,6 +642,27 @@ def q_curate_pack_budget(spark, sf_dir):
         _t(spark, sf_dir, "documents"), budget=500)
 
 
+def q_curate_pack_shards(spark, sf_dir):
+    """Shard-layout packing: per-source deterministic order, shard_id =
+    start-offset div shard size (docs never split; one window shuffle)."""
+    from xcrawl3r_spark.operators import curation
+
+    return curation.pack_shards(_t(spark, sf_dir, "documents"),
+                                shard_tokens=400)
+
+
+def q_sketch_distinct(spark, sf_dir):
+    """HLL mergeable-sketch distinct counts, accuracy-pinned: the gate
+    row carries the exact count plus "estimate within 5%"; the oracle
+    emits the same exact counts with the boolean literally true, so an
+    estimate drifting past the bound hash-fails the row."""
+    from xcrawl3r_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    return sketches.approx_distinct_checked(
+        ev, ["event_type"], "user_id", rel_err=0.05)
+
+
 def q_curate_tfidf(spark, sf_dir):
     """Per-source top-5 tf-idf terms (rational idf — cross-engine
     bit-deterministic, no libm)."""
@@ -767,7 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_decontaminate": q_curate_decontaminate,
         "curate_stratified_sample": q_curate_stratified_sample,
         "curate_pack_budget": q_curate_pack_budget,
+        "curate_pack_shards": q_curate_pack_shards,
         "curate_tfidf": q_curate_tfidf,
+        "sketch_distinct": q_sketch_distinct,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -781,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_dangling": q_graph_pagerank_dangling,
+        "graph_host_rank": q_graph_host_rank,
         "graph_components": q_graph_components,
     }
 
@@ -1136,14 +1178,33 @@ _EDGES_SQL = (
     "select user_id as src, event_id % 500 + 1000000 as dst from events"
 )
 
+# host_rank's twin: synthesize the same crawl-shaped URLs, then extract
+# the host the way the operator does (lowercased netloc; DuckDB has no
+# parse_url, so a regexp mirrors it), dropping self-links
+_HOST_EDGES_SQL = """
+select src, dst from (
+  select lower(regexp_extract(
+           concat('https://h', user_id % 40, '.test/p/', event_id),
+           '^[a-z]+://([^/]+)', 1)) as src,
+         lower(regexp_extract(
+           concat('https://h', event_id % 60, '.test/q'),
+           '^[a-z]+://([^/]+)', 1)) as dst
+  from events)
+where src is not null and dst is not null and src <> dst
+"""
 
-def _pagerank_oracle(iters: int = 3, dangling: bool = False) -> str:
+
+def _pagerank_oracle(iters: int = 3, dangling: bool = False,
+                     edges_sql: str | None = None,
+                     id_alias: str = "id") -> str:
     """Unrolled integer fixed-point PageRank — all sums cast to BIGINT
     (HUGEINT degrades on the driver's pandas fetch). ``dangling=True``
     adds the per-round uniform redistribution of out-degree-0 mass,
-    mirroring pagerank(dangling="redistribute")'s integer share."""
+    mirroring pagerank(dangling="redistribute")'s integer share.
+    ``edges_sql`` overrides the edge CTE (default: the events graph);
+    ``id_alias`` renames the output id column (host_rank emits host)."""
     sql = f"""
-with e as ({_EDGES_SQL}),
+with e as ({edges_sql or _EDGES_SQL}),
 nodes as (select src as id from e union select dst from e),
 ncnt as (select cast(count(*) as bigint) as n from nodes),
 outdeg as (select src, count(*) as d from e group by src),
@@ -1172,7 +1233,7 @@ r{i + 1} as (
          cast(150000 + coalesce(c{i + 1}.s, 0){share} as bigint) as rank
   from nodes n left join c{i + 1} on c{i + 1}.id = n.id
 )"""
-    return sql + f"\nselect id, rank from r{iters}"
+    return sql + f"\nselect id as {id_alias}, rank from r{iters}"
 
 
 _COMPONENTS_ORACLE = f"""
@@ -1520,6 +1581,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": _corpus_curate_oracle(budget=1000),
         "graph_pagerank": _pagerank_oracle(),
         "graph_pagerank_dangling": _pagerank_oracle(dangling=True),
+        "graph_host_rank": _pagerank_oracle(
+            edges_sql=_HOST_EDGES_SQL, id_alias="host"),
         "graph_components": _COMPONENTS_ORACLE,
         "text_langid": _langid_oracle(),
         "text_fingerprint": f"""
@@ -1579,6 +1642,28 @@ def oracle_sql() -> dict[str, str]:
               from b)
             select doc_id, source, n_tokens, cum_tokens
             from c where cum_tokens <= 500
+        """,
+        "curate_pack_shards": f"""
+            with b as (
+              select doc_id, source,
+                     cast(len({_TOKENS_SQL}) as int) as n_tokens,
+                     {seeded_sql("cast(doc_id as varchar)", "shard")} as h
+              from documents),
+            c as (
+              select doc_id, source, n_tokens,
+                     cast(sum(n_tokens) over (partition by source
+                          order by h, doc_id
+                          rows between unbounded preceding and current row)
+                        - n_tokens as bigint) as start_offset
+              from b)
+            select doc_id, source, n_tokens, start_offset,
+                   cast(start_offset // 400 as bigint) as shard_id
+            from c
+        """,
+        "sketch_distinct": """
+            select event_type, count(distinct user_id) as n_exact,
+                   true as within_bound
+            from events group by event_type
         """,
         "curate_tfidf": f"""
             with tok as (select source, unnest({_TOKENS_SQL}) as term

@@ -174,3 +174,30 @@ class TestCorpusCurate:
         a = sorted(map(tuple, corpus_curate(docs, budget=800).collect()))
         b = sorted(map(tuple, corpus_curate(docs, budget=800).collect()))
         assert a == b and len(a) > 0
+
+
+def test_pack_shards_layout(spark, sf_dir):
+    """Shard packing: within each source, shards partition the hash order
+    contiguously, every shard except the last crosses its shard_tokens
+    start boundary exactly once, and docs are never split."""
+    from collections import defaultdict
+
+    from xcrawl3r_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = curation.pack_shards(docs, shard_tokens=400).collect()
+    assert len(rows) == docs.count()          # every doc assigned
+    by_src = defaultdict(list)
+    for r in rows:
+        assert r["shard_id"] == r["start_offset"] // 400
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["start_offset"])
+        off = 0
+        for r in rs:                          # offsets are a contiguous sum
+            assert r["start_offset"] == off
+            off += r["n_tokens"]
+        sids = [r["shard_id"] for r in rs]
+        assert sids == sorted(sids)           # shard ids monotone in order
+    again = curation.pack_shards(docs, shard_tokens=400).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

@@ -149,6 +149,49 @@ def pack_token_budget(
     )
 
 
+def pack_shards(
+    docs: DataFrame,
+    shard_tokens: int,
+    group: str = "source",
+    seed: str = "shard",
+) -> DataFrame:
+    """Assign documents to size-bounded output shards — the final write
+    layout step of a training-data pipeline (each shard is one output
+    file/tar of ~shard_tokens tokens, the shape loaders stream).
+
+    Within each ``group``, documents take a deterministic (seeded-hash)
+    order; shard_id = start_offset div shard_tokens, where start_offset
+    is the running token total BEFORE the document. Documents are never
+    split, so a shard can overrun by at most one document (standard
+    streaming bin packing); every shard except the last starts exactly at
+    a shard_tokens boundary of the running total. Deterministic and
+    oracle-expressible end-to-end.
+
+    Scale posture: ONE window shuffle per group key (same as
+    pack_token_budget); shard ids are derived arithmetic, no second
+    shuffle. Writers then ``repartition(group, shard_id)`` to get one
+    task per output shard.
+    Output: (doc_id, group, n_tokens, start_offset, shard_id).
+    """
+    n_tokens = F.size(tokens_col()).alias("n_tokens")
+    h = seeded(F.col("doc_id").cast("string"), seed).alias("h")
+    base = docs.select("doc_id", group, n_tokens, h)
+    w = (
+        Window.partitionBy(group)
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn(
+            "start_offset",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"))
+        .withColumn(
+            "shard_id",
+            F.expr(f"start_offset div {int(shard_tokens)}").cast("long"))
+        .drop("h")
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5, group: str = "source") -> DataFrame:
     """Per-``group`` top-k terms by tf-idf.
 
