@@ -1,0 +1,79 @@
+"""CLI entry point (python -m xcrawl3r_spark): flag surface parity with
+cmd/xcrawl3r/main.go — seeds from -u/-l, YAML config + flag precedence,
+TXT/JSONL output sinks, stdout emit stream."""
+
+import json
+import os
+
+from xcrawl3r_spark.__main__ import main
+
+
+def _pages_parquet(spark, tmp_path, host="ha", n=6):
+    rows = [
+        (f"https://{host}.test/p/{i}", "text/html",
+         (f'<a href="https://{host}.test/p/{i + 1}">n</a>'
+          if i + 1 < n else "<p>end</p>"), 200)
+        for i in range(n)
+    ]
+    path = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        rows, "url string, content_type string, body string, status int"
+    ).write.parquet(path)
+    return path
+
+
+def test_cli_crawl_txt_output(spark, tmp_path, capsys):
+    pages = _pages_parquet(spark, tmp_path)
+    out = str(tmp_path / "out")
+    rc = main([
+        "-u", "https://ha.test/p/0", "-d", "test", "--include-subdomains",
+        "--depth", "0", "--pages", pages, "-o", out, "--silent",
+    ], spark=spark)
+    assert rc == 0
+    printed = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert len(printed) == 5                       # 5 followed links emitted
+    assert set(printed) == {f"https://ha.test/p/{i}" for i in range(1, 6)}
+    txt_dir = out + ".txt"                         # extension forced
+    lines = []
+    for f in os.listdir(txt_dir):
+        if f.startswith("part-"):
+            lines += open(os.path.join(txt_dir, f)).read().splitlines()
+    assert sorted(lines) == sorted(printed)
+
+
+def test_cli_jsonl_and_config_precedence(spark, tmp_path, capsys):
+    pages = _pages_parquet(spark, tmp_path, host="hb")
+    cfgfile = tmp_path / "cfg.yaml"
+    cfgfile.write_text("depth: 1\ndomains: [test]\ninclude_subdomains: true\n")
+    out = str(tmp_path / "res")
+    rc = main([
+        "-c", str(cfgfile), "-u", "https://hb.test/p/0",
+        "--depth", "0",                            # flag beats YAML
+        "--pages", pages, "--jsonl", "-o", out, "--silent",
+    ], spark=spark)
+    assert rc == 0
+    printed = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert len(printed) == 5                       # depth 0 = unbounded
+    recs = []
+    for f in os.listdir(out + ".json"):
+        if f.startswith("part-"):
+            recs += [json.loads(ln) for ln in
+                     open(os.path.join(out + ".json", f)) if ln.strip()]
+    assert {r["url"] for r in recs} == set(printed)
+
+
+def test_cli_list_file_seeds(spark, tmp_path, capsys):
+    pages = _pages_parquet(spark, tmp_path, host="hc", n=3)
+    lst = tmp_path / "seeds.txt"
+    lst.write_text("https://hc.test/p/0\n\n")
+    rc = main(["-l", str(lst), "-d", "test", "--include-subdomains",
+               "--depth", "0", "--pages", pages, "--silent"], spark=spark)
+    assert rc == 0
+    printed = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert set(printed) == {"https://hc.test/p/1", "https://hc.test/p/2"}
+
+
+def test_cli_no_seeds_errors(spark, capsys):
+    rc = main(["-d", "test"], spark=spark)
+    assert rc == 2
+    assert "no seeds" in capsys.readouterr().err
