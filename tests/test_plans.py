@@ -365,3 +365,50 @@ class TestNewOperatorPlans:
         # the plan must be ONE map stage: no shuffle, no join at all
         assert count_nodes(plan, "Exchange") == 0, plan
         assert "Join" not in plan, plan
+
+
+class TestR3OperatorPlans:
+    def test_sketch_distinct_stays_jvm_native(self, spark, sf_dir):
+        """HLL sketch aggregation must be a pure JVM hash-agg with
+        map-side partials (sketch blobs shuffle, not value streams) —
+        no Python/Arrow eval nodes anywhere."""
+        from xcrawl3r_spark.operators import sketches
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        plan = plan_of(sketches.approx_distinct(ev, ["event_type"], "user_id"))
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+        assert count_nodes(plan, "ArrowEvalPython") == 0, plan
+        assert "partial_hll_sketch_agg" in plan, plan  # map-side partial
+
+    def test_pack_shards_single_window_shuffle(self, spark, sf_dir):
+        """Shard assignment = ONE window shuffle on the group key; the
+        shard_id arithmetic must not add a second exchange."""
+        from xcrawl3r_spark.operators import curation
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(curation.pack_shards(docs, shard_tokens=400))
+        assert count_nodes(plan, "Exchange") == 1, plan
+        assert count_nodes(plan, "Window") == 1, plan
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+
+    def test_host_rank_no_cartesian_no_python(self, spark, sf_dir):
+        from xcrawl3r_spark.operators.graph import host_rank
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        edges = ev.selectExpr(
+            "concat('https://h', user_id % 40, '.test/p') as src_url",
+            "concat('https://h', event_id % 60, '.test/q') as url")
+        plan = plan_of(host_rank(edges, iters=2))
+        assert count_nodes(plan, "CartesianProduct") == 0, plan
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+
+    def test_pagerank_dangling_share_is_broadcast(self, spark, sf_dir):
+        """The per-round dangling share joins as a broadcast of a 1-row
+        aggregate — never a shuffled join, never a driver collect."""
+        from xcrawl3r_spark.operators.graph import pagerank
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e = ev.selectExpr("user_id as src", "event_id % 500 as dst")
+        plan = plan_of(pagerank(e, iters=2, dangling="redistribute"))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert count_nodes(plan, "CartesianProduct") == 0, plan
