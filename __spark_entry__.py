@@ -391,6 +391,47 @@ def q_e6_union_sets(spark, sf_dir):
     )
 
 
+#: robots-decision fixture: wildcard/anchor rules (RFC 9309 subset) the
+#: engine must rank by most-specific-wins; the oracle re-derives the
+#: regexes in Python (_robots_re below) and matches them in DuckDB RE2.
+ROBOTS_ALLOW = ["/private/ok", "/tmp/keep*"]
+ROBOTS_DENY = ["/private", "/tmp/*", "/*.pdf$"]
+ROBOTS_PATHS = ["/", "/private/x", "/private/ok/y", "/tmp/a",
+                "/tmp/keep/b", "/doc.pdf", "/a/doc.pdf", "/pub/p"]
+
+
+def _robots_re(pattern: str) -> str:
+    """Python twin of operators.politeness.robots_pattern_regex (plan-time
+    only — the oracle embeds these as literals)."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    esc = _re.sub(r"([\\.\[\]{}()+?^$|])", r"\\\1", body)
+    return "^" + esc.replace("*", ".*") + ("$" if anchored else "")
+
+
+def q_robots_decisions(spark, sf_dir):
+    """North-rule robots enforcement, driver-pinned: frontier paths vs a
+    wildcard/anchor rule set through the engine's native robots_flag
+    (regex conversion + most-specific-wins precedence, broadcast join).
+    The oracle recomputes every decision independently in DuckDB."""
+    from xcrawl3r_spark.operators.politeness import robots_flag
+
+    docs = _t(spark, sf_dir, "documents")
+    path = F.element_at(
+        F.array(*[F.lit(p) for p in ROBOTS_PATHS]),
+        (F.col("doc_id") % len(ROBOTS_PATHS)).cast("int") + 1)
+    frontier = docs.select(
+        "doc_id", F.lit("w.test").alias("host"),
+        F.concat(F.lit("https://w.test"), path).alias("url"))
+    rules = spark.createDataFrame(
+        [("w.test", ROBOTS_ALLOW, ROBOTS_DENY)],
+        "host string, allow array<string>, deny array<string>")
+    return robots_flag(frontier, rules).select(
+        "doc_id", "url", F.col("_robots_ok").alias("allowed"))
+
+
 def q_j1_broadcast_join(spark, sf_dir):
     """§2.5 broadcast join: region ⋈ nation ⋈ customer rollup (small dims
     explicitly broadcast, as the engine does for robots/politeness state)."""
@@ -787,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_regex_extract": q_e1_regex_extract,
         "e5_seed_expansion": q_e5_seed_expansion,
         "e6_union_sets": q_e6_union_sets,
+        "robots_decisions": q_robots_decisions,
         "j1_broadcast_join": q_j1_broadcast_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -962,6 +1004,40 @@ from shared
 join sizes sa on sa.doc_id = doc_a
 join sizes sb on sb.doc_id = doc_b
 where round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) >= {threshold}
+"""
+
+
+def _robots_oracle() -> str:
+    """Independent recomputation of every robots decision: Python-derived
+    regexes (plan-time literals) matched by DuckDB's RE2, most-specific
+    (longest original pattern) wins, allow breaks ties."""
+    def structs(patterns):
+        return ", ".join(
+            f"struct_pack(re := '{_robots_re(p)}', len := {len(p)})"
+            for p in patterns)
+
+    paths = ", ".join(f"'{p}'" for p in ROBOTS_PATHS)
+    return f"""
+with f as (
+  select doc_id,
+         [{paths}][cast(doc_id % {len(ROBOTS_PATHS)} as int) + 1] as path
+  from documents
+), scored as (
+  select doc_id, path,
+         list_max(list_transform(
+           list_filter([{structs(ROBOTS_ALLOW)}],
+                       s -> regexp_matches(path, s.re)),
+           s -> s.len)) as best_allow,
+         list_max(list_transform(
+           list_filter([{structs(ROBOTS_DENY)}],
+                       s -> regexp_matches(path, s.re)),
+           s -> s.len)) as best_deny
+  from f
+)
+select doc_id, concat('https://w.test', path) as url,
+       (best_deny is null
+        or (best_allow is not null and best_allow >= best_deny)) as allowed
+from scored
 """
 
 
@@ -1517,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
                    1 as depth
             from seeds cross join paths
         """,
+        "robots_decisions": _robots_oracle(),
         "e6_union_sets": """
             select id, count(*) as n_sources from (
               select c_custkey as id from customer

@@ -105,6 +105,27 @@ class TestPoliteness:
         got = {r["url"] for r in robots_filter(frontier, robots).collect()}
         assert got == {"https://h.test/a/public/x"}
 
+    def test_robots_wildcard_and_anchor_patterns(self, spark):
+        """RFC 9309 matching subset (r3): '*' spans any chars, trailing
+        '$' anchors the end, regex specials in paths stay literal."""
+        frontier = spark.createDataFrame(
+            [("h.test", f"https://h.test{p}") for p in [
+                "/doc.pdf",          # *.pdf$ denied
+                "/a/b/doc.pdf",      # denied at any depth
+                "/doc.pdfx",         # NOT denied ($ anchor)
+                "/tmp/a",            # /tmp/* denied
+                "/tmp/keep/b",       # allow /tmp/keep* beats /tmp/*
+                "/x+y/(z)/f",        # specials literal -> /x+y/* denies
+                "/ok",               # untouched
+            ]], "host string, url string")
+        robots = spark.createDataFrame(
+            [("h.test", ["/tmp/keep*"],
+              ["/*.pdf$", "/tmp/*", "/x+y/*"])],
+            "host string, allow array<string>, deny array<string>")
+        got = {r["url"].split("h.test")[1]
+               for r in robots_filter(frontier, robots).collect()}
+        assert got == {"/doc.pdfx", "/tmp/keep/b", "/ok"}
+
 
 class TestSeedFrontier:
     def test_expansion_counts(self, spark):

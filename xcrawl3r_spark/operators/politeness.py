@@ -125,10 +125,12 @@ def parse_robots_rules(fetched_robots: DataFrame) -> DataFrame:
     table — fully native (split/explode/aggregate, no Python).
 
     The reference only MINES robots for URLs (IgnoreRobotsTxt,
-    xcrawl3r.go:272); enforcement is the north rule's addition. Rule
-    subset honored: ``Allow:``/``Disallow:`` path prefixes, all
-    user-agents pooled (the engine identifies as one crawler). Empty
-    ``Disallow:`` lines (= allow all) are dropped.
+    xcrawl3r.go:272); enforcement is the north rule's addition. Rules
+    honored: ``Allow:``/``Disallow:`` path patterns with the RFC 9309
+    matching subset (``*`` wildcard, trailing ``$`` end anchor — see
+    ``robots_pattern_regex``), all user-agents pooled (the engine
+    identifies as one crawler). Empty ``Disallow:`` lines (= allow all)
+    are dropped.
 
     Input: rows with (host, body) of fetched robots.txt pages. Output is
     one row per host — small by construction (#hosts, not #URLs) — sized
@@ -168,16 +170,33 @@ def collapse_robots_rules(rules: DataFrame) -> DataFrame:
     )
 
 
+def robots_pattern_regex(p):
+    """robots rule pattern -> anchored regex, the RFC 9309 matching
+    subset: ``*`` matches any char sequence, a TRAILING ``$`` anchors the
+    end, every other char is literal (specials escaped). Pure column
+    expression (no Python at match time); a plain prefix pattern reduces
+    to ``^prefix`` — exactly the old startswith semantics."""
+    anchored = p.endswith("$")
+    body = F.when(anchored, F.substring(p, F.lit(1), F.length(p) - 1)) \
+        .otherwise(p)
+    esc = F.regexp_replace(body, r"([\\.\[\]{}()+?^$|])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), wild,
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
 def _robots_allowed(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """frontier broadcast-joined with the rules table + ``_robots_ok``
-    boolean: longest-prefix deny unless an >=-length allow prefix wins."""
+    boolean: most-specific (longest-pattern) deny unless an >=-length
+    allow wins — RFC 9309 precedence, with ``*``/trailing-``$`` wildcard
+    patterns honored via ``robots_pattern_regex``."""
     path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     joined = frontier.join(F.broadcast(robots), "host", "left")
 
     def longest_match(col: str):
         hits = F.filter(
             F.coalesce(F.col(col), F.array().cast("array<string>")),
-            lambda p: path.startswith(p),
+            lambda p: F.regexp_like(path, robots_pattern_regex(p)),
         )
         return F.array_max(F.transform(hits, F.length))
 
