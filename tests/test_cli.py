@@ -77,3 +77,18 @@ def test_cli_no_seeds_errors(spark, capsys):
     rc = main(["-d", "test"], spark=spark)
     assert rc == 2
     assert "no seeds" in capsys.readouterr().err
+
+
+def test_cli_checkpoint_then_resume(spark, tmp_path, capsys):
+    """--checkpoint-dir + --resume: a completed checkpointed run resumes
+    as a no-op (nothing new to crawl) and reports the committed history."""
+    pages = _pages_parquet(spark, tmp_path, host="hd", n=4)
+    ckpt = str(tmp_path / "ckpt")
+    args = ["-u", "https://hd.test/p/0", "-d", "test",
+            "--include-subdomains", "--depth", "0", "--pages", pages,
+            "--checkpoint-dir", ckpt, "--silent"]
+    assert main(args, spark=spark) == 0
+    first = sorted(ln for ln in capsys.readouterr().out.splitlines() if ln)
+    assert main(args + ["--resume"], spark=spark) == 0
+    resumed = sorted(ln for ln in capsys.readouterr().out.splitlines() if ln)
+    assert resumed == first          # committed history re-reported intact
