@@ -656,6 +656,42 @@ def q_text_pii(spark, sf_dir):
     return textops.pii_scrub(docs)
 
 
+#: unicode fixtures for the normalization gate: decomposed accents
+#: (combining marks), a precomposed control, and plain ascii — ancient
+#: codepoints so Unicode-version skew between engines can't bite
+UNICODE_SAMPLES = [
+    "cafe\u0301 compose",         # e + COMBINING ACUTE -> \u00e9
+    "n\u0303 y A\u030a ring",      # n+tilde, A+ring (decomposed)
+    "d\u00e9j\u00e0 vu",           # precomposed (already NFC)
+    "o\u0308\u0304 stack",         # multiple combining marks
+    "plain ascii only",
+]
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode NFC normalization (Arrow pandas UDF — Spark has no native
+    normalizer) vs DuckDB's nfc_normalize on mixed composed/decomposed
+    fixtures appended to real corpus text."""
+    docs = _t(spark, sf_dir, "documents")
+    sample = F.element_at(
+        F.array(*[F.lit(s) for s in UNICODE_SAMPLES]),
+        (F.col("doc_id") % len(UNICODE_SAMPLES)).cast("int") + 1)
+    raw = docs.select(
+        "doc_id",
+        F.concat(sample, F.lit(" | "), F.substring("text", 1, 24))
+        .alias("text"))
+    return textops.normalize_text(raw).select("doc_id", "text_norm")
+
+
+def q_curate_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment — integer
+    cutoffs on the seeded hash, so membership is engine- and
+    rebuild-independent (the anti-leakage property)."""
+    from xcrawl3r_spark.operators import curation
+
+    return curation.assign_splits(_t(spark, sf_dir, "documents"))
+
+
 def q_curate_decontaminate(spark, sf_dir):
     """Benchmark decontamination: distinct word-trigram hits vs a
     deterministic held-out subset (doc_id % 97 == 0), benchmark n-gram
@@ -845,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "text_pii": q_text_pii,
+        "text_normalize": q_text_normalize,
+        "curate_split": q_curate_split,
         "curate_decontaminate": q_curate_decontaminate,
         "curate_stratified_sample": q_curate_stratified_sample,
         "curate_pack_budget": q_curate_pack_budget,
@@ -1693,6 +1731,26 @@ def oracle_sql() -> dict[str, str]:
                         '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
                         '{textops.PII_PHONE_RE}', '<PHONE>', 'g') as scrubbed
             from d
+        """,
+        "text_normalize": f"""
+            select doc_id,
+                   nfc_normalize(concat(
+                     [{", ".join("'" + s + "'" for s in UNICODE_SAMPLES)}]
+                       [cast(doc_id % {len(UNICODE_SAMPLES)} as int) + 1],
+                     ' | ', substring(text, 1, 24))) as text_norm
+            from documents
+        """,
+        "curate_split": f"""
+            with h as (
+              select doc_id,
+                     {seeded_sql("cast(doc_id as varchar)", "split")}
+                       % 1000000 as hh
+              from documents)
+            select doc_id,
+                   case when hh < 900000 then 'train'
+                        when hh < 950000 then 'val'
+                        else 'test' end as split
+            from h
         """,
         "curate_decontaminate": _decontaminate_oracle(),
         "curate_stratified_sample": f"""

@@ -201,3 +201,29 @@ def test_pack_shards_layout(spark, sf_dir):
         assert sids == sorted(sids)           # shard ids monotone in order
     again = curation.pack_shards(docs, shard_tokens=400).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_assign_splits_disjoint_complete_and_stable(spark, sf_dir):
+    """Splits are disjoint+complete, proportions land near the requested
+    fractions, membership is key-only (subset invariance — the
+    anti-leakage property), and bad fractions fail fast."""
+    import pytest
+
+    from xcrawl3r_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = curation.assign_splits(docs).collect()
+    assert len(rows) == docs.count()
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) <= {"train", "val", "test"}
+    n = len(rows)
+    assert abs(len(by["train"]) / n - 0.9) < 0.06
+    # subset invariance: recomputing on half the corpus assigns the same
+    # split to every surviving doc (membership is a pure key function)
+    half = curation.assign_splits(docs.filter("doc_id % 2 = 0")).collect()
+    for r in half:
+        assert r["doc_id"] in by[r["split"]]
+    with pytest.raises(ValueError):
+        curation.assign_splits(docs, fractions={"a": 0.5, "b": 0.6})

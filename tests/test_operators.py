@@ -316,3 +316,28 @@ class TestGopherQuality:
         assert got[3]["passes"] is False          # < 3 sentences
         assert got[4]["n_lines"] == 3
         assert abs(got[4]["terminal_line_frac"] - 2 / 3) < 1e-6
+
+
+def test_normalize_text_forms(spark):
+    """NFC composes combining sequences; NFKC additionally folds
+    compatibility forms (ligature, full-width); ascii is untouched."""
+    import pytest
+
+    from xcrawl3r_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "cafe\u0301"),               # decomposed e + acute
+         (2, "\ufb01le f\uff4f\uff52m"),  # fi-ligature + full-width o,r
+         (3, "plain")],
+        "doc_id long, text string")
+    nfc = {r["doc_id"]: r["text_norm"]
+           for r in textops.normalize_text(docs).collect()}
+    assert nfc[1] == "caf\u00e9"          # composed under NFC
+    assert nfc[2] == "\ufb01le f\uff4f\uff52m"  # NFC keeps compatibility
+    assert nfc[3] == "plain"
+    nfkc = {r["doc_id"]: r["text_norm"]
+            for r in textops.normalize_text(docs, form="NFKC").collect()}
+    assert nfkc[1] == "caf\u00e9"
+    assert nfkc[2] == "file form"          # ligature + width folded
+    with pytest.raises(ValueError):
+        textops.normalize_text(docs, form="NFX")

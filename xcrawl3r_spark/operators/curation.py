@@ -192,6 +192,48 @@ def pack_shards(
     )
 
 
+#: integer hash domain for split assignment (6 decimal digits of the
+#: seeded 60-bit hash — uniform enough for corpus-scale fractions)
+SPLIT_DOMAIN = 1_000_000
+
+
+def assign_splits(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    seed: str = "split",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: split = the interval the
+    seeded hash of ``key`` falls into, with INTEGER cutoffs (no float
+    comparison ambiguity — cutoff_i = round(cumfrac_i * SPLIT_DOMAIN),
+    identical arithmetic in the SQL oracle). Disjoint and complete by
+    construction; membership depends only on the key, so re-runs,
+    incremental appends, and engines all agree — the property that
+    prevents train/test leakage when the corpus is rebuilt.
+
+    Scale: pure map-side projection, zero shuffle.
+    Output: (key, split).
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    cutoffs: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, frac in fractions.items():   # dict order = interval order
+        acc += frac
+        cutoffs.append((name, round(acc * SPLIT_DOMAIN)))
+    h = seeded(F.col(key).cast("string"), seed) % SPLIT_DOMAIN
+    # when-chain in interval order: h < cut_0 -> first split, etc.; the
+    # last interval is the otherwise-branch (catches rounding remainder)
+    expr = None
+    for name, cut in cutoffs[:-1]:
+        cond = h < F.lit(cut)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr.otherwise(cutoffs[-1][0]) if expr is not None
+            else F.lit(cutoffs[-1][0]))
+    return docs.select(key, expr.alias("split"))
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5, group: str = "source") -> DataFrame:
     """Per-``group`` top-k terms by tf-idf.
 

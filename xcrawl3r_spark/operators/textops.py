@@ -9,6 +9,7 @@ two engines compute identical values by construction.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -399,6 +400,32 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
 # supports, evaluated identically by Java regex)
 PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+\d[\d\- ]{7,}\d"
+
+
+def normalize_text(
+    docs: DataFrame, form: str = "NFC", text_col: str = "text"
+) -> DataFrame:
+    """Unicode normalization of ``text_col`` -> ``text_norm`` — the
+    canonical first step of any multilingual ingest (composed vs
+    decomposed accents, compatibility ligatures/width under NFKC).
+
+    Spark SQL has no normalizer builtin, so this is an Arrow-batched
+    pandas UDF (``Series.str.normalize`` — vectorized at the pandas
+    layer, the same boundary class as the codec stages; everything
+    around it stays relational). Deterministic: normalization is a pure
+    per-row function. The NFC form is oracle-checked against DuckDB's
+    ``nfc_normalize`` (``text_normalize`` gate query); NFKC/NFD/NFKD are
+    the same code path with no DuckDB twin.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"bad normalization form: {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return docs.withColumn("text_norm", _norm(text_col))
 
 
 def pii_scrub(docs: DataFrame) -> DataFrame:
