@@ -491,6 +491,14 @@ def q_dedup_clusters(spark, sf_dir):
     return dedupops.near_dup_clusters(_t_wide(spark, sf_dir, "documents"))
 
 
+def q_dedup_source_similarity(spark, sf_dir):
+    """Corpus-level overlap between sources via KMV sketches — the
+    estimate is deterministic (k smallest md5 shingle hashes), so the
+    oracle reproduces it exactly, not just within a bound."""
+    return dedupops.source_similarity(_t_wide(spark, sf_dir, "documents"),
+                                      k=256)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Integer fixed-point PageRank over the crawl-shaped edge list —
     micro-rank units make the result bit-identical across engines
@@ -872,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_source_similarity": q_dedup_source_similarity,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_gopher_quality": q_text_gopher_quality,
@@ -1076,6 +1085,38 @@ select doc_id, concat('https://w.test', path) as url,
        (best_deny is null
         or (best_allow is not null and best_allow >= best_deny)) as allowed
 from scored
+"""
+
+
+def _source_similarity_oracle(k: int = 256) -> str:
+    """KMV twin: same shingle hashes, k smallest per source, same merge
+    estimate — deterministic, so values match exactly."""
+    kk = dedupops.SHINGLE_K
+    union_k = "list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:{k}]" \
+        .format(k=k)
+    return f"""
+with tok as (
+  select source, {_TOKENS_SQL} as toks from documents
+), shing as (
+  select source, unnest(list_distinct(
+    case when len(toks) >= {kk}
+         then list_transform(range(1, len(toks) - {kk - 1} + 1),
+                             i -> array_to_string(toks[i:i+{kk - 1}], ' '))
+         else [] end)) as sh
+  from tok
+), hashed as (
+  select distinct source, {md5_long_sql('sh')} as hv from shing
+), topk as (
+  select source, hv from hashed
+  qualify row_number() over (partition by source order by hv) <= {k}
+), sk as (
+  select source, list_sort(list(hv)) as sk from topk group by source
+)
+select a.source as group_a, b.source as group_b,
+       round(len(list_intersect({union_k},
+                                list_intersect(a.sk, b.sk)))
+             / len({union_k}), 6) as kmv_jaccard
+from sk a join sk b on a.source < b.source
 """
 
 
@@ -1654,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
+        "dedup_source_similarity": _source_similarity_oracle(),
         "dedup_simhash": _simhash_oracle(),
         # n² hamming over the same simhash CTE: the Spark side's banded
         # bucket join is pigeonhole-exact, so results must match exactly

@@ -322,3 +322,38 @@ def test_embedding_near_dup_bucket_cap_bounds_degenerate_corpus(spark):
         emb2, dims=dims, threshold=0.99, max_bucket_df=16, log_dropped=True)
     got = {(r["vec_a"], r["vec_b"]) for r in capped2.collect()}
     assert got == {(1000, 1001)}
+
+
+def test_source_similarity_kmv_tracks_exact_jaccard(spark):
+    """KMV sketch estimate vs ground-truth shingle jaccard on synthetic
+    sources with known overlap: identical sources read 1.0, disjoint read
+    0.0, a ~50%-overlap pair lands within KMV sampling error."""
+    from pyspark.sql import functions as F
+
+    from xcrawl3r_spark.operators import dedupops
+
+    def doc(src, i, words):
+        return (f"{src}-{i}", src, " ".join(words))
+
+    rows = []
+    base = [f"w{j}" for j in range(400)]
+    half = [f"w{j}" for j in range(200)] + [f"x{j}" for j in range(200)]
+    other = [f"y{j}" for j in range(400)]
+    for i in range(3):  # multiple docs per source; shingles pool per group
+        rows.append(doc("A", i, base[i:] + base[:i]))
+        rows.append(doc("B", i, base[i:] + base[:i]))       # B == A
+        rows.append(doc("C", i, half[i:] + half[:i]))       # ~half overlap
+        rows.append(doc("D", i, other[i:] + other[:i]))     # disjoint
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = {(r["group_a"], r["group_b"]): r["kmv_jaccard"]
+           for r in dedupops.source_similarity(docs, k=128).collect()}
+    assert got[("A", "B")] == 1.0
+    assert got[("A", "D")] == 0.0
+
+    # ground truth for (A, C): exact jaccard of the distinct shingle sets
+    sh = docs.filter(F.col("source").isin("A", "C")).select(
+        "source", F.explode(dedupops.shingles_col()).alias("sh")).distinct()
+    a = {r["sh"] for r in sh.filter("source = 'A'").collect()}
+    c = {r["sh"] for r in sh.filter("source = 'C'").collect()}
+    exact = len(a & c) / len(a | c)
+    assert abs(got[("A", "C")] - exact) < 0.12  # k=128 sampling error

@@ -168,6 +168,65 @@ def near_dup_clusters(
     )
 
 
+def source_similarity(
+    docs: DataFrame, k: int = 256, group: str = "source",
+    shingle_k: int = SHINGLE_K, n_salt: int = 16,
+) -> DataFrame:
+    """Pairwise content overlap BETWEEN document groups (sources/dumps/
+    snapshots) via K-minimum-values sketches — the corpus-level dedup
+    question ("how much of source B is already in source A?") answered
+    without comparing documents pairwise.
+
+    Sketch: the k smallest distinct shingle hashes per group (KMV,
+    Bar-Yossef et al. 2002 — public). Estimate for a pair: take the k
+    smallest of the sketch union U; J ≈ |U ∩ Sa ∩ Sb| / |U|.
+    DETERMINISTIC (hashes are md5, "k smallest" is order-free), so the
+    estimate itself is oracle-checkable exactly — no error-bound gate
+    needed, unlike HLL.
+
+    Scale posture: per-group k-min runs two-phase (salted partial top-k
+    bounds any task to its salt shard, then the final per-group window —
+    the stratified_sample pattern), so a 10^9-shingle group never
+    serializes into one task. Sketches are k longs per group; the
+    pairwise stage is a broadcast self-join over #groups rows.
+    Output: (group_a, group_b, kmv_jaccard) for group_a < group_b.
+    """
+    hv = (md5_long("sh")).alias("hv")
+    distinct_h = (
+        docs.select(F.col(group).alias("g"),
+                    F.explode(shingles_col(k=shingle_k)).alias("sh"))
+        .select("g", hv).distinct()
+    )
+    w1 = Window.partitionBy("g", F.pmod(F.col("hv"), F.lit(n_salt))) \
+        .orderBy("hv")
+    part = (
+        distinct_h.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k).drop("_rn")
+    )
+    w2 = Window.partitionBy("g").orderBy("hv")
+    sketch = (
+        part.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("hv")).alias("sk"))
+    )
+    a = sketch.select(F.col("g").alias("group_a"), F.col("sk").alias("sa"))
+    b = sketch.select(F.col("g").alias("group_b"), F.col("sk").alias("sb"))
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("sa"), F.col("sb"))), 1, k)
+    inter = F.array_intersect(F.col("sa"), F.col("sb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a", "group_b",
+            F.round(
+                F.size(F.array_intersect(union_k, inter))
+                / F.size(union_k), 6).alias("kmv_jaccard"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash over whitespace tokens: bit i set iff
     sum over tokens of (+1 if bit i of md5_long(token) else -1) > 0."""
