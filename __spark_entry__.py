@@ -491,6 +491,22 @@ def q_dedup_clusters(spark, sf_dir):
     return dedupops.near_dup_clusters(_t_wide(spark, sf_dir, "documents"))
 
 
+def q_dedup_minhash_verified(spark, sf_dir):
+    """Two-stage fuzzy dedup: LSH candidates verified by exact n-gram
+    Jaccard — banding recall, verification precision."""
+    return dedupops.minhash_verified_pairs(
+        _t_wide(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_curate_pack_sequences(spark, sf_dir):
+    """Context-window packing with document splitting: 256-token
+    sequences; boundary-spanning docs fan out natively via sequence()."""
+    from xcrawl3r_spark.operators import curation
+
+    return curation.pack_sequences(_t(spark, sf_dir, "documents"),
+                                   seq_tokens=256)
+
+
 def q_dedup_source_similarity(spark, sf_dir):
     """Corpus-level overlap between sources via KMV sketches — the
     estimate is deterministic (k smallest md5 shingle hashes), so the
@@ -881,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_source_similarity": q_dedup_source_similarity,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
+        "curate_pack_sequences": q_curate_pack_sequences,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_gopher_quality": q_text_gopher_quality,
@@ -1696,6 +1714,63 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_source_similarity": _source_similarity_oracle(),
+        # two-stage twin: the minhash-pair CTE intersected with exact
+        # jaccard from the shingle sets (same pieces as both parents)
+        "dedup_minhash_verified": f"""
+            with pairs as ({_minhash_oracle()}),
+            tok as (select doc_id, {_TOKENS_SQL} as toks from documents),
+            shing as (
+              select doc_id, unnest(list_distinct(
+                case when len(toks) >= {dedupops.SHINGLE_K}
+                     then list_transform(
+                       range(1, len(toks) - {dedupops.SHINGLE_K - 1} + 1),
+                       i -> array_to_string(
+                         toks[i:i+{dedupops.SHINGLE_K - 1}], ' '))
+                     else [] end)) as sh
+              from tok
+            ), sizes as (
+              select doc_id, count(*) as n_sh from shing group by doc_id
+            ), shared as (
+              select p.doc_a, p.doc_b, count(*) as n_shared
+              from pairs p
+              join shing a on a.doc_id = p.doc_a
+              join shing b on b.doc_id = p.doc_b and b.sh = a.sh
+              group by p.doc_a, p.doc_b
+            )
+            select doc_a, doc_b,
+                   round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6)
+                     as jaccard
+            from shared
+            join sizes sa on sa.doc_id = doc_a
+            join sizes sb on sb.doc_id = doc_b
+            where round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6)
+                  >= 0.2
+        """,
+        "curate_pack_sequences": f"""
+            with b as (
+              select doc_id, source,
+                     cast(len({_TOKENS_SQL}) as bigint) as n_tokens,
+                     {seeded_sql("cast(doc_id as varchar)", "pack")} as h
+              from documents),
+            c as (
+              select doc_id, source, n_tokens,
+                     cast(sum(n_tokens) over (partition by source
+                          order by h, doc_id
+                          rows between unbounded preceding and current row)
+                        - n_tokens as bigint) as start
+              from b where n_tokens > 0),
+            fan as (
+              select doc_id, source, n_tokens, start,
+                     unnest(generate_series(start // 256,
+                            (start + n_tokens - 1) // 256)) as seq_id
+              from c)
+            select doc_id, source, cast(seq_id as bigint) as seq_id,
+                   cast(greatest(seq_id * 256 - start, 0) as bigint)
+                     as tok_start,
+                   cast(least((seq_id + 1) * 256 - start, n_tokens)
+                     as bigint) as tok_end
+            from fan
+        """,
         "dedup_simhash": _simhash_oracle(),
         # n² hamming over the same simhash CTE: the Spark side's banded
         # bucket join is pigeonhole-exact, so results must match exactly

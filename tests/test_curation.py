@@ -227,3 +227,37 @@ def test_assign_splits_disjoint_complete_and_stable(spark, sf_dir):
         assert r["doc_id"] in by[r["split"]]
     with pytest.raises(ValueError):
         curation.assign_splits(docs, fractions={"a": 0.5, "b": 0.6})
+
+
+def test_pack_sequences_exact_windows(spark, sf_dir):
+    """Sequence packing with splits: per source, every sequence except
+    the tail is exactly L tokens of slices; per doc, slices are
+    contiguous and cover [0, n_tokens); boundary-spanning docs fan out."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from xcrawl3r_spark.operators import curation
+    from xcrawl3r_spark.operators.textops import tokens_col
+
+    L = 256
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = curation.pack_sequences(docs, seq_tokens=L).collect()
+    n_tok = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", F.size(tokens_col()).alias("n")).collect()}
+    per_doc = defaultdict(list)
+    per_seq = defaultdict(int)
+    for r in rows:
+        assert 0 <= r["tok_start"] < r["tok_end"] <= n_tok[r["doc_id"]]
+        per_doc[r["doc_id"]].append((r["tok_start"], r["tok_end"]))
+        per_seq[(r["source"], r["seq_id"])] += r["tok_end"] - r["tok_start"]
+    for d, slices in per_doc.items():      # contiguous full coverage
+        slices.sort()
+        assert slices[0][0] == 0 and slices[-1][1] == n_tok[d]
+        for (_, e0), (s1, _) in zip(slices, slices[1:]):
+            assert e0 == s1
+    for src in {s for s, _ in per_seq}:    # exact L except the tail
+        seqs = sorted(i for s, i in per_seq if s == src)
+        for i in seqs[:-1]:
+            assert per_seq[(src, i)] == L, (src, i)
+    assert any(len(v) > 1 for v in per_doc.values())  # splits happened

@@ -357,3 +357,24 @@ def test_source_similarity_kmv_tracks_exact_jaccard(spark):
     c = {r["sh"] for r in sh.filter("source = 'C'").collect()}
     exact = len(a & c) / len(a | c)
     assert abs(got[("A", "C")] - exact) < 0.12  # k=128 sampling error
+
+
+def test_minhash_verified_subset_of_exact(spark, sf_dir):
+    """Verified pairs = LSH candidates ∩ exact-jaccard>=t: every verified
+    pair appears in the exact shared-shingle computation with the SAME
+    jaccard, and candidate pairs below threshold are dropped."""
+    from xcrawl3r_spark.operators import dedupops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    verified = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in dedupops.minhash_verified_pairs(
+                    docs, threshold=0.2).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedupops.ngram_jaccard_pairs(
+                 docs, threshold=0.2).collect()}
+    assert verified, "fixture produced no verified pairs"
+    for pair, j in verified.items():
+        assert exact[pair] == j            # subset with identical scores
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in dedupops.minhash_lsh_pairs(docs).collect()}
+    assert set(verified) <= cands          # only LSH candidates survive

@@ -192,6 +192,62 @@ def pack_shards(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_tokens: int,
+    group: str = "source",
+    seed: str = "pack",
+) -> DataFrame:
+    """Context-window packing WITH document splitting — the loader-facing
+    layout: per ``group``, documents concatenate in deterministic
+    (seeded-hash) order into one token stream; training sequence i covers
+    stream tokens [i*L, (i+1)*L). Each output row is the slice of one
+    document landing in one sequence:
+
+        (doc_id, group, seq_id, tok_start, tok_end)
+
+    meaning the document's tokens [tok_start, tok_end) belong to
+    sequence seq_id. A document spanning k sequence boundaries fans out
+    into k+1 rows natively (``F.sequence`` + explode — no UDF); zero-
+    token documents contribute nothing. Unlike ``pack_shards`` (atomic
+    docs, shards may overrun), sequences here are EXACTLY ``seq_tokens``
+    long by construction (except each group's tail), which is what
+    fixed-context training consumption needs.
+
+    Scale: one window shuffle per group key (the cumsum), then map-side
+    arithmetic + fan-out. Deterministic and oracle-expressible.
+    """
+    L = int(seq_tokens)
+    n_tokens = F.size(tokens_col()).alias("n_tokens")
+    h = seeded(F.col("doc_id").cast("string"), seed).alias("h")
+    base = docs.select("doc_id", group, n_tokens, h)
+    w = (
+        Window.partitionBy(group)
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_start = (
+        base.filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "start",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"))
+    )
+    first_seq = F.expr(f"start div {L}")
+    last_seq = F.expr(f"(start + n_tokens - 1) div {L}")
+    return (
+        with_start
+        .withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+        .select(
+            "doc_id", group, "seq_id",
+            F.greatest(F.col("seq_id") * L - F.col("start"), F.lit(0))
+            .cast("long").alias("tok_start"),
+            F.least((F.col("seq_id") + 1) * L - F.col("start"),
+                    F.col("n_tokens").cast("long"))
+            .cast("long").alias("tok_end"),
+        )
+    )
+
+
 #: integer hash domain for split assignment (6 decimal digits of the
 #: seeded 60-bit hash — uniform enough for corpus-scale fractions)
 SPLIT_DOMAIN = 1_000_000

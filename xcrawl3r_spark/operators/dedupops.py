@@ -134,6 +134,50 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """The standard two-stage fuzzy dedup: LSH banding proposes
+    candidates, EXACT n-gram Jaccard verifies them (candidates with true
+    jaccard < threshold are false positives of the banding and are
+    dropped).
+
+    vs ``ngram_jaccard_pairs`` (exact over ALL shared-shingle pairs):
+    candidate generation here is the banded bucket join — bounded bucket
+    fan-in by construction — instead of the shared-shingle self-join,
+    which is quadratic in per-shingle posting-list df and needs the df
+    cap at web scale. The verify stage touches only candidate pairs
+    (<< n²), joining each side back to its shingle set.
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    pairs = minhash_lsh_pairs(docs, n_bands, rows_per_band)
+    sh = docs.select("doc_id", F.explode(shingles_col(k=k)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        pairs.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_shared")
+                    / (F.col("na") + F.col("nb") - F.col("n_shared")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame,
     n_bands: int = N_BANDS,
