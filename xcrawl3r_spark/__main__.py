@@ -104,7 +104,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         overrides["proxies"] = args.proxy
     if args.checkpoint_dir:
         overrides["checkpoint_dir"] = args.checkpoint_dir
-    overrides["fetch_mode"] = "table" if args.pages else "http"
+    # fetch-mode precedence: --pages explicitly requests the table
+    # double; otherwise YAML/env fetch_mode is respected (flags only
+    # override when set), and only an UNCONFIGURED run gets the CLI's
+    # real-network default (the dataclass default is "table", which
+    # without a pages frame fails fast rather than crawling nothing)
+    if args.pages:
+        overrides["fetch_mode"] = "table"
+    else:
+        import os
+
+        configured = os.environ.get("XCRAWL3R_FETCH_MODE") is not None
+        if args.configuration and not configured:
+            import yaml
+
+            with open(args.configuration) as fh:
+                configured = "fetch_mode" in (yaml.safe_load(fh) or {})
+        if not configured:
+            overrides["fetch_mode"] = "http"
     cfg = CrawlConfig.from_yaml(args.configuration, **overrides)
 
     own_session = spark is None
@@ -140,8 +157,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         res = crawler.crawl(seeds, pages)
 
     # stream results: the D3 emit multiset (every in-scope discovered
-    # occurrence), exactly what the reference prints per result row
-    out_urls = res.edges.select("url")
+    # occurrence), exactly what the reference prints per result row.
+    # Persisted: the lazy edges union would otherwise recompute for each
+    # consumer (stdout stream + file sink).
+    out_urls = res.edges.select("url").persist()
     n = 0
     for row in out_urls.toLocalIterator():  # driver prints, workers stream
         print(row["url"])
@@ -156,6 +175,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print(f"{n} URLs emitted, {res.seen.count()} visited, "
               f"{res.errors.count()} errors, "
               f"{res.iterations} iterations", file=sys.stderr)
+    out_urls.unpersist()
     if own_session:
         spark.stop()
     return 0

@@ -58,7 +58,8 @@ def pagerank(
       1-row aggregate (crossJoin of a scalar frame — no driver
       collect, the plan stays lazy); integer sums keep it
       deterministic. Overflow bound: dangling_sum * damping_pct must
-      stay under 2^63 — holds to ~10^14 micro-rank nodes.
+      stay under 2^63; dangling_sum is bounded by total system mass
+      ~ n_nodes * SCALE, so the safe limit is n_nodes < ~10^11.
 
     ``checkpoint_every``: DISK_ONLY-checkpoint the rank table every k
     rounds to cut plan depth on long runs (0 = off; the unrolled plan is

@@ -2,7 +2,11 @@
 one declarative plan — the shape a 100 TB pre-training ingest actually
 runs, and proof the pieces compose without materialization barriers.
 
-Stages (all lazy; Catalyst sees ONE plan):
+Stages (one declarative plan, with ONE documented exception: the
+near-dup stage's connected-components probe executes a bounded
+limit+collect at frame-CONSTRUCTION time — building corpus_clean /
+corpus_curate runs the LSH candidate pipeline once to pick the
+small-graph strategy; see operators/graph.connected_components):
  1. exact dedup  — keep the min-doc_id representative per content hash;
  2. Gopher rules — drop documents failing the Rae et al. 2021 quality
     rules (gopher_quality.passes);
