@@ -73,6 +73,19 @@ HEADLINE = [
     "curate_tfidf",
     "corpus_curate",
     "stream_sessionize",
+    # r3 additions — each a first-class operator; keeping them in the
+    # headline makes their regressions visible round-over-round
+    "graph_pagerank_dangling",
+    "graph_host_rank",
+    "dedup_minhash_verified",
+    "dedup_source_similarity",
+    "sketch_distinct",
+    "curate_pack_shards",
+    "curate_pack_sequences",
+    "curate_split",
+    "text_normalize",
+    "stream_dedup_state",
+    "robots_decisions",
 ]
 
 
