@@ -507,6 +507,13 @@ def q_curate_pack_sequences(spark, sf_dir):
                                    seq_tokens=256)
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Substring-level dedup (Lee et al. 2021 shape): maximal token spans
+    whose 8-token windows recur anywhere in the corpus."""
+    return dedupops.substring_dup_spans(
+        _t_wide(spark, sf_dir, "documents"), k=8)
+
+
 def q_dedup_source_similarity(spark, sf_dir):
     """Corpus-level overlap between sources via KMV sketches — the
     estimate is deterministic (k smallest md5 shingle hashes), so the
@@ -898,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_source_similarity": q_dedup_source_similarity,
         "dedup_minhash_verified": q_dedup_minhash_verified,
+        "dedup_substring_spans": q_dedup_substring_spans,
         "curate_pack_sequences": q_curate_pack_sequences,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -1714,6 +1722,42 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_source_similarity": _source_similarity_oracle(),
+        # substring twin: dense window hashes -> df>=2 positions ->
+        # interval union via the same lag/cumsum island pattern
+        "dedup_substring_spans": f"""
+            with tok as (
+              select doc_id, {_TOKENS_SQL} as toks from documents
+            ), win as (
+              select doc_id, i - 1 as pos,
+                     {md5_long_sql("array_to_string(toks[i:i+7], ' ')")}
+                       as wh
+              from tok,
+                   unnest(generate_series(1,
+                       greatest(len(toks) - 8 + 1, 0))) as g(i)
+            ), dup as (
+              select doc_id, pos from (
+                select doc_id, pos,
+                       count(*) over (partition by wh) as df
+                from win)
+              where df >= 2
+            ), brk as (
+              select doc_id, pos,
+                     case when lag(pos) over w is null
+                          or pos - lag(pos) over w > 8
+                     then 1 else 0 end as new_island
+              from dup window w as (partition by doc_id order by pos)
+            ), isl as (
+              select doc_id, pos,
+                     sum(new_island) over (partition by doc_id
+                          order by pos rows unbounded preceding) as island
+              from brk
+            )
+            select doc_id,
+                   cast(min(pos) as bigint) as span_start,
+                   cast(max(pos) + 8 as bigint) as span_end,
+                   count(*) as n_windows
+            from isl group by doc_id, island
+        """,
         # two-stage twin: the minhash-pair CTE intersected with exact
         # jaccard from the shingle sets (same pieces as both parents)
         "dedup_minhash_verified": f"""

@@ -378,3 +378,27 @@ def test_minhash_verified_subset_of_exact(spark, sf_dir):
     cands = {(r["doc_a"], r["doc_b"])
              for r in dedupops.minhash_lsh_pairs(docs).collect()}
     assert set(verified) <= cands          # only LSH candidates survive
+
+
+def test_substring_dup_spans_exact(spark):
+    """Hand-built corpus with a known shared 10-token run: spans cover
+    exactly the duplicated region (merged maximal), unique docs emit
+    nothing, and a within-doc repeat counts as duplicated."""
+    shared = "the quick brown fox jumps over the lazy sleeping dog"  # 10
+    d1 = "alpha beta " + shared + " gamma delta epsilon zeta eta theta"
+    d2 = "one two three four five six " + shared + " seven eight"
+    d3 = "totally unique words nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    d4 = " ".join(["rep"] * 20)  # within-doc repetition of its own 8-grams
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string")
+    from xcrawl3r_spark.operators import dedupops
+
+    rows = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+            for r in dedupops.substring_dup_spans(docs, k=8).collect()}
+    # d1: shared run occupies tokens [2, 12); 3 windows start at 2,3,4
+    assert rows[1] == (2, 12, 3)
+    # d2: shared run occupies tokens [6, 16)
+    assert rows[2] == (6, 16, 3)
+    assert 3 not in rows                      # unique doc: no spans
+    # d4: all 13 windows of "rep"*20 are identical -> one full span
+    assert rows[4] == (0, 20, 13)

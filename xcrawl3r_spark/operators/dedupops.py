@@ -271,6 +271,79 @@ def source_similarity(
     )
 
 
+def substring_dup_spans(
+    docs: DataFrame, k: int = 8, min_df: int = 2,
+) -> DataFrame:
+    """Substring-level deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — public): find the
+    token spans of each document whose k-token windows also occur
+    elsewhere in the corpus, merged into maximal spans. Document-level
+    dedup misses boilerplate repeated INSIDE otherwise-unique documents;
+    this finds exactly those regions (the paper uses suffix arrays; the
+    standard distributed approximation is dense rolling-hash windows,
+    which this implements exactly for k-token granularity).
+
+    Dataflow: every token position emits its k-gram window hash (dense,
+    so ~n_tokens rows per doc — the honest cost of substring
+    granularity); window hashes with corpus df >= ``min_df`` mark their
+    positions duplicated; per doc, duplicated positions closer than k
+    merge into maximal spans (interval union via the sorted-position
+    lag/cumsum island pattern — windows are fixed-length so a running
+    max end is just prev_pos + k).
+
+    Scale posture: one hash-agg over window hashes (map-side combinable)
+    broadcast-anti-joined back… no — the df table can be corpus-sized,
+    so the df count rides a window over partitionBy(hash), the same
+    shuffle the position rows need anyway (the ngram cap pattern); the
+    island merge is one window per doc_id. Self-inclusive: a k-gram
+    repeated twice inside ONE document counts (df counts occurrences,
+    not documents) — matching the paper's any-other-occurrence rule.
+
+    Output: (doc_id, span_start, span_end, n_windows) — token range
+    [span_start, span_end) duplicated, built from n_windows duplicated
+    windows. Remove or keep-first downstream.
+    """
+    toks = F.split(F.trim("text"), r"\s+")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                    lambda i: md5_long(
+                        F.concat_ws(" ", F.slice(toks, i, k))),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "wh"),
+    )
+    w_df = Window.partitionBy("wh")
+    dup_pos = (
+        pos.withColumn("df", F.count("*").over(w_df))
+        .filter(F.col("df") >= min_df)
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "new_island",
+        (F.col("pos") - F.lag("pos", 1).over(w_doc) > k)
+        .cast("int"),
+    ).withColumn(
+        "island",
+        F.sum(F.coalesce(F.col("new_island"), F.lit(1))).over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash over whitespace tokens: bit i set iff
     sum over tokens of (+1 if bit i of md5_long(token) else -1) > 0."""
