@@ -86,6 +86,7 @@ HEADLINE = [
     "text_normalize",
     "stream_dedup_state",
     "robots_decisions",
+    "dedup_substring_spans",
 ]
 
 
