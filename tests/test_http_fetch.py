@@ -178,3 +178,51 @@ def test_parse_header_lines():
     assert parse_header_lines(
         ["A: 1", "B:2 ", "bad", " : x", "C: a:b"]
     ) == [("A", "1"), ("B", "2"), ("C", "a:b")]
+
+
+def test_http_image_payload_branch(spark, http_site):
+    """fetch_mode="http" + ingest_images: a discovered image URL GETs its
+    REAL binary payload (no charset decode) and the characterize stage
+    recovers exact dims + phash of the served pixels; a 404 image
+    surfaces as decoded_ok=false, never a drop."""
+    from xcrawl3r_spark.functions.imagecodec import (
+        encode_png, phash64, synth_pixels)
+
+    px = synth_pixels("served-img", 24, 16)
+    png = encode_png(px)
+
+    class _BinHandler(type(_Handler)):
+        pass
+
+    # extend the fixture handler: binary route for the png
+    orig_do_get = _Handler.do_GET
+
+    def do_GET(self):
+        if self.path == "/i/x.png":
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.end_headers()
+            self.wfile.write(png)
+            return
+        orig_do_get(self)
+
+    _Handler.do_GET = do_GET
+    try:
+        _Handler.site = {
+            "/p/0": ("text/html",
+                     f'<img src="{http_site}/i/x.png">'
+                     f'<img src="{http_site}/i/missing.png">', 200),
+        }
+        seeds = spark.createDataFrame(
+            [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+        res = Crawler(spark, _cfg()).crawl(seeds)
+        rows = {r["url"]: r for r in res.images.collect()}
+        got = rows[f"{http_site}/i/x.png"]
+        assert got["decoded_ok"] and got["fmt"] == "png"
+        assert (got["decoded_w"], got["decoded_h"]) == (24, 16)
+        assert got["phash"] == phash64(px)
+        missing = rows[f"{http_site}/i/missing.png"]
+        assert missing["decoded_ok"] is False and missing["phash"] is None
+    finally:
+        _Handler.do_GET = orig_do_get

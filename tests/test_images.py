@@ -107,6 +107,16 @@ def test_crawl_ingests_payloads(spark):
             assert r["pixel_ok"] is False and r["image_id"] is None
         else:
             assert r["pixel_ok"] and r["caption_ok"] and r["phash_ok"]
+            # EXACT output values, not just the pre-conversion boolean: a
+            # batch mixing absent payloads with real ones once float64-
+            # coerced the nullable int columns (input AND output) and
+            # silently rounded phash values past 2^53 (regression for the
+            # string-crossing + pd.array Int64 fixes). Lossless rows must
+            # match bit-for-bit; lossy rows within the hamming tolerance.
+            if r["fmt"] == "png":
+                assert r["phash_recomputed"] == r["phash"]
+            else:
+                assert r["phash_hamming"] <= 4
 
 
 def test_caption_verifies_against_reference_column(spark):

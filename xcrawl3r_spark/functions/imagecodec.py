@@ -117,18 +117,36 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     raise NotImplementedError(f"encoder for format {fmt!r} not available in sandbox")
 
 
-def phash64(pixels: np.ndarray) -> int:
-    """64-bit average perceptual hash: grayscale -> 8x8 block means -> bit
-    per cell above global mean. Signed int64 (Spark LongType friendly)."""
-    gray = pixels.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    # block-mean resize to 8x8 (pad to multiples of 8 by edge-repeat)
+def _phash_block_sums(gray_sum: np.ndarray) -> np.ndarray:
+    """(… , H, W) int64 channel-sum image -> (… , 8, 8) int64 block sums
+    (edge-repeat padded to multiples of 8)."""
+    h, w = gray_sum.shape[-2], gray_sum.shape[-1]
     ph, pw = (-h) % 8, (-w) % 8
     if ph or pw:
-        gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
-    bh, bw = gray.shape[0] // 8, gray.shape[1] // 8
-    blocks = gray.reshape(8, bh, 8, bw).mean(axis=(1, 3))
-    bits = (blocks > blocks.mean()).flatten()
+        pad = [(0, 0)] * (gray_sum.ndim - 2) + [(0, ph), (0, pw)]
+        gray_sum = np.pad(gray_sum, pad, mode="edge")
+    bh, bw = gray_sum.shape[-2] // 8, gray_sum.shape[-1] // 8
+    lead = gray_sum.shape[:-2]
+    return gray_sum.reshape(*lead, 8, bh, 8, bw).sum(
+        axis=(-3, -1), dtype=np.int64)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average perceptual hash: 8x8 block means of the channel-sum
+    image, bit set where a block's mean exceeds the global mean. Signed
+    int64 (Spark LongType friendly).
+
+    INTEGER-EXACT by design: the mean comparison is the cross-multiplied
+    block-sum test ``block_sum * 64 > total_sum`` over exact int64 sums —
+    no float means. A float formulation is NOT deterministic for
+    tie-prone images: numpy's SIMD mean is last-ulp sensitive to buffer
+    alignment, and a block mean that ties the global mean can flip bits
+    between processes (observed in the wild: the same PNG bytes hashed
+    differently on driver vs executor). Bound: total_sum < 765*H*W, so
+    ``*64`` stays far inside int64 for any real image."""
+    s = pixels.astype(np.int64).sum(axis=2)
+    blocks = _phash_block_sums(s)
+    bits = (blocks.astype(np.int64) * 64 > blocks.sum()).flatten()
     v = 0
     for b in bits:
         v = (v << 1) | int(b)
@@ -138,18 +156,16 @@ def phash64(pixels: np.ndarray) -> int:
 def phash64_batch(stack: np.ndarray) -> np.ndarray:
     """Vectorized ``phash64`` over an (N, H, W, 3) uint8 stack -> int64[N].
 
-    Bit-identical to the per-image function (same float64 means, same
-    MSB-first bit packing); exists so the Arrow verify/feature stages can
-    hash a whole equal-dimension batch in one numpy pass instead of a
-    row-at-a-time Python loop (r2 verdict perf item)."""
-    n, h, w, _ = stack.shape
-    gray = stack.astype(np.float64).mean(axis=3)
-    ph, pw = (-h) % 8, (-w) % 8
-    if ph or pw:
-        gray = np.pad(gray, ((0, 0), (0, ph), (0, pw)), mode="edge")
-    bh, bw = gray.shape[1] // 8, gray.shape[2] // 8
-    blocks = gray.reshape(n, 8, bh, 8, bw).mean(axis=(2, 4))
-    bits = blocks > blocks.mean(axis=(1, 2))[:, None, None]
+    Bit-identical to the per-image function (same exact-integer block-sum
+    comparison, same MSB-first bit packing — integer arithmetic makes
+    that equality unconditional, alignment and batching included); exists
+    so the Arrow verify/feature stages can hash a whole equal-dimension
+    batch in one numpy pass instead of a row-at-a-time Python loop."""
+    n = stack.shape[0]
+    s = stack.astype(np.int64).sum(axis=3)
+    blocks = _phash_block_sums(s)                      # (N, 8, 8) int64
+    totals = blocks.sum(axis=(1, 2))[:, None, None]
+    bits = blocks * 64 > totals
     weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
     v = (bits.reshape(n, 64).astype(np.uint64) * weights).sum(
         axis=1, dtype=np.uint64)

@@ -148,3 +148,72 @@ def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
 
     schema = StructType(list(df.schema.fields) + FETCH_FIELDS)
     return df.mapInPandas(fetch_batches, schema)
+
+
+def http_fetch_payloads(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
+    """Binary twin of ``http_fetch`` for the media/image branch: GET each
+    row's ``url`` and append (bytes, content_type, status) with the
+    payload UNDECODED (images are opaque binary per the input_hint
+    posture — charset decoding would corrupt them). Same transport knobs
+    (timeout/headers/proxies/concurrency), same per-row error capture
+    (failures carry null bytes, never task failures).
+
+    The crawl loop uses this when ``fetch_mode="http"`` and no payload
+    table is supplied: discovered image URLs fetch their real payloads,
+    which then flow into the decode+verify Arrow stage unchanged."""
+    from pyspark.sql.types import BinaryType
+
+    headers = parse_header_lines(cfg.headers)
+    if not any(k.lower() == "user-agent" for k, _ in headers):
+        headers.append(("User-Agent", DEFAULT_USER_AGENT))
+    timeout = max(1, int(cfg.timeout))
+    proxies = [p for p in (cfg.proxies or []) if p]
+    workers = max(1, int(cfg.concurrency))
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import urllib.error
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        rr = itertools.count()
+
+        def one(url: str) -> tuple:
+            req = urllib.request.Request(url)
+            for k, v in headers:
+                req.add_header(k, v)
+            handlers = []
+            if proxies:
+                p = proxies[next(rr) % len(proxies)]
+                handlers.append(
+                    urllib.request.ProxyHandler({"http": p, "https": p}))
+            opener = urllib.request.build_opener(*handlers)
+            try:
+                with opener.open(req, timeout=timeout) as resp:
+                    return (resp.read(), resp.headers.get_content_type(),
+                            int(resp.status))
+            except urllib.error.HTTPError as e:
+                return None, None, int(e.code)
+            except Exception:
+                return None, None, None
+
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf):
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    res = list(ex.map(one, pdf["url"].astype(str)))
+            else:
+                res = []
+            out["bytes"] = pd.Series(
+                [r[0] for r in res], dtype="object", index=pdf.index)
+            out["payload_content_type"] = pd.Series(
+                [r[1] for r in res], dtype="object", index=pdf.index)
+            out["payload_status"] = pd.array(
+                [r[2] for r in res], dtype="Int32")
+            yield out
+
+    schema = StructType(list(df.schema.fields) + [
+        StructField("bytes", BinaryType()),
+        StructField("payload_content_type", StringType()),
+        StructField("payload_status", IntegerType()),
+    ])
+    return df.mapInPandas(fetch_batches, schema)

@@ -60,7 +60,13 @@ def _verify_batches_carry(carry: tuple[str, ...],
             ids = pdf["image_id"].tolist()
             fmts = pdf["fmt"].tolist()
             ws, hs = pdf["w"].tolist(), pdf["h"].tolist()
-            phashes = pdf["phash"].tolist()
+            # the carried phash crosses the Arrow boundary as a STRING:
+            # Spark's Arrow->pandas input conversion float64-coerces an
+            # int64 column that contains any null (absent payloads), and
+            # 60-bit phash values lose their low bits past 2^53 — parsed
+            # back to exact ints here
+            phashes = [None if x is None else int(x)
+                       for x in pdf["phash_str"].tolist()]
             # per-row CODEC boundary only: variable-length zlib payloads
             # can't stack. All math below runs batched per dimension group.
             decoded: list = []
@@ -152,9 +158,16 @@ def _verify_batches_carry(carry: tuple[str, ...],
             data.update({
                 "image_id": base["image_id"], "w": base["w"], "h": base["h"],
                 "fmt": base["fmt"], "caption": base["caption"],
-                "phash": base["phash"],
-                "decoded_w": dec_w, "decoded_h": dec_h,
-                "phash_recomputed": ph_rec, "phash_hamming": ph_ham,
+                "phash": pd.array(phashes, dtype="Int64"),
+                # nullable Int64/Int32, NEVER plain lists: pandas
+                # float64-coerces [int, None] and 60-bit+ phash values
+                # lose their low bits past 2^53 (found live in the
+                # characterize twin; same hazard here whenever a batch
+                # has an absent/undecodable payload)
+                "decoded_w": pd.array(dec_w, dtype="Int32"),
+                "decoded_h": pd.array(dec_h, dtype="Int32"),
+                "phash_recomputed": pd.array(ph_rec, dtype="Int64"),
+                "phash_hamming": pd.array(ph_ham, dtype="Int32"),
                 "phash_ok": ph_ok, "psnr_db": psnr_db,
                 "pixel_ok": pix_ok, "caption_ok": cap_ok,
                 "part_id": part_id,
@@ -192,13 +205,100 @@ def decode_and_verify(
     carry_schema = "".join(
         f"{c} {fmap[c].dataType.simpleString()}, " for c in carry
     )
-    cols = list(carry) + ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    from pyspark.sql import functions as F
+
+    cols = list(carry) + ["image_id", "bytes", "w", "h", "fmt", "caption"]
     if expected_caption_col is not None and expected_caption_col not in cols:
         cols.append(expected_caption_col)
-    return images.select(*cols).mapInPandas(
+    # phash rides as a string through the Arrow boundary — see the parse
+    # note in _verify_batches (int64-with-nulls float64-coerces on input)
+    sel = [*cols, F.col("phash").cast("string").alias("phash_str")]
+    return images.select(*sel).mapInPandas(
         _verify_batches_carry(tuple(carry), expected_caption_col,
                               synthetic_pixel_check),
         carry_schema + VERIFY_SCHEMA)
+
+
+CHARACTERIZE_SCHEMA = (
+    "fmt string, decoded_w int, decoded_h int, phash long, "
+    "decoded_ok boolean, part_id int"
+)
+
+_CT_FMT = {"image/png": "png", "image/jpeg": "jpeg", "image/jpg": "jpeg"}
+
+
+def characterize_payloads(
+    payloads: DataFrame, carry: tuple[str, ...] = ("seed_id", "url", "iter"),
+) -> DataFrame:
+    """Decode + characterize LIVE-fetched image payloads (bytes +
+    payload_content_type from ``http_fetch_payloads``): dimensions +
+    perceptual hash + per-partition lineage. This is the real-HTTP twin
+    of ``decode_and_verify`` — with no reference payload table there is
+    nothing to verify AGAINST, so the stage records what was decoded
+    (``decoded_ok`` false for missing/undecodable payloads, never a
+    drop). Same batched numpy kernels, per-row codec boundary only."""
+    from xcrawl3r_spark.session import ship_package
+
+    ship_package(payloads.sparkSession)
+    fmap = {f.name: f for f in payloads.schema.fields}
+    carry_schema = "".join(
+        f"{c} {fmap[c].dataType.simpleString()}, " for c in carry)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        part_id = tc.partitionId() if tc is not None else -1
+        cols = list(carry) + ["fmt", "decoded_w", "decoded_h", "phash",
+                              "decoded_ok", "part_id"]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame([], columns=cols)
+                continue
+            fmts = [
+                _CT_FMT.get((ct or "").lower())
+                for ct in pdf["payload_content_type"].tolist()
+            ]
+            decoded: list = []
+            for bts, fmt in zip(pdf["bytes"].tolist(), fmts):
+                px = None
+                if bts is not None and fmt is not None:
+                    try:
+                        px = decode_image(bts, fmt)
+                    except (ValueError, NotImplementedError):
+                        px = None
+                decoded.append(px)
+            dec_w: list = [None] * n
+            dec_h: list = [None] * n
+            phs: list = [None] * n
+            ok = [False] * n
+            groups: dict[tuple, list[int]] = {}
+            for i, px in enumerate(decoded):
+                if px is not None:
+                    groups.setdefault(px.shape[:2], []).append(i)
+            for (dh, dw), idxs in groups.items():
+                stack = np.stack([decoded[i] for i in idxs])
+                ph = phash64_batch(stack)
+                for j, i in enumerate(idxs):
+                    dec_w[i], dec_h[i] = dw, dh
+                    phs[i] = int(ph[j])
+                    ok[i] = True
+            base = pdf.reset_index(drop=True)
+            data = {c: base[c] for c in carry}
+            data.update({"fmt": fmts,
+                         "decoded_w": pd.array(dec_w, dtype="Int32"),
+                         "decoded_h": pd.array(dec_h, dtype="Int32"),
+                         # nullable Int64, NEVER a plain list: pandas
+                         # float64-coerces [int, None], and phash values
+                         # exceed 2^53 — the low bits silently round away
+                         # (found live: …040 became …016 whenever a batch
+                         # also contained an absent payload)
+                         "phash": pd.array(phs, dtype="Int64"),
+                         "decoded_ok": ok, "part_id": part_id})
+            yield pd.DataFrame(data, columns=cols)
+
+    cols = list(carry) + ["bytes", "payload_content_type"]
+    return payloads.select(*cols).mapInPandas(
+        gen, carry_schema + CHARACTERIZE_SCHEMA)
 
 
 def lineage(verified: DataFrame) -> DataFrame:

@@ -409,6 +409,23 @@ class Crawler:
                     images_it.join(image_payloads, "url", "left"),
                     carry=("seed_id", "url", "iter"),
                 )
+            elif cfg.fetch_mode == "http" and cfg.ingest_images:
+                # live-HTTP payload branch: GET each discovered image's
+                # real bytes (binary — never charset-decoded) and
+                # decode+characterize (dims/phash/lineage). No reference
+                # payload exists to verify against, so the output schema
+                # is CHARACTERIZE_SCHEMA, not the verify schema.
+                from xcrawl3r_spark.operators.fetch import (
+                    http_fetch_payloads,
+                )
+                from xcrawl3r_spark.operators.images import (
+                    characterize_payloads,
+                )
+
+                images_it = characterize_payloads(
+                    http_fetch_payloads(images_it, cfg),
+                    carry=("seed_id", "url", "iter"),
+                )
             # (6) mark seen: every scheduled request, incl. media-aborted
             seen_it = (
                 flagged.filter(F.col("_sel") | F.col("_media"))
