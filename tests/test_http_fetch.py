@@ -191,9 +191,6 @@ def test_http_image_payload_branch(spark, http_site):
     px = synth_pixels("served-img", 24, 16)
     png = encode_png(px)
 
-    class _BinHandler(type(_Handler)):
-        pass
-
     # extend the fixture handler: binary route for the png
     orig_do_get = _Handler.do_GET
 
@@ -226,3 +223,100 @@ def test_http_image_payload_branch(spark, http_site):
         assert missing["decoded_ok"] is False and missing["phash"] is None
     finally:
         _Handler.do_GET = orig_do_get
+
+
+def _png_route(path_prefix="/i/"):
+    """Patch _Handler to serve a deterministic PNG for any /i/*.png path;
+    returns (restore_fn, pixels_by_name)."""
+    from xcrawl3r_spark.functions.imagecodec import encode_png, synth_pixels
+
+    orig = _Handler.do_GET
+    cache = {}
+
+    def do_GET(self):
+        if self.path.startswith(path_prefix) and self.path.endswith(".png"):
+            _Handler.requests.append((self.path, dict(self.headers)))
+            name = self.path.rsplit("/", 1)[1]
+            if name not in cache:
+                cache[name] = encode_png(synth_pixels(name, 16, 16))
+            data = cache[name]
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
+        orig(self)
+
+    _Handler.do_GET = do_GET
+    return lambda: setattr(_Handler, "do_GET", orig), cache
+
+
+def test_payload_fetch_respects_robots(spark, http_site):
+    """With obey_robots on, a robots-denied image URL is never GET — it
+    lands in errors (stage=payload, robots denied) and stays marked seen
+    (scheduled-and-refused); allowed images fetch normally."""
+    restore, _ = _png_route()
+    try:
+        _Handler.site = {
+            "/robots.txt": ("text/plain",
+                            "User-agent: *\nDisallow: /i/private\n", 200),
+            "/p/0": ("text/html",
+                     f'<img src="{http_site}/i/ok.png">'
+                     f'<img src="{http_site}/i/private.png">', 200),
+        }
+        seeds = spark.createDataFrame(
+            [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+        cfg = _cfg(obey_robots=True, expand_seeds=True)
+        res = Crawler(spark, cfg).crawl(seeds)
+        rows = {r["url"].rsplit("/", 1)[1]: r for r in res.images.collect()}
+        assert rows["ok.png"]["decoded_ok"]
+        assert "private.png" not in rows            # never fetched
+        errs = {(r["url"].rsplit("/", 1)[1], r["stage"], r["error"])
+                for r in res.errors.collect()}
+        assert ("private.png", "payload", "robots denied") in errs
+        assert not any("/i/private.png" in p for p, _ in _Handler.requests)
+        seen = {r["url"] for r in res.seen.collect()}
+        assert f"{http_site}/i/private.png" in seen  # refused, not retried
+    finally:
+        restore()
+
+
+def test_payload_fetch_budget_defers_to_next_iteration(spark, http_site):
+    """Live image GETs honor the per-(seed,host) budget: with budget 2
+    and 5 images on one host, at most 2 fetch per iteration, deferred
+    rows requeue (unseen) and ALL images fetch exactly once by the end."""
+    restore, _ = _png_route()
+    try:
+        imgs = "".join(f'<img src="{http_site}/i/n{i}.png">' for i in range(5))
+        _Handler.site = {"/p/0": ("text/html", imgs, 200)}
+        seeds = spark.createDataFrame(
+            [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+        res = Crawler(spark, _cfg(parallelism=2)).crawl(seeds)
+        rows = [r for r in res.images.collect()]
+        assert {r["url"].rsplit("/", 1)[1] for r in rows} == {
+            f"n{i}.png" for i in range(5)}
+        assert all(r["decoded_ok"] for r in rows)
+        by_iter = {}
+        for r in rows:
+            by_iter.setdefault(r["iter"], []).append(r)
+        assert all(len(v) <= 2 for v in by_iter.values())   # budget held
+        assert len(by_iter) >= 3                            # spread out
+        fetched_paths = [p for p, _ in _Handler.requests if p.startswith("/i/")]
+        assert len(fetched_paths) == 5                      # exactly once
+    finally:
+        restore()
+
+
+def test_payload_fetch_failure_lands_in_errors(spark, http_site):
+    """A failed image GET surfaces in res.errors with its status
+    (stage=payload), mirroring page-fetch error capture."""
+    _Handler.site = {
+        "/p/0": ("text/html", f'<img src="{http_site}/i/gone.png">', 200),
+    }
+    seeds = spark.createDataFrame(
+        [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+    res = Crawler(spark, _cfg()).crawl(seeds)
+    errs = {(r["url"].rsplit("/", 1)[1], r["stage"], r["error"])
+            for r in res.errors.collect()}
+    assert ("gone.png", "payload", "status 404") in errs

@@ -412,3 +412,15 @@ class TestR3OperatorPlans:
         plan = plan_of(pagerank(e, iters=2, dangling="redistribute"))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert count_nodes(plan, "CartesianProduct") == 0, plan
+
+    def test_substring_spans_stays_jvm_native(self, spark, sf_dir):
+        """Dense-window substring dedup must stay fully native (its scale
+        posture rests on the shared bucket shuffle + window passes) —
+        no Python/Arrow nodes, no cartesian."""
+        from xcrawl3r_spark.operators import dedupops
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(dedupops.substring_dup_spans(docs, k=8))
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+        assert count_nodes(plan, "ArrowEvalPython") == 0, plan
+        assert count_nodes(plan, "CartesianProduct") == 0, plan

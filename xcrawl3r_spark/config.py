@@ -62,6 +62,10 @@ class CrawlConfig:
     #: timeout/headers/proxies/concurrency. With "http", crawl()'s pages
     #: argument may be None.
     fetch_mode: str = "table"
+    #: size cap for live binary payload GETs (fetch_mode="http" image
+    #: branch): an oversized payload becomes a per-row failure (null
+    #: bytes, status kept) instead of an executor OOM. 0 = uncapped.
+    max_payload_bytes: int = 16 * 1024 * 1024
     #: dedup scope: per-seed (reference-faithful: fresh collector per seed,
     #: xcrawl3r.go:52) or global (strictly cheaper; one seen-set)
     global_dedup: bool = False

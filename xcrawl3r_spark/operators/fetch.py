@@ -76,28 +76,31 @@ def parse_header_lines(headers: list[str]) -> list[tuple[str, str]]:
     return out
 
 
-def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
-    """Fetch each row's ``url`` over HTTP(S); append content_type/body/
-    status columns. Stdlib-only (urllib) so executors need no extra
-    packages."""
+def _transport(cfg: "CrawlConfig", binary: bool):
+    """Shared request machinery for the text and binary fetch stages:
+    one place owns header/UA injection, the Referer extension, proxy
+    round-robin, timeouts, the payload size cap, and per-row error
+    capture — so transport fixes can never diverge between the two
+    (they did once: Referer initially existed only on the text side).
+
+    Returns (make_one, workers): ``make_one()`` must be called INSIDE
+    the executor task (it owns the per-task proxy round-robin counter)
+    and yields ``one(url, referer)`` -> (payload, content_type, status)
+    where payload is a decoded str (text mode) or raw bytes (binary
+    mode); None payload on any failure, status kept for HTTP errors."""
     headers = parse_header_lines(cfg.headers)
     if not any(k.lower() == "user-agent" for k, _ in headers):
         headers.append(("User-Agent", DEFAULT_USER_AGENT))
     timeout = max(1, int(cfg.timeout))
     proxies = [p for p in (cfg.proxies or []) if p]
     workers = max(1, int(cfg.concurrency))
-    # Referer = the page the link was found on (extensions.Referer,
-    # pkg/xcrawl3r/xcrawl3r.go:307). The frontier carries src_url; rows
-    # without one (seeds, replayed frontiers) send no Referer, and the
-    # extension overrides an explicit Referer header when a source page
-    # IS known — matching the reference's registration order (the
-    # extension hooks after the header-injection callback).
-    has_src = "src_url" in df.columns
+    max_bytes = (
+        int(getattr(cfg, "max_payload_bytes", 0)) or None
+    ) if binary else None
 
-    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def make_one():
         import urllib.error
         import urllib.request
-        from concurrent.futures import ThreadPoolExecutor
 
         rr = itertools.count()  # per-task proxy round-robin (xcrawl3r.go:332)
 
@@ -105,6 +108,10 @@ def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
             req = urllib.request.Request(url)
             for k, v in headers:
                 req.add_header(k, v)
+            # Referer = the discovering page (extensions.Referer,
+            # xcrawl3r.go:307); overrides an explicit header when a
+            # source page IS known, matching the reference's
+            # registration order
             if referer is not None:
                 req.remove_header("Referer")
                 req.add_header("Referer", referer)
@@ -117,31 +124,62 @@ def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
             try:
                 with opener.open(req, timeout=timeout) as resp:
                     ct = resp.headers.get_content_type()
+                    status = int(resp.status)
+                    if max_bytes is not None:
+                        # size cap: a bounded read keeps an oversized
+                        # payload a PER-ROW failure (null payload, status
+                        # kept), never an executor OOM — media URLs are
+                        # exactly the large-binary class
+                        data = resp.read(max_bytes + 1)
+                        if len(data) > max_bytes:
+                            return None, ct, status
+                    else:
+                        data = resp.read()
+                    if binary:
+                        return data, ct, status
                     charset = resp.headers.get_content_charset() or "utf-8"
-                    body = resp.read().decode(charset, errors="replace")
-                    return ct, body, int(resp.status)
+                    return data.decode(charset, errors="replace"), ct, status
             except urllib.error.HTTPError as e:
                 return None, None, int(e.code)   # 4xx/5xx: keep the code
             except Exception:
                 return None, None, None          # dial/timeout/DNS: no status
 
+        return one
+
+    return make_one, workers
+
+
+def _referers(pdf: pd.DataFrame, has_src: bool) -> list:
+    if not has_src:
+        return [None] * len(pdf)
+    return [r if isinstance(r, str) else None
+            for r in pdf["src_url"].tolist()]
+
+
+def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
+    """Fetch each row's ``url`` over HTTP(S); append content_type/body/
+    status columns. Stdlib-only (urllib) so executors need no extra
+    packages. Transport knobs + Referer/UA handling live in
+    ``_transport`` (shared with the binary payload stage)."""
+    make_one, workers = _transport(cfg, binary=False)
+    has_src = "src_url" in df.columns
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        one = make_one()
         for pdf in batches:
             out = pdf.copy()
             if len(pdf):
-                urls = pdf["url"].astype(str)
-                refs = (
-                    [r if isinstance(r, str) else None
-                     for r in pdf["src_url"].tolist()]
-                    if has_src else [None] * len(pdf)
-                )
                 with ThreadPoolExecutor(max_workers=workers) as ex:
-                    res = list(ex.map(one, urls, refs))
+                    res = list(ex.map(one, pdf["url"].astype(str),
+                                      _referers(pdf, has_src)))
             else:
                 res = []
             out["content_type"] = pd.Series(
-                [r[0] for r in res], dtype="object", index=pdf.index)
-            out["body"] = pd.Series(
                 [r[1] for r in res], dtype="object", index=pdf.index)
+            out["body"] = pd.Series(
+                [r[0] for r in res], dtype="object", index=pdf.index)
             out["status"] = pd.array(
                 [r[2] for r in res], dtype="Int32")
             yield out
@@ -152,55 +190,33 @@ def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
 
 def http_fetch_payloads(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
     """Binary twin of ``http_fetch`` for the media/image branch: GET each
-    row's ``url`` and append (bytes, content_type, status) with the
-    payload UNDECODED (images are opaque binary per the input_hint
-    posture — charset decoding would corrupt them). Same transport knobs
-    (timeout/headers/proxies/concurrency), same per-row error capture
-    (failures carry null bytes, never task failures).
+    row's ``url`` and append (bytes, payload_content_type,
+    payload_status) with the payload UNDECODED (images are opaque binary
+    per the input_hint posture — charset decoding would corrupt them).
+    Shares ``_transport`` with the text stage: same header/UA/Referer/
+    proxy/timeout behavior, same per-row error capture (failures carry
+    null bytes, never task failures), plus the ``cfg.max_payload_bytes``
+    size cap (oversized payloads become per-row failures with their
+    status kept).
 
     The crawl loop uses this when ``fetch_mode="http"`` and no payload
     table is supplied: discovered image URLs fetch their real payloads,
-    which then flow into the decode+verify Arrow stage unchanged."""
+    which then flow into the decode+characterize Arrow stage."""
     from pyspark.sql.types import BinaryType
 
-    headers = parse_header_lines(cfg.headers)
-    if not any(k.lower() == "user-agent" for k, _ in headers):
-        headers.append(("User-Agent", DEFAULT_USER_AGENT))
-    timeout = max(1, int(cfg.timeout))
-    proxies = [p for p in (cfg.proxies or []) if p]
-    workers = max(1, int(cfg.concurrency))
+    make_one, workers = _transport(cfg, binary=True)
+    has_src = "src_url" in df.columns
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import urllib.error
-        import urllib.request
         from concurrent.futures import ThreadPoolExecutor
 
-        rr = itertools.count()
-
-        def one(url: str) -> tuple:
-            req = urllib.request.Request(url)
-            for k, v in headers:
-                req.add_header(k, v)
-            handlers = []
-            if proxies:
-                p = proxies[next(rr) % len(proxies)]
-                handlers.append(
-                    urllib.request.ProxyHandler({"http": p, "https": p}))
-            opener = urllib.request.build_opener(*handlers)
-            try:
-                with opener.open(req, timeout=timeout) as resp:
-                    return (resp.read(), resp.headers.get_content_type(),
-                            int(resp.status))
-            except urllib.error.HTTPError as e:
-                return None, None, int(e.code)
-            except Exception:
-                return None, None, None
-
+        one = make_one()
         for pdf in batches:
             out = pdf.copy()
             if len(pdf):
                 with ThreadPoolExecutor(max_workers=workers) as ex:
-                    res = list(ex.map(one, pdf["url"].astype(str)))
+                    res = list(ex.map(one, pdf["url"].astype(str),
+                                      _referers(pdf, has_src)))
             else:
                 res = []
             out["bytes"] = pd.Series(

@@ -221,7 +221,7 @@ def decode_and_verify(
 
 CHARACTERIZE_SCHEMA = (
     "fmt string, decoded_w int, decoded_h int, phash long, "
-    "decoded_ok boolean, part_id int"
+    "decoded_ok boolean, payload_status int, part_id int"
 )
 
 _CT_FMT = {"image/png": "png", "image/jpeg": "jpeg", "image/jpg": "jpeg"}
@@ -236,7 +236,10 @@ def characterize_payloads(
     of ``decode_and_verify`` — with no reference payload table there is
     nothing to verify AGAINST, so the stage records what was decoded
     (``decoded_ok`` false for missing/undecodable payloads, never a
-    drop). Same batched numpy kernels, per-row codec boundary only."""
+    drop). ``payload_status`` passes through (nullable-int-safe), so a
+    failed GET (null bytes + its HTTP status) stays distinguishable
+    from fetched-but-undecodable bytes — the crawl's error branch keys
+    off it. Same batched numpy kernels, per-row codec boundary only."""
     from xcrawl3r_spark.session import ship_package
 
     ship_package(payloads.sparkSession)
@@ -248,7 +251,7 @@ def characterize_payloads(
         tc = TaskContext.get()
         part_id = tc.partitionId() if tc is not None else -1
         cols = list(carry) + ["fmt", "decoded_w", "decoded_h", "phash",
-                              "decoded_ok", "part_id"]
+                              "decoded_ok", "payload_status", "part_id"]
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -284,6 +287,13 @@ def characterize_payloads(
                     ok[i] = True
             base = pdf.reset_index(drop=True)
             data = {c: base[c] for c in carry}
+            # payload_status arrives float64-degraded when the batch has
+            # nulls (the same coercion as phash below — harmless for
+            # small ints but must go back out as a nullable int column)
+            status = pd.array(
+                [None if x is None or x != x else int(x)
+                 for x in pdf["payload_status"].tolist()],
+                dtype="Int32")
             data.update({"fmt": fmts,
                          "decoded_w": pd.array(dec_w, dtype="Int32"),
                          "decoded_h": pd.array(dec_h, dtype="Int32"),
@@ -293,10 +303,11 @@ def characterize_payloads(
                          # (found live: …040 became …016 whenever a batch
                          # also contained an absent payload)
                          "phash": pd.array(phs, dtype="Int64"),
-                         "decoded_ok": ok, "part_id": part_id})
+                         "decoded_ok": ok, "payload_status": status,
+                         "part_id": part_id})
             yield pd.DataFrame(data, columns=cols)
 
-    cols = list(carry) + ["bytes", "payload_content_type"]
+    cols = list(carry) + ["bytes", "payload_content_type", "payload_status"]
     return payloads.select(*cols).mapInPandas(
         gen, carry_schema + CHARACTERIZE_SCHEMA)
 

@@ -395,8 +395,47 @@ class Crawler:
             media = flagged.filter("_media").drop(*FLAGS)
             selected = flagged.filter("_sel").drop(*FLAGS)
             overflow = flagged.filter(F.col("_elig") & ~F.col("_sel")).drop(*FLAGS)
-            images_it = media.filter(U.is_image_col(F.col("url"))).select(
-                "seed_id", "url", F.lit(it).alias("iter"))
+            payload_errors_it: DataFrame | None = None
+            media_overflow: DataFrame | None = None
+            live_payloads = (
+                image_payloads is None and cfg.fetch_mode == "http"
+                and cfg.ingest_images
+            )
+            # robots applies to media too ONCE the engine really fetches
+            # them (live_payloads): denied image GETs are never issued —
+            # recorded in errors, still marked seen (scheduled-and-
+            # refused, like the reference's media abort). The table-join
+            # path keeps the original semantics (no real fetch happens).
+            if live_payloads and cfg.obey_robots:
+                media_fetchable = flagged.filter(
+                    F.col("_media") & F.col("_robots_ok")).drop(*FLAGS)
+                payload_errors_it = (
+                    flagged.filter(F.col("_media") & ~F.col("_robots_ok"))
+                    .filter(U.is_image_col(F.col("url")))
+                    .select("seed_id", "url",
+                            F.lit("robots denied").alias("error"),
+                            F.lit("payload").alias("stage"),
+                            F.lit(it).alias("iter"))
+                )
+            else:
+                media_fetchable = media
+            # live image GETs honor the per-(seed,host) budget like page
+            # fetches (they are real requests); overflow defers to the
+            # next iteration via the frontier, NOT marked seen, so the
+            # deferred rows re-enter the media branch and fetch later.
+            # Only image rows compete for slots — non-image media are
+            # never fetched, so they'd waste budget and delay for nothing.
+            img_rows = media_fetchable.filter(U.is_image_col(F.col("url")))
+            if live_payloads and cfg.parallelism > 0:
+                from xcrawl3r_spark.operators.politeness import (
+                    politeness_select,
+                )
+
+                img_rows, media_overflow = politeness_select(
+                    img_rows, cfg.parallelism, cfg.skew_salt)
+            images_it = img_rows.select(
+                "seed_id", "url", F.lit(it).alias("iter"),
+                F.col("src_url"))
             if image_payloads is not None and cfg.ingest_images:
                 # E7/S9 payload ingestion: discovered image URLs join
                 # their fetched payloads (input_hint-shaped table; the
@@ -406,15 +445,20 @@ class Crawler:
                 from xcrawl3r_spark.operators.images import decode_and_verify
 
                 images_it = decode_and_verify(
-                    images_it.join(image_payloads, "url", "left"),
+                    images_it.drop("src_url").join(
+                        image_payloads, "url", "left"),
                     carry=("seed_id", "url", "iter"),
                 )
-            elif cfg.fetch_mode == "http" and cfg.ingest_images:
+            elif live_payloads:
                 # live-HTTP payload branch: GET each discovered image's
-                # real bytes (binary — never charset-decoded) and
-                # decode+characterize (dims/phash/lineage). No reference
-                # payload exists to verify against, so the output schema
-                # is CHARACTERIZE_SCHEMA, not the verify schema.
+                # real bytes (binary — never charset-decoded; size-capped
+                # per cfg.max_payload_bytes; Referer = discovering page)
+                # and decode+characterize (dims/phash/lineage). No
+                # reference payload exists to verify against, so the
+                # output schema is CHARACTERIZE_SCHEMA, not the verify
+                # schema. CHECKPOINTED: the GET is a side effect — a lazy
+                # tail would re-fire every request once per action over
+                # res.images.
                 from xcrawl3r_spark.operators.fetch import (
                     http_fetch_payloads,
                 )
@@ -422,16 +466,40 @@ class Crawler:
                     characterize_payloads,
                 )
 
-                images_it = characterize_payloads(
+                images_it = _ckpt(characterize_payloads(
                     http_fetch_payloads(images_it, cfg),
                     carry=("seed_id", "url", "iter"),
+                ))
+                # failed GETs surface in errors like page fetches do
+                # (payload_status kept when the server answered)
+                fetch_errs = (
+                    images_it.filter(~F.col("decoded_ok")
+                                     & F.col("fmt").isNull())
+                    .select("seed_id", "url",
+                            F.coalesce(
+                                F.concat(F.lit("status "),
+                                         F.col("payload_status")),
+                                F.lit("fetch failed")).alias("error"),
+                            F.lit("payload").alias("stage"), "iter")
                 )
-            # (6) mark seen: every scheduled request, incl. media-aborted
+                payload_errors_it = (
+                    fetch_errs if payload_errors_it is None
+                    else payload_errors_it.unionByName(fetch_errs)
+                )
+            else:
+                images_it = images_it.drop("src_url")
+            # (6) mark seen: every scheduled request, incl. media-aborted.
+            # Live-mode media deferred by the payload budget are NOT seen
+            # yet (their fetch is postponed, not refused).
+            seen_cond = F.col("_sel") | F.col("_media")
             seen_it = (
-                flagged.filter(F.col("_sel") | F.col("_media"))
+                flagged.filter(seen_cond)
                 .select("seed_id", "url", "url_hash", "dedup_key", "host", "depth")
                 .withColumn("iter", F.lit(it))
             )
+            if media_overflow is not None:
+                seen_it = seen_it.join(
+                    media_overflow.select("url"), "url", "left_anti")
             m["t_new"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             # (7) fetch: either the real Arrow-batched HTTP stage
@@ -493,8 +561,14 @@ class Crawler:
             if cfg.depth > 0:
                 child = child.filter(F.col("depth") <= cfg.depth)
             frontier_next = self._with_keys(child).select(*FRONTIER_COLS)
+            requeue = overflow.select(*FRONTIER_COLS)
+            if media_overflow is not None:
+                # payload-budget-deferred media re-enter unchanged (same
+                # depth — delay, not drop; they were NOT marked seen)
+                requeue = requeue.unionByName(
+                    media_overflow.select(*FRONTIER_COLS))
             frontier = self._priority_buckets(
-                frontier_next.unionByName(overflow.select(*FRONTIER_COLS))
+                frontier_next.unionByName(requeue)
             )
             # The frontier is a cheap bounded-depth transform over this
             # iteration's ALREADY-checkpointed extracted/flagged frames, so
@@ -531,6 +605,8 @@ class Crawler:
                 seen_parts = [seen]
             edges_parts.append(edges_it)
             images_parts.append(images_it)
+            if payload_errors_it is not None:
+                errors_it = errors_it.unionByName(payload_errors_it)
             errors_parts.append(errors_it)
             if bloom is not None:
                 # fold NEW keys into the filter every few iterations, not
