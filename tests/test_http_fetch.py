@@ -49,6 +49,58 @@ def http_site():
     server.shutdown()
 
 
+@pytest.fixture
+def https_site(tmp_path):
+    """TLS twin of http_site: the same fixture handler behind a
+    SELF-SIGNED cert — the case the reference's InsecureSkipVerify: true
+    transport (xcrawl3r.go:319) fetches and a verifying client rejects."""
+    import datetime
+    import ipaddress
+    import ssl
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    start = datetime.datetime(2020, 1, 1)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key()).serial_number(1)
+        .not_valid_before(start)
+        .not_valid_after(start + datetime.timedelta(days=36500))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]),
+            critical=False)
+        .sign(key, hashes.SHA256())
+    )
+    certfile, keyfile = tmp_path / "cert.pem", tmp_path / "key.pem"
+    certfile.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    keyfile.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption()))
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    server.daemon_threads = True
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    server.socket = ctx.wrap_socket(server.socket, server_side=True)
+    import threading
+
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"https://127.0.0.1:{server.server_port}"
+    _Handler.site = {}
+    _Handler.requests = []
+    yield base
+    server.shutdown()
+
+
 def _cfg(**kw):
     base = dict(domains=["127.0.0.1"], depth=3, expand_seeds=False,
                 parallelism=0, fetch_mode="http")
@@ -172,6 +224,32 @@ def test_http_fetch_proxy_round_robin(spark, http_site):
     assert res.errors.count() == 0
     assert {r["url"] for r in res.seen.collect()} == {target}
     assert _Handler.requests and _Handler.requests[0][0] == target
+
+
+def test_tls_skip_verify_fetches_self_signed(spark, https_site):
+    """Default transport posture matches the reference's
+    InsecureSkipVerify: true (xcrawl3r.go:319): a self-signed-cert host
+    crawls clean — identical edges/seen to the plaintext path."""
+    _Handler.site = _chain_site(https_site)
+    seeds = spark.createDataFrame(
+        [("s0", f"{https_site}/p/0")], "seed_id string, url string")
+    res = Crawler(spark, _cfg()).crawl(seeds)
+    assert res.errors.count() == 0
+    assert {r["url"] for r in res.seen.collect()} == {
+        f"{https_site}/p/{i}" for i in range(3)}
+
+
+def test_tls_verify_rejects_self_signed(spark, https_site):
+    """cfg.tls_skip_verify=False restores certificate verification: the
+    self-signed host becomes a per-row fetch error (no status — the TLS
+    handshake fails before any HTTP response), never a task failure."""
+    _Handler.site = _chain_site(https_site)
+    seeds = spark.createDataFrame(
+        [("s0", f"{https_site}/p/0")], "seed_id string, url string")
+    res = Crawler(spark, _cfg(tls_skip_verify=False)).crawl(seeds)
+    errs = {(r["url"], r["error"]) for r in res.errors.collect()}
+    assert (f"{https_site}/p/0", "fetch failed") in errs
+    assert res.seen.count() == 1  # the seed was scheduled, nothing followed
 
 
 def test_parse_header_lines():
@@ -306,6 +384,48 @@ def test_payload_fetch_budget_defers_to_next_iteration(spark, http_site):
         assert len(fetched_paths) == 5                      # exactly once
     finally:
         restore()
+
+
+def test_payload_over_cap_gets_own_error_string(spark, http_site):
+    """cfg.max_payload_bytes truncation is classified by the transport's
+    explicit outcome marker, not inferred from null-patterns: the row
+    lands in errors as "payload too large (status 200)" — distinguishable
+    from both a dead host and fetched-but-undecodable bytes."""
+    restore, _ = _png_route()
+    try:
+        _Handler.site = {
+            "/p/0": ("text/html", f'<img src="{http_site}/i/big.png">', 200),
+        }
+        seeds = spark.createDataFrame(
+            [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+        res = Crawler(spark, _cfg(max_payload_bytes=10)).crawl(seeds)
+        errs = {(r["url"].rsplit("/", 1)[1], r["stage"], r["error"])
+                for r in res.errors.collect()}
+        assert ("big.png", "payload", "payload too large (status 200)") in errs
+        row = {r["url"].rsplit("/", 1)[1]: r for r in res.images.collect()}
+        assert row["big.png"]["payload_outcome"] == "truncated"
+        assert row["big.png"]["decoded_ok"] is False
+    finally:
+        restore()
+
+
+def test_payload_completed_nonimage_fetch_is_not_an_error(spark, http_site):
+    """A 200 GET whose body is not an image is a COMPLETED fetch: it must
+    NOT be mislabeled "status 200" in errors (the pre-r4 bug); its record
+    is decoded_ok=false + outcome "fetched" in the images output."""
+    _Handler.site = {
+        "/p/0": ("text/html", f'<img src="{http_site}/i/not-an-img.png">', 200),
+        "/i/not-an-img.png": ("text/html", "<p>actually html</p>", 200),
+    }
+    seeds = spark.createDataFrame(
+        [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+    res = Crawler(spark, _cfg()).crawl(seeds)
+    assert res.errors.count() == 0
+    row = {r["url"].rsplit("/", 1)[1]: r for r in res.images.collect()}
+    got = row["not-an-img.png"]
+    assert got["payload_outcome"] == "fetched"
+    assert got["decoded_ok"] is False and got["fmt"] is None
+    assert got["payload_status"] == 200
 
 
 def test_payload_fetch_failure_lands_in_errors(spark, http_site):

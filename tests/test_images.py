@@ -72,6 +72,26 @@ def test_corrupted_payload_flagged(spark):
     assert all(r["pixel_ok"] and r["caption_ok"] for r in good)
 
 
+def test_null_carried_phash_degrades_per_row(spark):
+    """A row with decodable bytes but a NULL carried phash must produce
+    the per-row failure shape (defaults, like an absent payload) — not a
+    TypeError that fails the whole Arrow task: the join side is not
+    contractually non-null."""
+    p = G.GraphParams(hosts=2, pages_per_host=2)
+    rows = list(G.images_rows(p))
+    rows[0]["phash"] = None
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "url"]
+    df = spark.createDataFrame(
+        [[r[c] for c in cols] for r in rows], G.IMAGES_SCHEMA + ", url string"
+    )
+    out = {r["image_id"]: r for r in decode_and_verify(df).collect()}
+    bad = out[rows[0]["image_id"]]
+    assert bad["phash"] is None and bad["phash_hamming"] is None
+    assert bad["phash_ok"] is False and bad["pixel_ok"] is False
+    good = [r for r in out.values() if r["image_id"] != rows[0]["image_id"]]
+    assert good and all(r["pixel_ok"] and r["phash_ok"] for r in good)
+
+
 def test_crawl_ingests_payloads(spark):
     """E7/S9 integrated: a crawl given the payload table emits verified
     image rows (decode + PSNR/caption/phash invariants + lineage part_id)

@@ -85,24 +85,48 @@ def _transport(cfg: "CrawlConfig", binary: bool):
 
     Returns (make_one, workers): ``make_one()`` must be called INSIDE
     the executor task (it owns the per-task proxy round-robin counter)
-    and yields ``one(url, referer)`` -> (payload, content_type, status)
-    where payload is a decoded str (text mode) or raw bytes (binary
-    mode); None payload on any failure, status kept for HTTP errors."""
+    and yields ``one(url, referer)`` ->
+    (payload, content_type, status, outcome) where payload is a decoded
+    str (text mode) or raw bytes (binary mode); None payload on any
+    non-"fetched" outcome, status kept whenever the server answered.
+
+    ``outcome`` is the explicit transport marker so callers never have
+    to infer what happened from null-patterns (a null payload is
+    ambiguous between truncated and failed; a non-image content type on
+    a 200 is a COMPLETED fetch, not a failure):
+    - ``"fetched"``   — 2xx response, payload fully read (payload
+      non-null; content type may still be anything);
+    - ``"truncated"`` — response exceeded cfg.max_payload_bytes
+      (binary mode only; payload dropped, ct+status kept);
+    - ``"http_error"`` — server answered 4xx/5xx (status kept);
+    - ``"failed"``    — dial/timeout/DNS/TLS error (no status)."""
     headers = parse_header_lines(cfg.headers)
     if not any(k.lower() == "user-agent" for k, _ in headers):
         headers.append(("User-Agent", DEFAULT_USER_AGENT))
     timeout = max(1, int(cfg.timeout))
     proxies = [p for p in (cfg.proxies or []) if p]
     workers = max(1, int(cfg.concurrency))
+    tls_skip_verify = bool(getattr(cfg, "tls_skip_verify", True))
     max_bytes = (
         int(getattr(cfg, "max_payload_bytes", 0)) or None
     ) if binary else None
 
     def make_one():
+        import ssl
         import urllib.error
         import urllib.request
 
         rr = itertools.count()  # per-task proxy round-robin (xcrawl3r.go:332)
+        # reference-faithful TLS posture: InsecureSkipVerify: true
+        # (xcrawl3r.go:319) — a self-signed/expired-cert host fetches
+        # instead of landing in errors; cfg.tls_skip_verify=False
+        # restores default verification
+        if tls_skip_verify:
+            ssl_ctx = ssl.create_default_context()
+            ssl_ctx.check_hostname = False
+            ssl_ctx.verify_mode = ssl.CERT_NONE
+        else:
+            ssl_ctx = None
 
         def one(url: str, referer: str | None = None) -> tuple:
             req = urllib.request.Request(url)
@@ -116,6 +140,8 @@ def _transport(cfg: "CrawlConfig", binary: bool):
                 req.remove_header("Referer")
                 req.add_header("Referer", referer)
             handlers = []
+            if ssl_ctx is not None:
+                handlers.append(urllib.request.HTTPSHandler(context=ssl_ctx))
             if proxies:
                 p = proxies[next(rr) % len(proxies)]
                 handlers.append(
@@ -132,17 +158,18 @@ def _transport(cfg: "CrawlConfig", binary: bool):
                         # exactly the large-binary class
                         data = resp.read(max_bytes + 1)
                         if len(data) > max_bytes:
-                            return None, ct, status
+                            return None, ct, status, "truncated"
                     else:
                         data = resp.read()
                     if binary:
-                        return data, ct, status
+                        return data, ct, status, "fetched"
                     charset = resp.headers.get_content_charset() or "utf-8"
-                    return data.decode(charset, errors="replace"), ct, status
+                    return (data.decode(charset, errors="replace"),
+                            ct, status, "fetched")
             except urllib.error.HTTPError as e:
-                return None, None, int(e.code)   # 4xx/5xx: keep the code
+                return None, None, int(e.code), "http_error"  # keep the code
             except Exception:
-                return None, None, None          # dial/timeout/DNS: no status
+                return None, None, None, "failed"  # dial/timeout/DNS: no status
 
         return one
 
@@ -191,7 +218,8 @@ def http_fetch(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
 def http_fetch_payloads(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
     """Binary twin of ``http_fetch`` for the media/image branch: GET each
     row's ``url`` and append (bytes, payload_content_type,
-    payload_status) with the payload UNDECODED (images are opaque binary
+    payload_status, payload_outcome) with the payload UNDECODED (images
+    are opaque binary
     per the input_hint posture — charset decoding would corrupt them).
     Shares ``_transport`` with the text stage: same header/UA/Referer/
     proxy/timeout behavior, same per-row error capture (failures carry
@@ -225,11 +253,14 @@ def http_fetch_payloads(df: DataFrame, cfg: "CrawlConfig") -> DataFrame:
                 [r[1] for r in res], dtype="object", index=pdf.index)
             out["payload_status"] = pd.array(
                 [r[2] for r in res], dtype="Int32")
+            out["payload_outcome"] = pd.Series(
+                [r[3] for r in res], dtype="object", index=pdf.index)
             yield out
 
     schema = StructType(list(df.schema.fields) + [
         StructField("bytes", BinaryType()),
         StructField("payload_content_type", StringType()),
         StructField("payload_status", IntegerType()),
+        StructField("payload_outcome", StringType()),
     ])
     return df.mapInPandas(fetch_batches, schema)

@@ -107,7 +107,11 @@ def _verify_batches_carry(carry: tuple[str, ...],
             # call overhead for what is per-batch math
             groups: dict[tuple, list[int]] = {}
             for i, px in enumerate(decoded):
-                if px is not None:
+                # a null carried phash with non-null bytes must degrade to
+                # the per-row failure shape (defaults), not TypeError the
+                # whole Arrow task — the join side is not contractually
+                # non-null here
+                if px is not None and phashes[i] is not None:
                     groups.setdefault(
                         (px.shape[0], px.shape[1], ws[i], hs[i]), []
                     ).append(i)
@@ -221,7 +225,8 @@ def decode_and_verify(
 
 CHARACTERIZE_SCHEMA = (
     "fmt string, decoded_w int, decoded_h int, phash long, "
-    "decoded_ok boolean, payload_status int, part_id int"
+    "decoded_ok boolean, payload_status int, payload_outcome string, "
+    "part_id int"
 )
 
 _CT_FMT = {"image/png": "png", "image/jpeg": "jpeg", "image/jpg": "jpeg"}
@@ -236,10 +241,13 @@ def characterize_payloads(
     of ``decode_and_verify`` — with no reference payload table there is
     nothing to verify AGAINST, so the stage records what was decoded
     (``decoded_ok`` false for missing/undecodable payloads, never a
-    drop). ``payload_status`` passes through (nullable-int-safe), so a
-    failed GET (null bytes + its HTTP status) stays distinguishable
-    from fetched-but-undecodable bytes — the crawl's error branch keys
-    off it. Same batched numpy kernels, per-row codec boundary only."""
+    drop). ``payload_status`` and the transport's explicit
+    ``payload_outcome`` marker (fetched/truncated/http_error/failed)
+    pass through (nullable-int-safe), so the crawl's error branch
+    classifies on what the transport actually did instead of inferring
+    from null-patterns: a truncated over-cap payload, a dead host, and
+    a completed fetch of a non-image content type are three different
+    things. Same batched numpy kernels, per-row codec boundary only."""
     from xcrawl3r_spark.session import ship_package
 
     ship_package(payloads.sparkSession)
@@ -251,7 +259,8 @@ def characterize_payloads(
         tc = TaskContext.get()
         part_id = tc.partitionId() if tc is not None else -1
         cols = list(carry) + ["fmt", "decoded_w", "decoded_h", "phash",
-                              "decoded_ok", "payload_status", "part_id"]
+                              "decoded_ok", "payload_status",
+                              "payload_outcome", "part_id"]
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -304,10 +313,12 @@ def characterize_payloads(
                          # also contained an absent payload)
                          "phash": pd.array(phs, dtype="Int64"),
                          "decoded_ok": ok, "payload_status": status,
+                         "payload_outcome": pdf["payload_outcome"].tolist(),
                          "part_id": part_id})
             yield pd.DataFrame(data, columns=cols)
 
-    cols = list(carry) + ["bytes", "payload_content_type", "payload_status"]
+    cols = list(carry) + ["bytes", "payload_content_type", "payload_status",
+                          "payload_outcome"]
     return payloads.select(*cols).mapInPandas(
         gen, carry_schema + CHARACTERIZE_SCHEMA)
 

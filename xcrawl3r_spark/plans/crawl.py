@@ -470,17 +470,27 @@ class Crawler:
                     http_fetch_payloads(images_it, cfg),
                     carry=("seed_id", "url", "iter"),
                 ))
-                # failed GETs surface in errors like page fetches do
-                # (payload_status kept when the server answered)
+                # failed GETs surface in errors like page fetches do,
+                # classified on the transport's explicit outcome marker
+                # (NOT on null-patterns: an over-cap truncated payload
+                # keeps a non-null content type, and a completed 200
+                # fetch of a non-image content type is NOT a fetch
+                # failure — it stays out of errors, decoded_ok=false in
+                # the images output is its record)
                 fetch_errs = (
-                    images_it.filter(~F.col("decoded_ok")
-                                     & F.col("fmt").isNull())
-                    .select("seed_id", "url",
-                            F.coalesce(
-                                F.concat(F.lit("status "),
-                                         F.col("payload_status")),
-                                F.lit("fetch failed")).alias("error"),
-                            F.lit("payload").alias("stage"), "iter")
+                    images_it.filter(F.col("payload_outcome") != "fetched")
+                    .select(
+                        "seed_id", "url",
+                        F.when(
+                            F.col("payload_outcome") == "truncated",
+                            F.concat(
+                                F.lit("payload too large (status "),
+                                F.col("payload_status"), F.lit(")")),
+                        ).otherwise(F.coalesce(
+                            F.concat(F.lit("status "),
+                                     F.col("payload_status")),
+                            F.lit("fetch failed"))).alias("error"),
+                        F.lit("payload").alias("stage"), "iter")
                 )
                 payload_errors_it = (
                     fetch_errs if payload_errors_it is None
