@@ -53,6 +53,14 @@ class CrawlConfig:
     #: Spark's (SURVEY §2.6 A3); with fetch_mode="http" this is also the
     #: per-task in-flight request count (I/O thread pool width)
     concurrency: int = 5
+    #: skip TLS certificate verification on live fetches — the reference
+    #: transport hardcodes ``InsecureSkipVerify: true``
+    #: (pkg/xcrawl3r/xcrawl3r.go:319), so a crawl of a self-signed or
+    #: expired-cert host succeeds there; default matches. SECURITY
+    #: POSTURE: a crawler deliberately accepts any cert (it is reading
+    #: public content, not authenticating a peer); set False to verify
+    #: against the system trust store when crawling trusted infra.
+    tls_skip_verify: bool = True
     debug: bool = False
 
     # --- batch-engine knobs (north rule) ------------------------------

@@ -63,10 +63,16 @@ def pagerank(
 
     ``checkpoint_every``: DISK_ONLY-checkpoint the rank table every k
     rounds to cut plan depth on long runs (0 = off; the unrolled plan is
-    fine for small ``iters``).
+    fine for small ``iters`` in drop mode). ``redistribute`` references
+    the previous rank lineage TWICE per round (contrib join + dangling
+    sum), so the unresolved plan grows ~2^iters if never truncated —
+    that mode defaults to checkpointing every 2 rounds when the caller
+    leaves checkpoint_every at 0 (pass an explicit value to override).
     """
     if dangling not in ("drop", "redistribute"):
         raise ValueError(f"dangling must be drop|redistribute: {dangling!r}")
+    if dangling == "redistribute" and checkpoint_every == 0:
+        checkpoint_every = 2
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("id"))
