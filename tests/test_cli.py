@@ -73,6 +73,49 @@ def test_cli_list_file_seeds(spark, tmp_path, capsys):
     assert set(printed) == {"https://hc.test/p/1", "https://hc.test/p/2"}
 
 
+def test_cli_streams_output_per_iteration(spark, tmp_path, capsys, monkeypatch):
+    """The stdout stream is emitted DURING the crawl, one increment per
+    committed iteration (the reference consumer prints each ResultURL as
+    discovered, main.go:296-307) — not dumped after the loop ends. A
+    4-page chain discovers exactly one link per BFS wave, so each
+    iteration's stdout drain must hold exactly that wave's URL."""
+    import xcrawl3r_spark.plans.crawl as crawlmod
+
+    pages = _pages_parquet(spark, tmp_path, host="he", n=4)
+    # pin expansion/budget off so each BFS wave is exactly one page —
+    # with defaults the robots/sitemap expansions share iteration slots
+    # and the waves shift
+    cfgfile = tmp_path / "stream.yaml"
+    cfgfile.write_text("expand_seeds: false\nparallelism: 0\n")
+    drains = []
+    orig = crawlmod.Crawler.crawl
+
+    def spy(self, *a, **kw):
+        cb = kw.get("on_iteration")
+        assert cb is not None, "CLI must stream via on_iteration"
+
+        def spy_cb(it, df):
+            cb(it, df)
+            drains.append(
+                (it, [ln for ln in capsys.readouterr().out.splitlines()
+                      if ln]))
+
+        kw["on_iteration"] = spy_cb
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(crawlmod.Crawler, "crawl", spy)
+    rc = main(["-c", str(cfgfile), "-u", "https://he.test/p/0", "-d", "test",
+               "--include-subdomains", "--depth", "0", "--pages", pages,
+               "--silent"], spark=spark)
+    assert rc == 0
+    per_iter = dict(drains)
+    assert per_iter[1] == ["https://he.test/p/1"]
+    assert per_iter[2] == ["https://he.test/p/2"]
+    assert per_iter[3] == ["https://he.test/p/3"]
+    # nothing was held back for a post-loop dump
+    assert not [ln for ln in capsys.readouterr().out.splitlines() if ln]
+
+
 def test_cli_no_seeds_errors(spark, capsys):
     rc = main(["-d", "test"], spark=spark)
     assert rc == 2

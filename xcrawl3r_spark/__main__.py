@@ -151,31 +151,44 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     pages = spark.read.parquet(args.pages) if args.pages else None
     crawler = Crawler(spark, cfg)
-    if args.resume:
-        res = crawler.resume(seeds, pages)
-    else:
-        res = crawler.crawl(seeds, pages)
 
-    # stream results: the D3 emit multiset (every in-scope discovered
-    # occurrence), exactly what the reference prints per result row.
-    # Persisted: the lazy edges union would otherwise recompute for each
-    # consumer (stdout stream + file sink).
-    out_urls = res.edges.select("url").persist()
-    n = 0
-    for row in out_urls.toLocalIterator():  # driver prints, workers stream
-        print(row["url"])
-        n += 1
+    # stream results AS DISCOVERED: the reference's consumer prints each
+    # ResultURL off a channel while the crawl runs (main.go:296-307), so
+    # each iteration's D3 emit increment goes to stdout the moment it
+    # commits — a long crawl shows progress continuously instead of
+    # dumping everything after the loop. Within an iteration the order is
+    # the engine's deterministic tie-break; the concatenation across
+    # iterations equals the post-hoc res.edges stream exactly.
+    emitted = [0]
+
+    def stream_edges(it: int, edges_it) -> None:
+        for row in edges_it.select("url").toLocalIterator():
+            print(row["url"], flush=True)
+            emitted[0] += 1
+
+    if args.resume:
+        # resumed runs stitch committed history in front of the new tail;
+        # the stdout stream must carry the WHOLE stitched multiset (same
+        # contract as an uninterrupted run), so print post-hoc here
+        # instead of streaming only the fresh iterations
+        res = crawler.resume(seeds, pages)
+        for row in res.edges.select("url").toLocalIterator():
+            print(row["url"], flush=True)
+            emitted[0] += 1
+    else:
+        res = crawler.crawl(seeds, pages, on_iteration=stream_edges)
+
     if args.output:
+        out_urls = res.edges.select("url")
         written = (
             sinks.write_jsonl(out_urls, args.output) if args.jsonl
             else sinks.write_txt(out_urls, args.output))
         if not args.silent:
             print(f"wrote {written}", file=sys.stderr)
     if not args.silent:
-        print(f"{n} URLs emitted, {res.seen.count()} visited, "
+        print(f"{emitted[0]} URLs emitted, {res.seen.count()} visited, "
               f"{res.errors.count()} errors, "
               f"{res.iterations} iterations", file=sys.stderr)
-    out_urls.unpersist()
     if own_session:
         spark.stop()
     return 0

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
@@ -259,6 +260,7 @@ class Crawler:
         initial_robots_rules: DataFrame | None = None,
         initial_filter: dict[int, bytes] | None = None,
         max_iterations: int = 1000,
+        on_iteration: "Callable[[int, DataFrame], None] | None" = None,
     ) -> CrawlResult:
         cfg, spark = self.cfg, self.spark
         Crawler._run_seq += 1
@@ -650,6 +652,16 @@ class Crawler:
                     self.store.commit(mined_inc, "robots_rules", it)
                 self.store.commit(frontier, "frontier", it)
                 m["t_store"] = round(time.perf_counter() - t0, 3)
+            if on_iteration is not None:
+                # as-discovered streaming hook (the reference's consumer
+                # prints each ResultURL off a channel as the crawl runs,
+                # cmd/xcrawl3r/main.go:296-307): hand this iteration's D3
+                # emit increment to the caller AFTER the store commit, so
+                # a consumer never sees rows a crash would un-commit.
+                # edges_it is a cheap filter over this iteration's
+                # checkpointed parent — consuming it here costs one small
+                # job, not a recompute of the wave.
+                on_iteration(it, edges_it)
             metrics.append(m)
             it += 1
 
@@ -695,6 +707,7 @@ class Crawler:
         self, seeds: DataFrame, pages: DataFrame,
         robots: DataFrame | None = None,
         image_payloads: DataFrame | None = None,
+        on_iteration: "Callable[[int, DataFrame], None] | None" = None,
     ) -> CrawlResult:
         """Continue a checkpointed crawl from its last committed iteration.
 
@@ -705,7 +718,8 @@ class Crawler:
                 "resume() requires cfg.checkpoint_dir or cfg.iceberg_catalog")
         last = self.store.last_iteration("frontier")
         if last is None:
-            return self.crawl(seeds, pages, robots, image_payloads)
+            return self.crawl(seeds, pages, robots, image_payloads,
+                              on_iteration=on_iteration)
         frontier = self.store.read_iteration("frontier", last)
         seen = self.store.read("seen", upto=last)
         # Restore robots rules mined by completed iterations: without this
@@ -725,6 +739,7 @@ class Crawler:
             initial_frontier=frontier,
             initial_seen=seen,
             initial_robots_rules=rules,
+            on_iteration=on_iteration,
         )
         # stitch committed history with the new tail
         edges = self.store.read("edges")
