@@ -514,6 +514,14 @@ def q_dedup_substring_spans(spark, sf_dir):
         _t_wide(spark, sf_dir, "documents"), k=8)
 
 
+def q_dedup_substring_removed(spark, sf_dir):
+    """Substring-level dedup APPLIED (Lee et al. 2021's transformation):
+    duplicated spans cut from the text, corpus-first occurrence kept.
+    Emits the canonical token-rejoined text + cut-token count per doc."""
+    return dedupops.remove_dup_spans(
+        _t_wide(spark, sf_dir, "documents"), k=8)
+
+
 def q_dedup_source_similarity(spark, sf_dir):
     """Corpus-level overlap between sources via KMV sketches — the
     estimate is deterministic (k smallest md5 shingle hashes), so the
@@ -905,7 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "corpus_clean": q_corpus_clean,
         # -- NEW in r4 -----------------------------------------------------
-        # (new queries are inserted here, inside the window)
+        "dedup_substring_removed": q_dedup_substring_removed,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1777,6 +1785,82 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(pos) + 8 as bigint) as span_end,
                    count(*) as n_windows
             from isl group by doc_id, island
+        """,
+        # applied-substring twin: same window/island pieces as the span
+        # report, plus the keep-first rank (row_number over the hash
+        # partition, (doc_id, pos) order — identical rule both engines),
+        # protected first-occurrence spans, and the token cut via a
+        # position anti-filter
+        "dedup_substring_removed": f"""
+            with tok as (
+              select doc_id, {_TOKENS_SQL} as toks from documents
+            ), win as (
+              select doc_id, i - 1 as pos,
+                     {md5_long_sql("array_to_string(toks[i:i+7], ' ')")}
+                       as wh
+              from tok,
+                   unnest(generate_series(1,
+                       greatest(len(toks) - 8 + 1, 0))) as g(i)
+            ), mark as (
+              select doc_id, pos,
+                     count(*) over (partition by wh) as df,
+                     row_number() over (partition by wh
+                          order by doc_id, pos) as rn
+              from win
+            ), dup as (
+              select doc_id, pos from mark where df >= 2 and rn > 1
+            ), brk as (
+              select doc_id, pos,
+                     case when lag(pos) over w is null
+                          or pos - lag(pos) over w > 8
+                     then 1 else 0 end as new_island
+              from dup window w as (partition by doc_id order by pos)
+            ), isl as (
+              select doc_id, pos,
+                     sum(new_island) over (partition by doc_id
+                          order by pos rows unbounded preceding) as island
+              from brk
+            ), spans as (
+              select doc_id, min(pos) as s, max(pos) + 8 as e
+              from isl group by doc_id, island
+            ), kdup as (
+              select doc_id, pos from mark where df >= 2 and rn = 1
+            ), kbrk as (
+              select doc_id, pos,
+                     case when lag(pos) over w is null
+                          or pos - lag(pos) over w > 8
+                     then 1 else 0 end as new_island
+              from kdup window w as (partition by doc_id order by pos)
+            ), kisl as (
+              select doc_id, pos,
+                     sum(new_island) over (partition by doc_id
+                          order by pos rows unbounded preceding) as island
+              from kbrk
+            ), kspans as (
+              select doc_id, min(pos) as s, max(pos) + 8 as e
+              from kisl group by doc_id, island
+            ), tokpos as (
+              select doc_id, i, toks[i] as t
+              from tok, unnest(generate_series(1, len(toks))) as g(i)
+            ), keep as (
+              select tp.doc_id, tp.i, tp.t
+              from tokpos tp
+              where not exists (select 1 from spans s
+                                where s.doc_id = tp.doc_id
+                                  and tp.i - 1 >= s.s and tp.i - 1 < s.e)
+                 or exists (select 1 from kspans ks
+                            where ks.doc_id = tp.doc_id
+                              and tp.i - 1 >= ks.s and tp.i - 1 < ks.e)
+            ), agg as (
+              select doc_id, string_agg(t, ' ' order by i) as text,
+                     count(*) as n_kept
+              from keep group by doc_id
+            )
+            select t.doc_id,
+                   coalesce(a.text, '') as text,
+                   cast(len(t.toks) - coalesce(a.n_kept, 0) as bigint)
+                     as n_removed
+            from tok t left join agg a using (doc_id)
         """,
         # two-stage twin: the minhash-pair CTE intersected with exact
         # jaccard from the shingle sets (same pieces as both parents)

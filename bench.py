@@ -87,6 +87,8 @@ HEADLINE = [
     "stream_dedup_state",
     "robots_decisions",
     "dedup_substring_spans",
+    # r4 additions
+    "dedup_substring_removed",
 ]
 
 

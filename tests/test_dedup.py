@@ -402,3 +402,74 @@ def test_substring_dup_spans_exact(spark):
     assert 3 not in rows                      # unique doc: no spans
     # d4: all 13 windows of "rep"*20 are identical -> one full span
     assert rows[4] == (0, 20, 13)
+
+
+def test_remove_dup_spans_keeps_first_occurrence(spark):
+    """The applied transformation (Lee et al.'s cut): the corpus-first
+    occurrence of a duplicated run survives intact, later occurrences
+    are cut, unique docs pass through (token-rejoined), and every input
+    doc appears in the output."""
+    shared = "the quick brown fox jumps over the lazy sleeping dog"  # 10
+    d1 = "alpha beta " + shared + " gamma delta epsilon zeta eta theta"
+    d2 = "one two three four five six " + shared + " seven eight"
+    d3 = "totally unique words nine ten eleven twelve thirteen fourteen"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+    from xcrawl3r_spark.operators import dedupops
+
+    out = {r["doc_id"]: r for r in
+           dedupops.remove_dup_spans(docs, k=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text"] == d1 and out[1]["n_removed"] == 0  # first kept
+    assert out[2]["text"] == "one two three four five six seven eight"
+    assert out[2]["n_removed"] == 10
+    assert out[3]["text"] == d3 and out[3]["n_removed"] == 0
+
+
+def test_remove_dup_spans_within_doc_and_idempotent(spark):
+    """A within-doc self-overlapping repeat keeps exactly one full copy
+    (the first window's span is protected) and cuts the rest;
+    re-applying the transform to its own output changes nothing
+    (idempotence on the canonical token-rejoined form)."""
+    from xcrawl3r_spark.operators import dedupops
+
+    d = " ".join(["rep"] * 20)
+    docs = spark.createDataFrame([(1, d)], "doc_id long, text string")
+    out = dedupops.remove_dup_spans(docs, k=8).collect()[0]
+    # all 13 windows identical; removable span [1, 20) minus the
+    # protected first window [0, 8) -> tokens 8..19 cut, 8 kept
+    assert out["text"] == " ".join(["rep"] * 8)
+    assert out["n_removed"] == 12
+    again = dedupops.remove_dup_spans(
+        docs.sparkSession.createDataFrame(
+            [(1, out["text"])], "doc_id long, text string"), k=8
+    ).collect()[0]
+    assert again["text"] == out["text"] and again["n_removed"] == 0
+
+
+def _gopher_passing_doc(prefix: str, n: int = 50) -> str:
+    """~n distinct alpha words + stopwords: passes every Gopher rule
+    (>=50 words, mean word length 3-10, >=2 stopwords, >=80% alpha)."""
+    words = [f"{prefix}{i:02d}word" for i in range(n)]
+    return "the and " + " ".join(words)
+
+
+def test_corpus_curate_remove_substrings_flag(spark):
+    """corpus_curate(remove_substrings=True) counts tokens on the
+    span-cut text: a doc padded with another doc's boilerplate loses
+    those tokens from its n_tokens, while the default path keeps them."""
+    from xcrawl3r_spark.operators.pipeline import corpus_curate
+
+    boiler = ("shared boilerplate footer text repeated across every page "
+              "verbatim always")  # 10 tokens -> 3 duplicated 8-windows
+    docs = spark.createDataFrame(
+        [(1, f"{_gopher_passing_doc('a')} {boiler}", "sa"),
+         (2, f"{_gopher_passing_doc('b')} {boiler}", "sa")],
+        "doc_id long, text string, source string")
+    plain = {r["doc_id"]: r["n_tokens"]
+             for r in corpus_curate(docs, budget=10_000).collect()}
+    cut = {r["doc_id"]: r["n_tokens"]
+           for r in corpus_curate(docs, budget=10_000,
+                                  remove_substrings=True).collect()}
+    assert plain[1] == cut[1]                 # first occurrence untouched
+    assert cut[2] == plain[2] - 10            # boilerplate cut from doc 2

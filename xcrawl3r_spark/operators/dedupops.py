@@ -344,6 +344,123 @@ def substring_dup_spans(
     )
 
 
+def remove_dup_spans(
+    docs: DataFrame, k: int = 8, min_df: int = 2,
+) -> DataFrame:
+    """Apply substring-level dedup (Lee et al. 2021's actual
+    transformation): CUT the duplicated spans from the corpus, keeping
+    the corpus-first occurrence of each duplicated window.
+    ``substring_dup_spans`` only reports the spans; this consumes them.
+
+    Keep-first rule: for every k-token window hash, the occurrence with
+    the smallest (doc_id, pos) is the canonical copy. Every OTHER
+    occurrence of a window with corpus df >= ``min_df`` marks its
+    positions removable; removable positions merge into maximal spans
+    (the same lag/cumsum island pattern as the span report) and those
+    token ranges are cut from the text — EXCEPT tokens inside a
+    canonical (first-occurrence) window's own span, which are protected.
+    Without the protection, a self-overlapping repeat (e.g. a periodic
+    "rep rep rep ..." run) would cut the kept copy's tokens too and no
+    full copy would survive; with it, exactly one full copy of every
+    duplicated run remains — the paper's remove-all-but-one semantic.
+    A token claimed by both a protected window of one run and a
+    removable span of another keeps (protection wins) — a bounded
+    under-removal at run boundaries, never an over-removal.
+
+    Output: (doc_id, text, n_removed) for EVERY input document. The
+    returned text is the canonical token-rejoined form (tokens joined by
+    single spaces) for all rows — cut and uncut alike — so the transform
+    is idempotent and engine-comparable; n_removed counts cut tokens.
+
+    Scale posture: one shuffle on window hash (sorted once; df count and
+    the keep-first row_number share the partition sort), one window per
+    doc for the island merge, a per-doc spans aggregation, and one
+    doc_id equi-join back; the cut itself is a native higher-order
+    filter — map-side, no UDF. The spans side of the join is bounded by
+    the duplicated-region count, far below corpus scale.
+    """
+    toks = F.split(F.trim("text"), r"\s+")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                    lambda i: md5_long(
+                        F.concat_ws(" ", F.slice(toks, i, k))),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "wh"),
+    )
+    # one sort per window-hash partition serves both the df count and the
+    # keep-first rank ((doc_id, pos) is a total order: doc_id is unique
+    # per document and pos within it)
+    w_sorted = Window.partitionBy("wh").orderBy("doc_id", "pos")
+    marked = pos.withColumn(
+        "df",
+        F.count("*").over(
+            w_sorted.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)),
+    ).withColumn("rn", F.row_number().over(w_sorted)).filter(
+        F.col("df") >= min_df)
+
+    def _doc_spans(positions: DataFrame, out_col: str) -> DataFrame:
+        w_doc = Window.partitionBy("doc_id").orderBy("pos")
+        islands = positions.withColumn(
+            "new_island",
+            (F.col("pos") - F.lag("pos", 1).over(w_doc) > k).cast("int"),
+        ).withColumn(
+            "island",
+            F.sum(F.coalesce(F.col("new_island"), F.lit(1))).over(
+                w_doc.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)),
+        )
+        return (
+            islands.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k).alias("span_end"))
+            .groupBy("doc_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias(out_col))
+        )
+
+    spans = _doc_spans(
+        marked.filter(F.col("rn") > 1).select("doc_id", "pos"), "_spans")
+    protected = _doc_spans(
+        marked.filter(F.col("rn") == 1).select("doc_id", "pos"), "_prot")
+    return (
+        docs.join(spans, "doc_id", "left")
+        .join(protected, "doc_id", "left")
+        .withColumn("_toks", toks)
+        .withColumn(
+            "_prot",
+            F.coalesce(
+                F.col("_prot"),
+                F.array().cast(
+                    "array<struct<span_start:int,span_end:int>>")))
+        .withColumn(
+            "_kept",
+            F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+                # islands are disjoint by construction; 0-based lambda
+                # index i matches pos (window at pos p starts at token p)
+                F.expr(
+                    "filter(_toks, (t, i) -> "
+                    "not exists(_spans, s -> i >= s.span_start "
+                    "and i < s.span_end) "
+                    "or exists(_prot, s -> i >= s.span_start "
+                    "and i < s.span_end))")),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("_kept")).alias("text"),
+            (F.size("_toks") - F.size("_kept")).cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash over whitespace tokens: bit i set iff
     sum over tokens of (+1 if bit i of md5_long(token) else -1) > 0."""

@@ -76,6 +76,8 @@ def corpus_curate(
     bench_mod: int = 97,
     decon_ngram: int = 3,
     c4_min_sentences: int = 0,
+    remove_substrings: bool = False,
+    substr_k: int = 8,
 ) -> DataFrame:
     """The FULL training-corpus assembly pipeline: every map-side gate in
     ONE scan, the three genuinely-shuffling stages as separate branches,
@@ -105,12 +107,24 @@ def corpus_curate(
     corpus without terminal punctuation — like the synthetic gate corpus
     — would gate to empty, hiding every downstream stage. The lorem/
     brace boilerplate rules still apply.
+
+    ``remove_substrings=True`` prepends substring-level dedup
+    (dedupops.remove_dup_spans, Lee et al. 2021's span cut with
+    keep-first): every downstream gate, hash, and token count then sees
+    the span-cut text, so boilerplate repeated INSIDE otherwise-unique
+    documents stops inflating token budgets and quality stats. Off by
+    default — it adds the dense window-hash shuffle, which is the single
+    most expensive stage at corpus scale.
     """
     from pyspark.sql import Window
 
     from xcrawl3r_spark.functions.hashing import seeded
     from xcrawl3r_spark.operators import curation
 
+    if remove_substrings:
+        cleaned = dedupops.remove_dup_spans(docs, k=substr_k)
+        docs = docs.drop("text").join(
+            cleaned.select("doc_id", "text"), "doc_id")
     norm = textops.norm_text_col()
     ranked = textops.lang_ranked_col()
     flags = docs.select(
