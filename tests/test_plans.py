@@ -409,9 +409,20 @@ class TestR3OperatorPlans:
 
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         e = ev.selectExpr("user_id as src", "event_id % 500 as dst")
-        plan = plan_of(pagerank(e, iters=2, dangling="redistribute"))
+        # checkpoint_every=3 > iters keeps the lineage visible for the
+        # audit (redistribute's DEFAULT truncates it every 2 rounds —
+        # asserted separately below)
+        plan = plan_of(pagerank(e, iters=2, dangling="redistribute",
+                                checkpoint_every=3))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert count_nodes(plan, "CartesianProduct") == 0, plan
+        # the unset-knob default must truncate (the mode references the
+        # rank lineage twice per round -> ~2^iters plan growth otherwise):
+        # after the round-2 checkpoint the returned plan is a scan of the
+        # materialized rank, not the unrolled join tree
+        dflt = plan_of(pagerank(e, iters=2, dangling="redistribute"))
+        assert "BroadcastNestedLoopJoin" not in dflt
+        assert "ExistingRDD" in dflt or "Scan" in dflt
 
     def test_substring_spans_stays_jvm_native(self, spark, sf_dir):
         """Dense-window substring dedup must stay fully native (its scale
