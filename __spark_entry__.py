@@ -749,6 +749,21 @@ def q_curate_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(_t(spark, sf_dir, "documents"), k=25)
 
 
+def q_curate_mixture(spark, sf_dir):
+    """Training-mixture assembly: a 20k-token budget split across sources
+    by integer weights (derived here from the source-name hash so the
+    gate needs no literal source list), each source filled in seeded
+    hash order. Integer div allocation = cross-engine exact."""
+    from xcrawl3r_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    wdf = docs.select("source").distinct().select(
+        "source",
+        (F.lit(1) + F.pmod(md5_long(F.col("source")), F.lit(4)))
+        .alias("weight"))
+    return curation.mixture_sample(docs, total_tokens=20_000, weights=wdf)
+
+
 def q_curate_pack_budget(spark, sf_dir):
     """Token-budget corpus packing: per-source cumulative admit in seeded
     hash order until the 500-token budget is filled."""
@@ -914,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         # -- NEW in r4 -----------------------------------------------------
         "dedup_substring_removed": q_dedup_substring_removed,
+        "curate_mixture": q_curate_mixture,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -2026,6 +2042,31 @@ def oracle_sql() -> dict[str, str]:
                                    doc_id) as int) as rk
               from documents)
             select doc_id, lang, rk from r where rk <= 25
+        """,
+        # mixture twin: hash-derived integer weights, integer-div
+        # allocation, same cumulative-admit window as pack_budget
+        "curate_mixture": f"""
+            with w as (
+              select source,
+                     1 + ({md5_long_sql('source')} % 4) as weight
+              from (select distinct source from documents)
+            ), sw as (
+              select sum(weight) as s from w
+            ), b as (
+              select d.doc_id, d.source,
+                     cast(len({_TOKENS_SQL}) as int) as n_tokens,
+                     {seeded_sql("cast(doc_id as varchar)", "mix")} as h,
+                     cast((20000 * w.weight) // s as bigint) as group_budget
+              from documents d join w using (source), sw
+            ), c as (
+              select doc_id, source, n_tokens, group_budget,
+                     cast(sum(n_tokens) over (partition by source
+                          order by h, doc_id
+                          rows between unbounded preceding and current row)
+                        as bigint) as cum_tokens
+              from b)
+            select doc_id, source, n_tokens, cum_tokens, group_budget
+            from c where cum_tokens <= group_budget
         """,
         "curate_pack_budget": f"""
             with b as (

@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_substring_spans",
     # r4 additions
     "dedup_substring_removed",
+    "curate_mixture",
 ]
 
 

@@ -93,6 +93,52 @@ class TestPackTokenBudget:
         assert out.count() == 0
 
 
+class TestMixtureSample:
+    def _corpus(self, spark):
+        # 3 sources x 10 docs x 10 tokens each = 100 tokens per source
+        rows = [(s * 100 + i, " ".join([f"w{s}{i}{j}" for j in range(10)]),
+                 "en", f"src{s}")
+                for s in range(3) for i in range(10)]
+        return _docs(spark, rows)
+
+    def test_integer_allocation_and_fill(self, spark):
+        """weights 1:2:3 over total 120 -> allocations 20/40/60; each
+        source fills in whole docs (10 tokens each) up to its budget."""
+        out = curation.mixture_sample(
+            self._corpus(spark), total_tokens=120,
+            weights={"src0": 1, "src1": 2, "src2": 3})
+        per = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+            F.sum("n_tokens").alias("n")).collect()}
+        assert per == {"src0": 20, "src1": 40, "src2": 60}
+        budgets = {r["source"]: r["group_budget"]
+                   for r in out.select("source", "group_budget")
+                   .distinct().collect()}
+        assert budgets == {"src0": 20, "src1": 40, "src2": 60}
+
+    def test_unweighted_source_excluded_and_shortfall_visible(self, spark):
+        """A source absent from the weight table contributes nothing; a
+        source short on data fills below its allocation (achieved mix is
+        observable, never silently padded)."""
+        out = curation.mixture_sample(
+            self._corpus(spark), total_tokens=600,
+            weights={"src0": 1, "src1": 1})
+        srcs = {r["source"] for r in out.select("source").distinct().collect()}
+        assert srcs == {"src0", "src1"}               # src2 excluded
+        per = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+            F.sum("n_tokens").alias("n")).collect()}
+        # allocation is 300 each but only 100 tokens exist per source
+        assert per == {"src0": 100, "src1": 100}
+
+    def test_deterministic(self, spark):
+        docs = self._corpus(spark)
+        w = {"src0": 2, "src1": 1, "src2": 1}
+        a = sorted(map(tuple, curation.mixture_sample(
+            docs, 200, w).collect()))
+        b = sorted(map(tuple, curation.mixture_sample(
+            docs, 200, w).collect()))
+        assert a == b and a
+
+
 class TestTfidfTopTerms:
     def test_rare_term_outranks_common(self, spark):
         docs = _docs(spark, [

@@ -149,6 +149,64 @@ def pack_token_budget(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    total_tokens: int,
+    weights,
+    group: str = "source",
+    seed: str = "mix",
+) -> DataFrame:
+    """Training-data mixture assembly: split a ``total_tokens`` budget
+    across groups proportionally to integer ``weights``, then admit each
+    group's documents in seeded-hash order until its allocation is
+    filled — the "X% web, Y% books, Z% code" step every pre-training
+    recipe runs (weights are the tuned mixture proportions; e.g. the
+    Gopher/LLaMA data tables — public).
+
+    ``weights``: a ``(group, weight)`` DataFrame or a ``{group: int}``
+    dict. Allocation per group is ``(total_tokens * weight) div
+    sum(weights)`` — INTEGER arithmetic, so the split is cross-engine
+    exact (float proportions would round differently per engine).
+    Groups without a weight row are excluded (weight 0 of the mixture).
+    A group short on data simply fills less than its allocation — the
+    achieved mix is visible by comparing max(cum_tokens) to
+    group_budget per group.
+
+    Scale posture: the weight table is #groups rows (broadcast both for
+    the join and the 1-row weight-sum scalar — no driver collect); the
+    admission is one cumulative window per group (the pack_token_budget
+    shuffle), nothing else.
+    Output: (doc_id, group, n_tokens, cum_tokens, group_budget).
+    """
+    if isinstance(weights, dict):
+        rows = sorted((str(g), int(w)) for g, w in weights.items())
+        wdf = docs.sparkSession.createDataFrame(
+            rows, f"{group} string, weight long")
+    else:
+        wdf = weights.select(group, F.col("weight").cast("long"))
+    tot = wdf.agg(F.sum("weight").alias("_sw"))  # 1-row scalar frame
+    n_tokens = F.size(tokens_col()).alias("n_tokens")
+    h = seeded(F.col("doc_id").cast("string"), seed).alias("h")
+    base = (
+        docs.select("doc_id", group, n_tokens, h)
+        .join(F.broadcast(wdf), group)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "group_budget",
+            F.expr(f"({total_tokens} * weight) div _sw").cast("long"))
+    )
+    w = (
+        Window.partitionBy(group)
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= F.col("group_budget"))
+        .select("doc_id", group, "n_tokens", "cum_tokens", "group_budget")
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     shard_tokens: int,
