@@ -203,6 +203,21 @@ class TestRegexExtraction:
         # still no file-ext false positives
         assert U.extract_urls_regex("load a.css b.json c.yaml") == []
 
+    def test_extract_new_gtld_tail(self):
+        """r3 verdict item 8: the obscure new-gTLD tail (geo TLDs,
+        professions, low-traffic generics) extracts too — the remaining
+        divergence vs the full IANA dump is brand + IDN TLDs only."""
+        assert U.extract_urls_regex("law firm at smith.abogado ok") == [
+            "smith.abogado"]
+        assert U.extract_urls_regex("x rad.yokohama/maps y") == [
+            "rad.yokohama/maps"]
+        assert U.extract_urls_regex("see immo.zuerich and alp.tirol/ski") \
+            == ["immo.zuerich", "alp.tirol/ski"]
+        assert U.extract_urls_regex("shop hair.makeup/kits now") == [
+            "hair.makeup/kits"]
+        assert U.extract_urls_regex("a.gmbh b.sarl c.ltda") == [
+            "a.gmbh", "b.sarl", "c.ltda"]
+
     def test_schemeless_resolution_matches_reference(self):
         """The reference resolves extracted tokens with colly's
         Request.AbsoluteURL (xcrawl3r.go:111): a scheme-less token is a

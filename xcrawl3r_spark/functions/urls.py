@@ -56,9 +56,12 @@ _IMAGE_RE = re.compile(rf"\.({IMAGE_EXTS})$")
 # xcrawl3r.go:417). The list below is assembled from public knowledge:
 # the COMPLETE ccTLD set (ISO 3166-1 codes in DNS use — fixed and
 # stable), all legacy/sponsored gTLDs (incl. .museum/.travel/.aero), the
-# RFC 2606 reserved names the synthetic graph uses, and the high-traffic
-# subset of the new-gTLD program. Refreshing against a newer IANA dump is
-# a data-constant edit — the alternation is generated from these lists.
+# RFC 2606 reserved names the synthetic graph uses, the high-traffic
+# subset of the new-gTLD program, and (r4) its geo/profession/generic
+# long tail. Remaining divergence vs hq-go-url's full IANA dump:
+# single-registrant brand TLDs and IDN (xn--) TLDs, both excluded by
+# design. Refreshing against a newer IANA dump is a data-constant edit —
+# the alternation is generated from these lists.
 # Non-http schemes are not extracted: the reference's validate()
 # (xcrawl3r.go:392 `https?://...` URLFilter) drops them immediately after
 # extraction, so the observable output matches.
@@ -122,10 +125,33 @@ _NEW_GTLDS = (
     "watch webcam website wedding wiki win wine work works world wow wtf "
     "xyz yoga zone"
 )
+#: the long tail of the new-gTLD program (r4 refresh): geo-TLDs,
+#: professions, and low-traffic generics from the public IANA root zone.
+#: Brand TLDs (single-registrant strings) are deliberately excluded —
+#: they never appear as link text in practice and inflate the
+#: alternation. Refresh process: diff the current IANA root zone dump's
+#: generic entries against the union below and append the misses.
+_NEW_GTLDS_TAIL = (
+    "abogado accountant accountants actor adult africa airforce "
+    "amsterdam apartments archi army associates attorney auction autos "
+    "baby bargains baseball basketball bayern beauty berlin bible bingo "
+    "boo booking boston bot broker brussels budapest builders capetown "
+    "casa catering charity christmas cologne cooking cricket cymru dad "
+    "dds democrat dentist desi dubai durban eco esq eus exposed feedback "
+    "frl futbol gal gent gmbh gratis gripe guitars hair hamburg hiv how "
+    "immo immobilien irish ist istanbul joburg juegos kaufen kiwi koeln "
+    "kyoto lat law lease llc llp lotto ltda luxe madrid maison makeup "
+    "markets melbourne meme moscow motorcycles nagoya navy ngo nrw "
+    "okinawa onl osaka phd physio play prof quebec quest realtor reise "
+    "reisen ren republican rio rsvp ruhr saarland sarl sbs schule scot "
+    "sexy shiksha skin soy spa srl stockholm sucks swiss sydney taipei "
+    "tatar tirol university vlaanderen voting wales wang wien xin "
+    "yachts yokohama zuerich"
+)
 _RESERVED_TLDS = "test example invalid localhost"  # RFC 2606
 _TLD_ALTERNATION = "|".join(sorted(set(
     (_CCTLDS + " " + _LEGACY_GTLDS + " " + _NEW_GTLDS + " "
-     + _RESERVED_TLDS).split()
+     + _NEW_GTLDS_TAIL + " " + _RESERVED_TLDS).split()
 )))
 URL_EXTRACT_PATTERN = (
     rf"(?:https?://(?:{_URL_HOSTNAME}[a-zA-Z]{{2,}}|{_URL_IPV4})"
