@@ -424,6 +424,18 @@ class TestR3OperatorPlans:
         assert "BroadcastNestedLoopJoin" not in dflt
         assert "ExistingRDD" in dflt or "Scan" in dflt
 
+    def test_kmv_topk_windows_are_group_limited(self, spark, sf_dir):
+        """source_similarity's two row_number<=k passes must compile to
+        WindowGroupLimit (partial+final rank-limit pushdown) — the
+        bounded-memory fixed-k sketch aggregation; a plain Window here
+        would materialize every distinct shingle hash per group."""
+        from xcrawl3r_spark.operators import dedupops
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(dedupops.source_similarity(docs, k=16))
+        assert count_nodes(plan, "WindowGroupLimit") >= 4, plan
+        assert count_nodes(plan, "CartesianProduct") == 0, plan
+
     def test_substring_spans_stays_jvm_native(self, spark, sf_dir):
         """Dense-window substring dedup must stay fully native (its scale
         posture rests on the shared bucket shuffle + window passes) —

@@ -231,8 +231,13 @@ def source_similarity(
     Scale posture: per-group k-min runs two-phase (salted partial top-k
     bounds any task to its salt shard, then the final per-group window —
     the stratified_sample pattern), so a 10^9-shingle group never
-    serializes into one task. Sketches are k longs per group; the
-    pairwise stage is a broadcast self-join over #groups rows.
+    serializes into one task. Both ``row_number <= k`` filters compile
+    to WindowGroupLimit (Catalyst's rank-limit pushdown, partial +
+    final), so neither window pass materializes more than k rows per
+    group beyond the sort — the "bounded-memory fixed-k aggregator" is
+    what the optimizer already emits (plan-audited in
+    tests/test_plans.py). Sketches are k longs per group; the pairwise
+    stage is a broadcast self-join over #groups rows.
     Output: (group_a, group_b, kmv_jaccard) for group_a < group_b.
     """
     hv = (md5_long("sh")).alias("hv")
