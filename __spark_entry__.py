@@ -764,6 +764,34 @@ def q_curate_mixture(spark, sf_dir):
     return curation.mixture_sample(docs, total_tokens=20_000, weights=wdf)
 
 
+_HTML_PRE = (
+    '<html><head><script type="text/javascript">var x = 1 &amp;&amp; 2;'
+    '</script><style>.c:red</style></head><body><h1>'
+)
+_HTML_MID = "</h1><!-- hidden comment --><p>"
+_HTML_POST = " &amp; more &lt;tags&gt;</p></body></html>"
+
+
+def q_pages_to_documents(spark, sf_dir):
+    """Crawl->corpus bridge: synthetic HTML pages (built identically in
+    both engines from the documents table) stripped back to visible
+    text — scripts/styles/comments/tags dropped, entities decoded,
+    whitespace collapsed; doc_id/source derived from the URL."""
+    from xcrawl3r_spark.operators import extract
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://"), "source", F.lit(".test/d/"),
+                 F.col("doc_id")).alias("url"),
+        F.lit("text/html").alias("content_type"),
+        F.concat(F.lit(_HTML_PRE), F.col("source"), F.lit(_HTML_MID),
+                 F.substring("text", 1, 200),
+                 F.lit(_HTML_POST)).alias("body"),
+        F.lit(200).alias("status"),
+    )
+    return extract.pages_to_documents(pages)
+
+
 def q_curate_pack_budget(spark, sf_dir):
     """Token-budget corpus packing: per-source cumulative admit in seeded
     hash order until the 500-token budget is filled."""
@@ -930,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in r4 -----------------------------------------------------
         "dedup_substring_removed": q_dedup_substring_removed,
         "curate_mixture": q_curate_mixture,
+        "pages_to_documents": q_pages_to_documents,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -2042,6 +2071,36 @@ def oracle_sql() -> dict[str, str]:
                                    doc_id) as int) as rk
               from documents)
             select doc_id, lang, rk from r where rk <= 25
+        """,
+        # crawl->corpus bridge twin: identical synthetic HTML construction,
+        # identical strip chain (RE2-safe: no backreferences; 'g' option =
+        # Spark's replace-all default; inline (?is) flags work in both)
+        "pages_to_documents": f"""
+            with pg as (
+              select concat('https://', source, '.test/d/', doc_id) as url,
+                     lower(concat(source, '.test')) as source,
+                     concat('{_HTML_PRE}', source, '{_HTML_MID}',
+                            substring(text, 1, 200), '{_HTML_POST}') as body
+              from documents
+            ), stripped as (
+              select url, source,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(body,
+                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                      '<[^>]*>', ' ', 'g'),
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                  '\\s+', ' ', 'g')) as text
+              from pg
+            )
+            select {md5_long_sql('url')} as doc_id, url, source, text
+            from stripped where length(text) > 0
         """,
         # mixture twin: hash-derived integer weights, integer-div
         # allocation, same cumulative-admit window as pack_budget

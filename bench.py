@@ -90,6 +90,7 @@ HEADLINE = [
     # r4 additions
     "dedup_substring_removed",
     "curate_mixture",
+    "pages_to_documents",
 ]
 
 

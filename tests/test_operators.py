@@ -341,3 +341,56 @@ def test_normalize_text_forms(spark):
     assert nfkc[2] == "file form"          # ligature + width folded
     with pytest.raises(ValueError):
         textops.normalize_text(docs, form="NFX")
+
+
+class TestPagesToDocuments:
+    SCHEMA = "url string, content_type string, body string, status int"
+
+    def test_strip_chain(self, spark):
+        """Scripts, styles, and comments vanish; tags strip; the six
+        common entities decode; whitespace collapses to single spaces."""
+        from xcrawl3r_spark.operators.extract import pages_to_documents
+
+        body = ('<html><head><script>var a = "<p>not text</p>";</script>'
+                '<STYLE media="x">td.c</STYLE></head><body>\n'
+                '<!-- secret -->\n<h1>Title</h1>\n'
+                '<p>alpha &amp; beta &lt;x&gt; &quot;q&quot;&nbsp;'
+                "&#39;s&#39;</p>\n</body></html>")
+        pages = spark.createDataFrame(
+            [("https://Host.Example.test/p/1", "text/html", body, 200)],
+            self.SCHEMA)
+        out = pages_to_documents(pages).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["text"] == "Title alpha & beta <x> \"q\" 's'"
+        assert r["source"] == "host.example.test"       # lowered host
+        assert r["doc_id"] is not None
+
+    def test_filters_non_html_and_failures(self, spark):
+        """Non-200, null-body, non-HTML content types, and pages whose
+        visible text is empty never become documents."""
+        from xcrawl3r_spark.operators.extract import pages_to_documents
+
+        pages = spark.createDataFrame([
+            ("https://a.test/ok", "text/html", "<p>fine</p>", 200),
+            ("https://a.test/404", "text/html", "<p>gone</p>", 404),
+            ("https://a.test/null", "text/html", None, 200),
+            ("https://a.test/json", "application/json", '{"k": 1}', 200),
+            ("https://a.test/empty", "text/html",
+             "<script>x()</script><!-- only -->", 200),
+            ("https://a.test/xhtml", "application/xhtml+xml",
+             "<p>xhtml counts</p>", 200),
+        ], self.SCHEMA)
+        got = {r["url"].rsplit("/", 1)[1]: r["text"]
+               for r in pages_to_documents(pages).collect()}
+        assert got == {"ok": "fine", "xhtml": "xhtml counts"}
+
+    def test_doc_id_deterministic(self, spark):
+        from xcrawl3r_spark.operators.extract import pages_to_documents
+
+        pages = spark.createDataFrame(
+            [("https://a.test/p", "text/html", "<p>t</p>", 200)],
+            self.SCHEMA)
+        a = pages_to_documents(pages).collect()[0]["doc_id"]
+        b = pages_to_documents(pages).collect()[0]["doc_id"]
+        assert a == b

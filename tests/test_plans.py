@@ -447,3 +447,53 @@ class TestR3OperatorPlans:
         assert count_nodes(plan, "BatchEvalPython") == 0, plan
         assert count_nodes(plan, "ArrowEvalPython") == 0, plan
         assert count_nodes(plan, "CartesianProduct") == 0, plan
+
+    def test_substring_removal_stays_jvm_native(self, spark, sf_dir):
+        """The applied span cut (higher-order filter over the spans
+        arrays) must stay native too — no Python/Arrow nodes, no
+        cartesian, and the docs join back is an equi-join."""
+        from xcrawl3r_spark.operators import dedupops
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(dedupops.remove_dup_spans(docs, k=8))
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+        assert count_nodes(plan, "ArrowEvalPython") == 0, plan
+        assert count_nodes(plan, "CartesianProduct") == 0, plan
+
+    def test_pages_to_documents_is_shuffle_free(self, spark, sf_dir):
+        """The crawl->corpus bridge is a pure scan-transform: its claim
+        is ZERO shuffles and zero Python nodes — at 100 TB it rides the
+        pages table's existing partitioning."""
+        from pyspark.sql import functions as F
+
+        from xcrawl3r_spark.operators.extract import pages_to_documents
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.concat(F.lit("https://"), "source", F.lit(".test/d/"),
+                     "doc_id").alias("url"),
+            F.lit("text/html").alias("content_type"),
+            F.concat(F.lit("<p>"), "text", F.lit("</p>")).alias("body"),
+            F.lit(200).alias("status"))
+        plan = plan_of(pages_to_documents(pages))
+        assert count_nodes(plan, "Exchange") == 0, plan
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+        assert count_nodes(plan, "ArrowEvalPython") == 0, plan
+
+    def test_mixture_scalar_rides_as_broadcast(self, spark, sf_dir):
+        """mixture_sample's weight-sum scalar must join as a broadcast
+        (1-row frame), never a shuffled join or cartesian product, and
+        the weight table joins broadcast too."""
+        from xcrawl3r_spark.operators import curation
+        from pyspark.sql import functions as F
+        from xcrawl3r_spark.functions.hashing import md5_long
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        wdf = docs.select("source").distinct().select(
+            "source",
+            (F.lit(1) + F.pmod(md5_long(F.col("source")), F.lit(4)))
+            .alias("weight"))
+        plan = plan_of(curation.mixture_sample(docs, 20_000, wdf))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert count_nodes(plan, "CartesianProduct") == 0, plan
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan

@@ -52,3 +52,57 @@ def extract_links(fetched: DataFrame) -> DataFrame:
     occurrences(seed_id, src_url, url, kind, depth)."""
     cols = ["seed_id", "url", "depth", "content_type", "body", "is_file"]
     return fetched.select(*cols).mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+
+
+def pages_to_documents(pages: DataFrame) -> DataFrame:
+    """The crawl -> corpus bridge: fetched HTML pages become
+    documents-shaped rows ready for the §2.10 training-data operators
+    (dedup, quality gates, packing all consume (doc_id, source, text)).
+
+    Extraction is a 100% native regexp/replace chain (whole-stage
+    codegen, no UDF — unlike link extraction, text stripping needs no
+    real parser):
+      1. keep 200-status rows with an HTML content type and a body;
+      2. drop <script>/<style> blocks (content is never prose) and
+         HTML comments;
+      3. strip the remaining tags;
+      4. decode the six common entities (&amp; last, so staged
+         encodings don't double-decode);
+      5. collapse whitespace to single spaces and trim; drop rows whose
+         visible text is empty.
+
+    doc_id = md5_long(url) and source = the URL's host, both
+    cross-engine deterministic, so downstream corpus runs are resumable
+    and oracle-checkable. Scale posture: map-side only — zero shuffles;
+    at 100 TB this is a scan-transform that rides whatever partitioning
+    the pages table already has.
+
+    Backreference-free regexes by design: the DuckDB oracle twin uses
+    RE2, which lacks backrefs, so script/style close-tags are matched
+    explicitly instead of via ``</\\1>``.
+    """
+    from pyspark.sql import functions as F
+
+    from xcrawl3r_spark.functions.hashing import md5_long
+
+    t = F.col("body")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return (
+        pages.filter(
+            (F.col("status") == 200) & F.col("body").isNotNull()
+            & F.col("content_type").rlike("(?i)html"))
+        .select(
+            md5_long(F.col("url")).alias("doc_id"),
+            "url",
+            F.lower(F.try_parse_url("url", F.lit("HOST"))).alias("source"),
+            t.alias("text"),
+        )
+        .filter(F.length("text") > 0)
+    )
