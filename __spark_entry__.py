@@ -749,6 +749,15 @@ def q_curate_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(_t(spark, sf_dir, "documents"), k=25)
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-source observability aggregate: doc/token volume, distinct
+    content fingerprints, Gopher pass count, language spread — all
+    integers, one aggregation pass."""
+    from xcrawl3r_spark.operators.pipeline import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_curate_mixture(spark, sf_dir):
     """Training-mixture assembly: a 20k-token budget split across sources
     by integer weights (derived here from the source-name hash so the
@@ -959,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_removed": q_dedup_substring_removed,
         "curate_mixture": q_curate_mixture,
         "pages_to_documents": q_pages_to_documents,
+        "corpus_stats": q_corpus_stats,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -991,7 +1001,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pack_budget": q_curate_pack_budget,
         "curate_pack_shards": q_curate_pack_shards,
         "curate_tfidf": q_curate_tfidf,
-        "sketch_distinct": q_sketch_distinct,
         # -- parked past the 50-entry window for r4 (all driver-green in r3,
         #    unchanged this round; MUST rotate back in-window for r5) -------
         "f1_scope_filter": q_f1_scope_filter,
@@ -1012,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_c4": q_text_c4,
         "text_fingerprint": q_text_fingerprint,
+        "sketch_distinct": q_sketch_distinct,
     }
 
 
@@ -2071,6 +2081,28 @@ def oracle_sql() -> dict[str, str]:
                                    doc_id) as int) as rk
               from documents)
             select doc_id, lang, rk from r where rk <= 25
+        """,
+        # observability twin: same gopher/langid SQL pieces the individual
+        # gates use, one grouped aggregate, all-integer outputs
+        "corpus_stats": f"""
+            with lang as ({_langid_oracle()}),
+            gq as ({_gopher_oracle()}),
+            base as (
+              select d.source, d.doc_id,
+                     cast(len({_TOKENS_SQL}) as int) as nt,
+                     {md5_long_sql(_NORM_TEXT_SQL)} as fp,
+                     gq.passes as gq_ok, lang.lang_pred
+              from documents d
+              join gq using (doc_id) join lang using (doc_id)
+            )
+            select source,
+                   count(*) as n_docs,
+                   cast(sum(nt) as bigint) as n_tokens,
+                   cast(count(distinct fp) as bigint) as n_distinct_content,
+                   cast(sum(case when gq_ok then 1 else 0 end) as bigint)
+                     as n_gopher_pass,
+                   cast(count(distinct lang_pred) as bigint) as n_langs
+            from base group by source
         """,
         # crawl->corpus bridge twin: identical synthetic HTML construction,
         # identical strip chain (RE2-safe: no backreferences; 'g' option =

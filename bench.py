@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_substring_removed",
     "curate_mixture",
     "pages_to_documents",
+    "corpus_stats",
 ]
 
 

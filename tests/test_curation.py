@@ -307,3 +307,32 @@ def test_pack_sequences_exact_windows(spark, sf_dir):
         for i in seqs[:-1]:
             assert per_seq[(src, i)] == L, (src, i)
     assert any(len(v) > 1 for v in per_doc.values())  # splits happened
+
+
+class TestCorpusStats:
+    def test_per_source_aggregates(self, spark):
+        from xcrawl3r_spark.operators.pipeline import corpus_stats
+
+        long_doc = " ".join(["the", "and"] + [f"w{i:02d}xx" for i in range(60)])
+        docs = _docs(spark, [
+            (1, long_doc, "en", "sa"),          # gopher-passing
+            (2, long_doc, "en", "sa"),          # exact dup of 1
+            (3, "tiny doc", "en", "sa"),        # gopher fail (too short)
+            (4, "eins zwei", "de", "sb"),
+        ])
+        got = {r["source"]: r for r in corpus_stats(docs).collect()}
+        sa, sb = got["sa"], got["sb"]
+        assert sa["n_docs"] == 3 and sb["n_docs"] == 1
+        assert sa["n_distinct_content"] == 2     # dup pair collapses
+        assert sa["n_gopher_pass"] == 2          # both long copies pass
+        assert sa["n_tokens"] == 62 * 2 + 2
+        assert sb["n_gopher_pass"] == 0 and sb["n_tokens"] == 2
+
+    def test_deterministic(self, spark):
+        from xcrawl3r_spark.operators.pipeline import corpus_stats
+
+        docs = _docs(spark, [(i, f"word{i} the and text", "en",
+                              f"s{i % 3}") for i in range(30)])
+        a = sorted(map(tuple, corpus_stats(docs).collect()))
+        b = sorted(map(tuple, corpus_stats(docs).collect()))
+        assert a == b and len(a) == 3

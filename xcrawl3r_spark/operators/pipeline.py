@@ -70,6 +70,34 @@ def corpus_clean(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus observability — the dashboard row a 100 TB
+    ingest watches per snapshot: document/token volume, exact-duplicate
+    headroom (distinct content fingerprints vs rows), Gopher-quality
+    pass count, and language spread. ONE map-side projection + ONE
+    aggregation pass (countDistinct adds its partial-agg expand, still
+    a single shuffle on source); every output is an integer, so the
+    row is cross-engine exact.
+
+    Output: (source, n_docs, n_tokens, n_distinct_content,
+    n_gopher_pass, n_langs)."""
+    ranked = textops.lang_ranked_col()
+    base = docs.select(
+        "source",
+        md5_long(textops.norm_text_col()).alias("fp"),
+        F.size(textops.tokens_col()).alias("nt"),
+        textops.gopher_passes_col().cast("long").alias("gq"),
+        ranked[0]["lang"].alias("lang"),
+    )
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.countDistinct("fp").alias("n_distinct_content"),
+        F.sum("gq").alias("n_gopher_pass"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def corpus_curate(
     docs: DataFrame,
     budget: int = 5000,
