@@ -902,6 +902,16 @@ def q_sim_near_dup(spark, sf_dir):
         max_bucket_df=SIM_MAX_BUCKET_DF, log_dropped=True)
 
 
+def q_sim_dedup_clusters(spark, sf_dir):
+    """Embedding near-dup pairs transitively closed into clusters with
+    min-vec_id canonicals — the semantic-dedup removal decision."""
+    emb, _ = _queries_emb(spark, sf_dir)
+    np_ = simsearch.derive_n_planes(emb.count())
+    return simsearch.embedding_dedup_clusters(
+        emb, dims=64, threshold=0.25, n_planes=np_,
+        max_bucket_df=SIM_MAX_BUCKET_DF)
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal audio branch: per-clip feature extraction over opaque
     binary payloads (Arrow mapInPandas; deterministic synthetic codec).
@@ -969,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_mixture": q_curate_mixture,
         "pages_to_documents": q_pages_to_documents,
         "corpus_stats": q_corpus_stats,
+        "sim_dedup_clusters": q_sim_dedup_clusters,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1000,7 +1011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_stratified_sample": q_curate_stratified_sample,
         "curate_pack_budget": q_curate_pack_budget,
         "curate_pack_shards": q_curate_pack_shards,
-        "curate_tfidf": q_curate_tfidf,
         # -- parked past the 50-entry window for r4 (all driver-green in r3,
         #    unchanged this round; MUST rotate back in-window for r5) -------
         "f1_scope_filter": q_f1_scope_filter,
@@ -1022,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4": q_text_c4,
         "text_fingerprint": q_text_fingerprint,
         "sketch_distinct": q_sketch_distinct,
+        "curate_tfidf": q_curate_tfidf,
     }
 
 
@@ -2268,4 +2279,24 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": _cosine_oracle(),
         "sim_lsh_topk": _lsh_topk_oracle(),
         "sim_near_dup": _near_dup_oracle(max_bucket_df=SIM_MAX_BUCKET_DF),
+        # semantic-dedup twin: the near-dup pair CTE transitively closed
+        # (recursive min-label closure, the _clusters_oracle pattern)
+        "sim_dedup_clusters": f"""
+            with pairs as ({_near_dup_oracle(max_bucket_df=SIM_MAX_BUCKET_DF)}),
+            und as (select vec_a as a, vec_b as b from pairs
+                    union select vec_b, vec_a from pairs),
+            nodes as (select distinct a as id from und),
+            closure as (
+              with recursive r(id, lab) as (
+                select id, id from nodes
+                union
+                select und.a, r.lab from und join r on und.b = r.id
+              )
+              select id, min(lab) as component from r group by id
+            )
+            select e.vec_id,
+                   coalesce(c.component, e.vec_id) as cluster,
+                   e.vec_id = coalesce(c.component, e.vec_id) as is_canonical
+            from embeddings e left join closure c on e.vec_id = c.id
+        """,
     }

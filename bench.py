@@ -92,6 +92,7 @@ HEADLINE = [
     "curate_mixture",
     "pages_to_documents",
     "corpus_stats",
+    "sim_dedup_clusters",
 ]
 
 

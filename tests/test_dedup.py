@@ -473,3 +473,30 @@ def test_corpus_curate_remove_substrings_flag(spark):
                                   remove_substrings=True).collect()}
     assert plain[1] == cut[1]                 # first occurrence untouched
     assert cut[2] == plain[2] - 10            # boilerplate cut from doc 2
+
+
+def test_embedding_dedup_clusters_transitive(spark):
+    """Embedding-space cluster dedup: a chain A~B~C (A and C not
+    directly near) must collapse into ONE cluster with the min vec_id
+    canonical; isolated vectors are their own canonical clusters."""
+    import numpy as np
+
+    from xcrawl3r_spark.operators import simsearch
+
+    dims = 8
+    a = np.zeros(dims); a[0] = 1.0
+    # b sits between a and c so that cos(a,b) and cos(b,c) clear the
+    # threshold while cos(a,c) does not
+    c = np.zeros(dims); c[0] = np.cos(np.radians(50)); c[1] = np.sin(np.radians(50))
+    b = (a + c); b /= np.linalg.norm(b)
+    lone = np.zeros(dims); lone[2] = -1.0
+    rows = [(1, [float(x) for x in a]), (2, [float(x) for x in b]),
+            (3, [float(x) for x in c]), (9, [float(x) for x in lone])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # threshold between cos(25deg)~0.906 and cos(50deg)~0.643
+    got = {r["vec_id"]: r for r in simsearch.embedding_dedup_clusters(
+        emb, dims=dims, threshold=0.85, n_planes=0).collect()}
+    assert got[1]["cluster"] == 1 and got[1]["is_canonical"]
+    assert got[2]["cluster"] == 1 and not got[2]["is_canonical"]
+    assert got[3]["cluster"] == 1 and not got[3]["is_canonical"]
+    assert got[9]["cluster"] == 9 and got[9]["is_canonical"]

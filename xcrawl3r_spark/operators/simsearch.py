@@ -196,6 +196,45 @@ def embedding_near_dup(
     )
 
 
+def embedding_dedup_clusters(
+    embeddings: DataFrame, dims: int, threshold: float = 0.95,
+    n_planes: int = N_PLANES,
+    max_bucket_df: int | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Embedding-level near-dup REMOVAL decision: the LSH-blocked cosine
+    pairs transitively closed into clusters, each cluster keeping its
+    min-vec_id canonical — the embedding-space twin of
+    ``dedupops.near_dup_clusters`` (semantic dedup in the SemDeDup
+    family, Abbas et al. 2023 — public — but with exact in-bucket
+    cosine instead of k-means sharding). Raw pair-drop under-removes:
+    A~B and B~C without A~C must still collapse to one canonical, which
+    only the transitive closure gets right.
+
+    Output: (vec_id, cluster, is_canonical) for EVERY input vector —
+    filter ``is_canonical`` to apply the removal. Scale posture: the
+    pairs stage is the capped bucket join (see embedding_near_dup); the
+    closure is the shared connected-components operator (bounded driver
+    union-find for small pair graphs, pointer-jumping loop above the
+    threshold); the final join-back is one equi-join on vec_id.
+    """
+    from xcrawl3r_spark.operators.graph import connected_components
+
+    pairs = embedding_near_dup(
+        embeddings, dims, threshold, n_planes, max_bucket_df)
+    comp = connected_components(
+        pairs, max_iters=max_iters, src="vec_a", dst="vec_b")
+    return (
+        embeddings.select("vec_id")
+        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("cluster"),
+        )
+        .withColumn("is_canonical", F.col("vec_id") == F.col("cluster"))
+    )
+
+
 def _centroids(corpus: DataFrame, assign_col: Column, n_centroids: int) -> list:
     """Element-wise mean embedding per cluster id (driver-side list of
     (cid, [floats]) — C x dims doubles, tiny). posexplode keeps the
