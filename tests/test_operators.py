@@ -394,3 +394,36 @@ class TestPagesToDocuments:
         a = pages_to_documents(pages).collect()[0]["doc_id"]
         b = pages_to_documents(pages).collect()[0]["doc_id"]
         assert a == b
+
+
+def test_crawl_to_corpus_integration(spark):
+    """End-to-end engine story: crawl the synthetic web (table double),
+    restrict the pages table to what the crawl actually VISITED, bridge
+    the visited HTML to documents, and run corpus observability over it
+    — crawl output feeds the training-data operators with no glue code."""
+    from pyspark.sql import functions as F
+
+    from xcrawl3r_spark.config import CrawlConfig
+    from xcrawl3r_spark.operators.extract import pages_to_documents
+    from xcrawl3r_spark.operators.pipeline import corpus_stats
+    from xcrawl3r_spark.plans.crawl import Crawler
+    from xcrawl3r_spark.sources import datagen as G
+
+    p = G.GraphParams(hosts=3, pages_per_host=5)
+    pages = G.pages_df(spark, p, distributed=False)
+    cfg = CrawlConfig(domains=["test"], include_subdomains=True, depth=2,
+                      expand_seeds=False, parallelism=0)
+    res = Crawler(spark, cfg).crawl(G.seeds_df(spark, p, 2), pages)
+
+    visited = pages.join(res.seen.select("url").distinct(), "url")
+    docs = pages_to_documents(visited)
+    # every visited 200-HTML page with visible text became a document
+    n_expect = visited.filter(
+        (F.col("status") == 200)
+        & F.col("content_type").rlike("(?i)html")).count()
+    assert docs.count() == n_expect > 0
+    assert docs.filter(F.col("text").rlike("<|>")).count() == 0  # no tags
+    stats = {r["source"]: r for r in corpus_stats(docs).collect()}
+    assert stats  # per-host rows
+    assert sum(r["n_docs"] for r in stats.values()) == n_expect
+    assert all(r["n_tokens"] > 0 for r in stats.values())
