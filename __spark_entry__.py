@@ -954,8 +954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), new r4 keys follow, and 15+N r3-green stable keys are parked
-    # past the window (listed at the bottom).
+    # first), the 5 new r4 keys follow, and 20 r3-green stable keys are
+    # parked past the window (listed at the bottom) — ALL 20 must rotate
+    # back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
         "stream_dedup_state": q_stream_dedup_state,
