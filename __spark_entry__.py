@@ -749,6 +749,22 @@ def q_curate_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(_t(spark, sf_dir, "documents"), k=25)
 
 
+def q_curate_mixture_epochs(spark, sf_dir):
+    """Mixture assembly with upsampling: short sources fill their
+    allocation by whole-epoch repetition (integer ceil-div epoch count,
+    capped), ordered (epoch, hash, doc_id)."""
+    from xcrawl3r_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    wdf = docs.select("source").distinct().select(
+        "source",
+        (F.lit(1) + F.pmod(md5_long(F.col("source")), F.lit(4)))
+        .alias("weight"))
+    return curation.mixture_sample(
+        docs, total_tokens=200_000, weights=wdf, upsample=True,
+        max_epochs=4)
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-source observability aggregate: doc/token volume, distinct
     content fingerprints, Gopher pass count, language spread — all
@@ -981,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_to_documents": q_pages_to_documents,
         "corpus_stats": q_corpus_stats,
         "sim_dedup_clusters": q_sim_dedup_clusters,
+        "curate_mixture_epochs": q_curate_mixture_epochs,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1011,7 +1028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_decontaminate": q_curate_decontaminate,
         "curate_stratified_sample": q_curate_stratified_sample,
         "curate_pack_budget": q_curate_pack_budget,
-        "curate_pack_shards": q_curate_pack_shards,
         # -- parked past the 50-entry window for r4 (all driver-green in r3,
         #    unchanged this round; MUST rotate back in-window for r5) -------
         "f1_scope_filter": q_f1_scope_filter,
@@ -1034,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sketch_distinct": q_sketch_distinct,
         "curate_tfidf": q_curate_tfidf,
+        "curate_pack_shards": q_curate_pack_shards,
     }
 
 
@@ -2115,6 +2132,45 @@ def oracle_sql() -> dict[str, str]:
                      as n_gopher_pass,
                    cast(count(distinct lang_pred) as bigint) as n_langs
             from base group by source
+        """,
+        # upsampling twin: same weight/allocation CTEs, per-group token
+        # sum, integer ceil-div epoch count (capped), generate_series
+        # fan-out, (epoch, h, doc_id)-ordered cumulative admit
+        "curate_mixture_epochs": f"""
+            with w as (
+              select source,
+                     1 + ({md5_long_sql('source')} % 4) as weight
+              from (select distinct source from documents)
+            ), sw as (
+              select sum(weight) as s from w
+            ), b0 as (
+              select d.doc_id, d.source,
+                     cast(len({_TOKENS_SQL}) as int) as n_tokens,
+                     {seeded_sql("cast(doc_id as varchar)", "mix")} as h,
+                     cast((200000 * w.weight) // s as bigint) as group_budget
+              from documents d join w using (source), sw
+            ), gt as (
+              select source, greatest(sum(n_tokens), 1) as gtot
+              from b0 group by source
+            ), b as (
+              select b0.*,
+                     cast(greatest(1, least(4,
+                       (group_budget + gt.gtot - 1) // gt.gtot)) as int)
+                       as ne
+              from b0 join gt using (source)
+            ), fan as (
+              select b.doc_id, b.source, b.n_tokens, b.h, b.group_budget,
+                     cast(e.epoch as int) as epoch
+              from b, unnest(generate_series(0, ne - 1)) as e(epoch)
+            ), c as (
+              select doc_id, source, epoch, n_tokens, group_budget,
+                     cast(sum(n_tokens) over (partition by source
+                          order by epoch, h, doc_id
+                          rows between unbounded preceding and current row)
+                        as bigint) as cum_tokens
+              from fan)
+            select doc_id, source, epoch, n_tokens, cum_tokens, group_budget
+            from c where cum_tokens <= group_budget
         """,
         # crawl->corpus bridge twin: identical synthetic HTML construction,
         # identical strip chain (RE2-safe: no backreferences; 'g' option =

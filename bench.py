@@ -93,6 +93,7 @@ HEADLINE = [
     "pages_to_documents",
     "corpus_stats",
     "sim_dedup_clusters",
+    "curate_mixture_epochs",
 ]
 
 

@@ -138,6 +138,31 @@ class TestMixtureSample:
             docs, 200, w).collect()))
         assert a == b and a
 
+    def test_upsample_repeats_short_source(self, spark):
+        """upsample=True fills a short group by whole-epoch repetition:
+        every doc appears once per epoch before any repeats, and the
+        allocation fills exactly (250 = 2 full 100-token epochs + half
+        of a third)."""
+        out = curation.mixture_sample(
+            self._corpus(spark), total_tokens=500,
+            weights={"src0": 1, "src1": 1}, upsample=True)
+        per = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+            F.sum("n_tokens").alias("n")).collect()}
+        assert per == {"src0": 250, "src1": 250}
+        cnt = {r["epoch"]: r["n"] for r in
+               out.filter(F.col("source") == "src0")
+               .groupBy("epoch").agg(F.count("*").alias("n")).collect()}
+        assert cnt == {0: 10, 1: 10, 2: 5}
+
+    def test_upsample_epoch_cap_bounds_blowup(self, spark):
+        """max_epochs caps repetition: a huge allocation over a tiny
+        source stops at the cap instead of exploding the fan-out."""
+        out = curation.mixture_sample(
+            self._corpus(spark), total_tokens=60_000,
+            weights={"src0": 1}, upsample=True, max_epochs=3)
+        assert out.agg(F.sum("n_tokens")).first()[0] == 300
+        assert out.agg(F.max("epoch")).first()[0] == 2
+
 
 class TestTfidfTopTerms:
     def test_rare_term_outranks_common(self, spark):

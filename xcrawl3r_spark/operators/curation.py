@@ -155,6 +155,8 @@ def mixture_sample(
     weights,
     group: str = "source",
     seed: str = "mix",
+    upsample: bool = False,
+    max_epochs: int = 10,
 ) -> DataFrame:
     """Training-data mixture assembly: split a ``total_tokens`` budget
     across groups proportionally to integer ``weights``, then admit each
@@ -172,11 +174,23 @@ def mixture_sample(
     achieved mix is visible by comparing max(cum_tokens) to
     group_budget per group.
 
+    ``upsample=True`` fills short groups by REPEATING their documents
+    (the multi-epoch upsampling every recipe applies to small
+    high-quality sources — e.g. Wikipedia seen several times per run):
+    each group fans out to ceil(group_budget / group_tokens) epochs
+    (capped at ``max_epochs``; integer ceil-div, cross-engine exact)
+    and admission orders by (epoch, hash, doc_id), so every document
+    appears once per epoch before any document appears again. The fan
+    out is a native sequence() explode — rows carry an ``epoch``
+    column in this mode.
+
     Scale posture: the weight table is #groups rows (broadcast both for
     the join and the 1-row weight-sum scalar — no driver collect); the
     admission is one cumulative window per group (the pack_token_budget
-    shuffle), nothing else.
-    Output: (doc_id, group, n_tokens, cum_tokens, group_budget).
+    shuffle); upsampling adds a per-group token-sum window on the SAME
+    partitioning plus the epoch fan-out (bounded by max_epochs).
+    Output: (doc_id, group, [epoch,] n_tokens, cum_tokens,
+    group_budget).
     """
     if isinstance(weights, dict):
         rows = sorted((str(g), int(w)) for g, w in weights.items())
@@ -195,15 +209,34 @@ def mixture_sample(
             "group_budget",
             F.expr(f"({total_tokens} * weight) div _sw").cast("long"))
     )
+    out_cols = ["doc_id", group, "n_tokens", "cum_tokens", "group_budget"]
+    order = ["h", "doc_id"]
+    if upsample:
+        gtot = F.greatest(
+            F.sum("n_tokens").over(Window.partitionBy(group)), F.lit(1))
+        base = (
+            base.withColumn("_gtot", gtot.cast("long"))
+            .withColumn(
+                "_ne",
+                F.greatest(F.lit(1), F.least(
+                    F.lit(max_epochs),
+                    F.expr("(group_budget + _gtot - 1) div _gtot"),
+                )).cast("int"))
+            .withColumn(
+                "epoch", F.explode(F.sequence(F.lit(0), F.col("_ne") - 1)))
+        )
+        order = ["epoch", "h", "doc_id"]
+        out_cols = ["doc_id", group, "epoch", "n_tokens", "cum_tokens",
+                    "group_budget"]
     w = (
         Window.partitionBy(group)
-        .orderBy("h", "doc_id")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
         .filter(F.col("cum_tokens") <= F.col("group_budget"))
-        .select("doc_id", group, "n_tokens", "cum_tokens", "group_budget")
+        .select(*out_cols)
     )
 
 
