@@ -681,6 +681,20 @@ def q_text_winnow(spark, sf_dir):
     return textops.winnow_fingerprints(_t_wide(spark, sf_dir, "documents"))
 
 
+#: posting-list cap for the winnow pair join (same role as
+#: NGRAM_MAX_SHINGLE_DF — bounds the per-fingerprint self-join fan-out)
+WINNOW_MAX_FP_DF = 64
+
+
+def q_text_winnow_pairs(spark, sf_dir):
+    """Plagiarism-style local-similarity pairs: docs sharing >= 2
+    winnow fingerprints, containment-scored (shared / smaller doc's
+    fingerprint count), posting lists capped."""
+    return textops.winnow_pairs(
+        _t_wide(spark, sf_dir, "documents"), min_shared=2,
+        max_fp_df=WINNOW_MAX_FP_DF)
+
+
 def q_text_pii(spark, sf_dir):
     """PII scrub over documents with deterministic synthesized PII (the
     corpus itself has none): email + phone counts and redaction."""
@@ -998,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "sim_dedup_clusters": q_sim_dedup_clusters,
         "curate_mixture_epochs": q_curate_mixture_epochs,
+        "text_winnow_pairs": q_text_winnow_pairs,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1027,7 +1042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_split": q_curate_split,
         "curate_decontaminate": q_curate_decontaminate,
         "curate_stratified_sample": q_curate_stratified_sample,
-        "curate_pack_budget": q_curate_pack_budget,
         # -- parked past the 50-entry window for r4 (all driver-green in r3,
         #    unchanged this round; MUST rotate back in-window for r5) -------
         "f1_scope_filter": q_f1_scope_filter,
@@ -1051,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": q_sketch_distinct,
         "curate_tfidf": q_curate_tfidf,
         "curate_pack_shards": q_curate_pack_shards,
+        "curate_pack_budget": q_curate_pack_budget,
     }
 
 
@@ -2060,6 +2075,41 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, (pos - 1) // {textops.WINNOW_W} as bucket,
                    min({md5_long_sql(f"substr(norm, cast(pos as int), {textops.WINNOW_K})")}) as fp
             from g group by doc_id, bucket
+        """,
+        # winnow-pair twin: the fingerprint CTE, distinct per doc, df
+        # cap, equi-join on fp, containment = shared / min size
+        "text_winnow_pairs": f"""
+            with t as (select doc_id, {norm_text} as norm from documents),
+            g as (select doc_id, norm,
+                         unnest(range(1, greatest(length(norm) - {textops.WINNOW_K - 1}, 0) + 1)) as pos
+                  from t),
+            fpb as (
+              select doc_id, (pos - 1) // {textops.WINNOW_W} as bucket,
+                     min({md5_long_sql(f"substr(norm, cast(pos as int), {textops.WINNOW_K})")}) as fp
+              from g group by doc_id, bucket
+            ),
+            fps as (select distinct doc_id, fp from fpb),
+            capped as (
+              select * from fps
+              where fp in (select fp from fps group by fp
+                           having count(*) <= {WINNOW_MAX_FP_DF})
+            ),
+            sizes as (select doc_id, count(*) as n_fp
+                      from capped group by doc_id),
+            shared as (
+              select a.doc_id as doc_a, b.doc_id as doc_b,
+                     count(*) as n_shared
+              from capped a join capped b
+                on a.fp = b.fp and a.doc_id < b.doc_id
+              group by a.doc_id, b.doc_id
+              having count(*) >= 2
+            )
+            select s.doc_a, s.doc_b, s.n_shared,
+                   round(s.n_shared / least(sa.n_fp, sb.n_fp), 6)
+                     as containment
+            from shared s
+            join sizes sa on sa.doc_id = s.doc_a
+            join sizes sb on sb.doc_id = s.doc_b
         """,
         "text_pii": f"""
             with d as (

@@ -94,6 +94,7 @@ HEADLINE = [
     "corpus_stats",
     "sim_dedup_clusters",
     "curate_mixture_epochs",
+    "text_winnow_pairs",
 ]
 
 

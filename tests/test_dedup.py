@@ -500,3 +500,36 @@ def test_embedding_dedup_clusters_transitive(spark):
     assert got[2]["cluster"] == 1 and not got[2]["is_canonical"]
     assert got[3]["cluster"] == 1 and not got[3]["is_canonical"]
     assert got[9]["cluster"] == 9 and got[9]["is_canonical"]
+
+
+def test_winnow_pairs_containment_detects_embedded_doc(spark):
+    """The containment score catches a small document embedded verbatim
+    inside a much larger one — the case symmetric Jaccard under-scores:
+    shared/min(|a|,|b|) ~ 1.0 while shared/union stays small."""
+    from xcrawl3r_spark.operators import textops
+
+    small = "the quick brown fox jumps over the lazy dog again and again"
+    big = " ".join(f"filler{i:03d}word" for i in range(120)) + " " + small
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "completely unrelated words entirely")],
+        "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           textops.winnow_pairs(docs, min_shared=2).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["containment"] >= 0.9          # small doc fully contained
+    assert not any(3 in p for p in out)     # unrelated doc pairs nothing
+
+
+def test_winnow_pairs_fp_df_cap_bounds_boilerplate(spark):
+    """A fingerprint shared by every doc (boilerplate) is dropped by
+    max_fp_df, so an n-doc corpus can't emit O(n^2) pairs through it."""
+    from xcrawl3r_spark.operators import textops
+
+    boiler = "identical boilerplate sentence repeated on every page here"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(12)], "doc_id long, text string")
+    uncapped = textops.winnow_pairs(docs, min_shared=1).count()
+    assert uncapped == 12 * 11 // 2
+    capped = textops.winnow_pairs(docs, min_shared=1, max_fp_df=4).count()
+    assert capped == 0

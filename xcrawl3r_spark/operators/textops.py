@@ -395,6 +395,62 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     )
 
 
+def winnow_pairs(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
+    min_shared: int = 2, max_fp_df: int | None = None,
+) -> DataFrame:
+    """Local-similarity document pairs via shared winnowing fingerprints
+    — the plagiarism-detection join (Schleimer et al. 2003, "Winnowing:
+    Local Algorithms for Document Fingerprinting" — public). Two docs
+    pair when they share >= ``min_shared`` distinct fingerprints;
+    ``containment`` = shared / min(|fp_a|, |fp_b|), which detects a
+    small document embedded inside a large one — exactly the case
+    MinHash's symmetric Jaccard under-scores.
+
+    ``max_fp_df`` caps the per-fingerprint posting list (the same
+    quadratic-risk control as the ngram/simhash/embedding self-joins):
+    a boilerplate fingerprint shared by 10^6 docs would otherwise emit
+    10^12 pairs. The df count rides a window over partitionBy(fp) —
+    the same shuffle the self-join needs.
+
+    Scale posture: fingerprints are ~len/w rows per doc (map-side
+    partial min), the pair join is an equi-join on fp bounded by the
+    cap, and the per-doc size join is an equi-join on doc_id. All
+    integer counts + one rounded division — cross-engine exact.
+    Output: (doc_a, doc_b, n_shared, containment) for doc_a < doc_b.
+    """
+    fps = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    if max_fp_df is not None:
+        from pyspark.sql import Window as W
+
+        fps = (
+            fps.withColumn("_df", F.count("*").over(W.partitionBy("fp")))
+            .filter(F.col("_df") <= max_fp_df).drop("_df")
+        )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n_fp", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_fp", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 6)
+            .alias("containment"),
+        )
+    )
+
+
 # PII patterns shared with the DuckDB oracle (both engines use the same
 # source strings; constructs are in the RE2-compatible subset DuckDB
 # supports, evaluated identically by Java regex)
