@@ -428,6 +428,33 @@ def test_payload_completed_nonimage_fetch_is_not_an_error(spark, http_site):
     assert got["payload_status"] == 200
 
 
+def test_http_resume_never_refetches_committed_iterations(
+        spark, http_site, tmp_path):
+    """Checkpointed live crawls resume WITHOUT re-firing requests: after
+    an interrupted run (max_iterations=1) resumes, every page was GET
+    exactly once across both runs and the stitched output equals an
+    uninterrupted crawl's."""
+    _Handler.site = _chain_site(http_site)
+    seeds = spark.createDataFrame(
+        [("s0", f"{http_site}/p/0")], "seed_id string, url string")
+    cfg = _cfg(checkpoint_dir=str(tmp_path / "ckpt"))
+    crawler = Crawler(spark, cfg)
+    crawler.crawl(seeds, max_iterations=1)      # fetches only /p/0
+    first = [p for p, _ in _Handler.requests]
+    assert first == ["/p/0"]
+    res = crawler.resume(seeds, None)           # continues at iteration 2
+    all_reqs = [p for p, _ in _Handler.requests]
+    assert sorted(all_reqs) == ["/p/0", "/p/1", "/p/2"]  # each ONCE
+    assert {r["url"] for r in res.seen.collect()} == {
+        f"{http_site}/p/{i}" for i in range(3)}
+    edges = Counter((r["src_url"], r["url"]) for r in res.edges.collect())
+    assert edges == Counter({
+        (f"{http_site}/p/0", f"{http_site}/p/1"): 1,
+        (f"{http_site}/p/0", f"{http_site}/p/2"): 1,
+        (f"{http_site}/p/1", f"{http_site}/p/2"): 1,
+    })
+
+
 def test_payload_fetch_failure_lands_in_errors(spark, http_site):
     """A failed image GET surfaces in res.errors with its status
     (stage=payload), mirroring page-fetch error capture."""

@@ -524,7 +524,15 @@ class Crawler:
             if cfg.fetch_mode == "http":
                 from xcrawl3r_spark.operators.fetch import http_fetch
 
-                fetched = http_fetch(selected, cfg)
+                # CHECKPOINTED like the image payload stage: the GET is
+                # a side effect, and `fetched` feeds TWO consumers with
+                # independent lineage (errors_it below and the extracted
+                # checkpoint) — a lazy fetch re-fires every request once
+                # per consumer (store runs re-GET each page on the
+                # errors commit; storeless runs re-GET when the caller
+                # materializes res.errors). One materialization per
+                # iteration, every consumer reads the disk blocks.
+                fetched = _ckpt(http_fetch(selected, cfg))
             else:
                 fetched = selected.join(
                     pages_k, selected.url == pages_k.page_url, "left"
