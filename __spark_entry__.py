@@ -788,6 +788,48 @@ def q_corpus_stats(spark, sf_dir):
     return corpus_stats(_t(spark, sf_dir, "documents"))
 
 
+#: paragraph width (in tokens) for the paragraph-dedup gate: the corpus
+#: text is single-line, so the wrapper regroups tokens into fixed-width
+#: "paragraphs" joined by newlines; 3 tokens is narrow enough that real
+#: cross-document collisions exist at every sf
+PARA_CHUNK = 3
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """CCNet-style corpus-global paragraph dedup: first occurrence of
+    each normalized paragraph (min (doc_id, position)) survives,
+    documents reassembled from their surviving paragraphs."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    paras = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(PARA_CHUNK)),
+        lambda p: F.concat_ws(" ", F.slice(toks, p, PARA_CHUNK)))
+    docs2 = docs.select("doc_id", F.array_join(paras, "\n").alias("text"))
+    return dedupops.paragraph_dedup(docs2)
+
+
+def q_corpus_token_quantiles(spark, sf_dir):
+    """Per-source discrete token-count quantiles — all-integer rank
+    selection, cross-engine exact."""
+    from xcrawl3r_spark.operators.pipeline import token_quantiles
+
+    return token_quantiles(_t_wide(spark, sf_dir, "documents"))
+
+
+def q_text_token_topk(spark, sf_dir):
+    """Corpus vocabulary heavy-hitters: top-50 tokens by occurrence count
+    (+ doc frequency), TakeOrdered — no global sort shuffle."""
+    return textops.token_topk(_t_wide(spark, sf_dir, "documents"), k=50)
+
+
+def q_text_winnow_spans(spark, sf_dir):
+    """Winnow span localization: contiguous matched-bucket islands per
+    (pair, side) with bucket + char intervals."""
+    return textops.winnow_spans(
+        _t_wide(spark, sf_dir, "documents"), min_shared=2,
+        max_fp_df=WINNOW_MAX_FP_DF)
+
+
 def q_curate_mixture(spark, sf_dir):
     """Training-mixture assembly: a 20k-token budget split across sources
     by integer weights (derived here from the source-name hash so the
@@ -984,8 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 5 new r4 keys follow, and 20 r3-green stable keys are
-    # parked past the window (listed at the bottom) — ALL 20 must rotate
+    # first), the 11 new r4 keys follow, and 26 r3-green stable keys are
+    # parked past the window (listed at the bottom) — ALL 26 must rotate
     # back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
@@ -1013,6 +1055,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_dedup_clusters": q_sim_dedup_clusters,
         "curate_mixture_epochs": q_curate_mixture_epochs,
         "text_winnow_pairs": q_text_winnow_pairs,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "corpus_token_quantiles": q_corpus_token_quantiles,
+        "text_token_topk": q_text_token_topk,
+        "text_winnow_spans": q_text_winnow_spans,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1038,12 +1084,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_winnow": q_text_winnow,
         "text_pii": q_text_pii,
+        # -- parked past the 50-entry window for r4 (all driver-green in r3,
+        #    unchanged this round; MUST rotate back in-window for r5) -------
         "text_normalize": q_text_normalize,
         "curate_split": q_curate_split,
         "curate_decontaminate": q_curate_decontaminate,
         "curate_stratified_sample": q_curate_stratified_sample,
-        # -- parked past the 50-entry window for r4 (all driver-green in r3,
-        #    unchanged this round; MUST rotate back in-window for r5) -------
         "f1_scope_filter": q_f1_scope_filter,
         "f3_ext_gate": q_f3_ext_gate,
         "f6_canonicalize": q_f6_canonicalize,
@@ -1710,6 +1756,8 @@ def oracle_sql() -> dict[str, str]:
     scope = _scope_sql_pattern()
     sitemaps = ", ".join(f"'{p}'" for p in U.SITEMAP_PATHS)
     norm_text = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    para_hash = md5_long_sql(
+        r"regexp_replace(lower(trim(paras[i])), '\s+', ' ', 'g')")
     return {
         "f1_scope_filter": f"""
             select doc_id, {_DOC_URL_SQL} as url from documents
@@ -2110,6 +2158,134 @@ def oracle_sql() -> dict[str, str]:
             from shared s
             join sizes sa on sa.doc_id = s.doc_a
             join sizes sb on sb.doc_id = s.doc_b
+        """,
+        # span-localization twin: same fingerprint/cap/pair CTEs as
+        # text_winnow_pairs, then matched buckets per (pair, side) and a
+        # lag/cumsum island pass (the dedup_substring_spans technique).
+        # union all is safe: fpb is unique per (doc, bucket) and capped is
+        # distinct per (doc, fp), so each branch emits each (pair, side,
+        # bucket) at most once — mirrors the Spark side's plain union.
+        "text_winnow_spans": f"""
+            with t as (select doc_id, {norm_text} as norm from documents),
+            g as (select doc_id, norm,
+                         unnest(range(1, greatest(length(norm) - {textops.WINNOW_K - 1}, 0) + 1)) as pos
+                  from t),
+            fpb as (
+              select doc_id, (pos - 1) // {textops.WINNOW_W} as bucket,
+                     min({md5_long_sql(f"substr(norm, cast(pos as int), {textops.WINNOW_K})")}) as fp
+              from g group by doc_id, bucket
+            ),
+            fps as (select distinct doc_id, fp from fpb),
+            capped as (
+              select * from fps
+              where fp in (select fp from fps group by fp
+                           having count(*) <= {WINNOW_MAX_FP_DF})
+            ),
+            pairs as (
+              select a.doc_id as doc_a, b.doc_id as doc_b
+              from capped a join capped b
+                on a.fp = b.fp and a.doc_id < b.doc_id
+              group by 1, 2 having count(*) >= 2
+            ),
+            m as (
+              select p.doc_a, p.doc_b, 'a' as side, fb.bucket
+              from fpb fb
+              join capped cb on fb.fp = cb.fp
+              join pairs p on p.doc_a = fb.doc_id and p.doc_b = cb.doc_id
+              union all
+              select p.doc_a, p.doc_b, 'b' as side, fb.bucket
+              from fpb fb
+              join capped ca on fb.fp = ca.fp
+              join pairs p on p.doc_b = fb.doc_id and p.doc_a = ca.doc_id
+            ),
+            isl as (
+              select doc_a, doc_b, side, bucket,
+                     case when bucket - lag(bucket) over (
+                            partition by doc_a, doc_b, side order by bucket)
+                          <= 1 then 0 else 1 end as nw
+              from m
+            ), isl2 as (
+              select doc_a, doc_b, side, bucket,
+                     sum(nw) over (partition by doc_a, doc_b, side
+                         order by bucket rows between unbounded preceding
+                         and current row) as island
+              from isl
+            )
+            select doc_a, doc_b, side, cast(island as bigint) as span_id,
+                   min(bucket) as bucket_start, max(bucket) as bucket_end,
+                   cast(count(*) as bigint) as n_buckets,
+                   min(bucket) * {textops.WINNOW_W} + 1 as char_start,
+                   (max(bucket) + 1) * {textops.WINNOW_W}
+                     + {textops.WINNOW_K - 1} as char_end
+            from isl2 group by doc_a, doc_b, side, island
+        """,
+        # paragraph-dedup twin: identical 3-token chunking (range step =
+        # chunk width on both sides), row_number keep-first over the
+        # paragraph hash, order-preserving string_agg reassembly
+        "dedup_paragraphs": f"""
+            with tok as (
+              select doc_id, {_TOKENS_SQL} as toks from documents
+            ), docs2 as (
+              select doc_id, array_to_string(
+                list_transform(range(1, len(toks) + 1, {PARA_CHUNK}),
+                               p -> array_to_string(
+                                 toks[p : p + {PARA_CHUNK - 1}], ' ')),
+                chr(10)) as text
+              from tok
+            ), ps as (
+              select doc_id, string_split(text, chr(10)) as paras from docs2
+            ), para as (
+              select doc_id, unnest(range(1, len(paras) + 1)) as i, paras
+              from ps
+            ), hashed as (
+              select doc_id, i - 1 as idx, paras[i] as para,
+                     {para_hash} as ph
+              from para
+            ), kept as (
+              select * from (
+                select *, row_number() over (partition by ph
+                       order by doc_id, idx) as rk
+                from hashed) where rk = 1
+            ), agg as (
+              select doc_id, cast(count(*) as bigint) as n_kept,
+                     string_agg(para, chr(10) order by idx) as text_clean
+              from kept group by doc_id
+            )
+            select p.doc_id, cast(len(p.paras) as bigint) as n_paras,
+                   cast(coalesce(a.n_kept, 0) as bigint) as n_kept,
+                   coalesce(a.text_clean, '') as text_clean
+            from ps p left join agg a using (doc_id)
+        """,
+        # discrete-quantile twin: identical all-integer rank selection
+        # (((n-1)*q) // 100 + 1 over the (nt, doc_id) ascending order)
+        "corpus_token_quantiles": f"""
+            with nt as (
+              select source, doc_id, len({_TOKENS_SQL}) as nt from documents
+            ), r as (
+              select source, nt,
+                     row_number() over (partition by source
+                         order by nt, doc_id) as rn,
+                     count(*) over (partition by source) as n
+              from nt
+            )
+            select source, cast(max(n) as bigint) as n_docs,
+                   cast(max(case when rn = ((n - 1) * 25) // 100 + 1
+                            then nt end) as bigint) as p25,
+                   cast(max(case when rn = ((n - 1) * 50) // 100 + 1
+                            then nt end) as bigint) as p50,
+                   cast(max(case when rn = ((n - 1) * 75) // 100 + 1
+                            then nt end) as bigint) as p75,
+                   cast(max(case when rn = ((n - 1) * 95) // 100 + 1
+                            then nt end) as bigint) as p95
+            from r group by source
+        """,
+        "text_token_topk": f"""
+            with tok as (
+              select doc_id, unnest({_TOKENS_SQL}) as token from documents)
+            select token, cast(count(*) as bigint) as n_occurrences,
+                   cast(count(distinct doc_id) as bigint) as n_docs
+            from tok group by token
+            order by n_occurrences desc, token limit 50
         """,
         "text_pii": f"""
             with d as (

@@ -95,6 +95,10 @@ HEADLINE = [
     "sim_dedup_clusters",
     "curate_mixture_epochs",
     "text_winnow_pairs",
+    "dedup_paragraphs",
+    "corpus_token_quantiles",
+    "text_token_topk",
+    "text_winnow_spans",
 ]
 
 

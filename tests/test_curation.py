@@ -361,3 +361,70 @@ class TestCorpusStats:
         a = sorted(map(tuple, corpus_stats(docs).collect()))
         b = sorted(map(tuple, corpus_stats(docs).collect()))
         assert a == b and len(a) == 3
+
+
+class TestTokenQuantiles:
+    def test_exact_discrete_ranks(self, spark):
+        """p-th quantile = element at rank ((n-1)*q) div 100 + 1 of the
+        (n_tokens, doc_id) ascending order — checked against a hand
+        computation on a known length multiset."""
+        from xcrawl3r_spark.operators.pipeline import token_quantiles
+
+        # source 'a': 10 docs with 1..10 tokens => ranks are the lengths
+        rows = [(i, " ".join(["w"] * (i + 1)), "en", "a") for i in range(10)]
+        # source 'b': single doc => every quantile is its length
+        rows.append((100, "one two three", "en", "b"))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+        got = {r["source"]: r for r in token_quantiles(docs).collect()}
+        a = got["a"]
+        assert a["n_docs"] == 10
+        # n=10: idx(q) = (9*q)//100 + 1 -> p25=rank3, p50=rank5, p75=rank7,
+        # p95=rank9 -> lengths 3,5,7,9
+        assert (a["p25"], a["p50"], a["p75"], a["p95"]) == (3, 5, 7, 9)
+        b = got["b"]
+        assert b["n_docs"] == 1
+        assert (b["p25"], b["p50"], b["p75"], b["p95"]) == (3, 3, 3, 3)
+
+    def test_tie_break_is_deterministic(self, spark):
+        """Equal token counts order by doc_id, so reruns pick the same
+        element (subset-stable rank semantics)."""
+        from xcrawl3r_spark.operators.pipeline import token_quantiles
+
+        docs = spark.createDataFrame(
+            [(i, "x y z", "en", "s") for i in range(7)],
+            "doc_id long, text string, lang string, source string")
+        a = sorted(map(tuple, token_quantiles(docs).collect()))
+        b = sorted(map(tuple, token_quantiles(docs).collect()))
+        assert a == b
+        assert a[0][2:] == (3, 3, 3, 3)
+
+
+class TestTokenTopk:
+    def test_counts_and_tie_break(self, spark):
+        """Occurrence counts aggregate across docs; doc frequency counts
+        distinct docs; ties order by token ascending; limit truncates."""
+        from xcrawl3r_spark.operators import textops
+
+        docs = spark.createDataFrame(
+            [(1, "apple apple banana"),
+             (2, "apple cherry banana"),
+             (3, "date")],
+            "doc_id long, text string")
+        rows = textops.token_topk(docs, k=3).collect()
+        assert [(r["token"], r["n_occurrences"], r["n_docs"])
+                for r in rows] == [
+            ("apple", 3, 2), ("banana", 2, 2), ("cherry", 1, 2 - 1)]
+
+    def test_plan_is_take_ordered_not_global_sort(self, spark):
+        """The top-k must compile to TakeOrderedAndProject (per-partition
+        heaps), not a full sort shuffle — the 100 TB posture."""
+        from xcrawl3r_spark.operators import textops
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 5} tok{i % 3}") for i in range(50)],
+            "doc_id long, text string")
+        plan = textops.token_topk(docs, k=5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort [n_occurrences" not in plan

@@ -533,3 +533,102 @@ def test_winnow_pairs_fp_df_cap_bounds_boilerplate(spark):
     assert uncapped == 12 * 11 // 2
     capped = textops.winnow_pairs(docs, min_shared=1, max_fp_df=4).count()
     assert capped == 0
+
+
+class TestParagraphDedup:
+    def _run(self, spark, rows):
+        from xcrawl3r_spark.operators import dedupops
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in
+                dedupops.paragraph_dedup(docs).collect()}
+
+    def test_first_occurrence_survives_corpus_wide(self, spark):
+        """A paragraph repeated across documents survives only in the
+        lowest (doc_id, position); later copies are cut from their docs."""
+        out = self._run(spark, [
+            (1, "alpha beta\nshared para here\ngamma"),
+            (2, "shared para here\nunique two"),
+            (3, "unique three\nshared para here"),
+        ])
+        assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+        assert out[1]["text_clean"] == "alpha beta\nshared para here\ngamma"
+        assert out[2]["n_kept"] == 1 and out[2]["text_clean"] == "unique two"
+        assert out[3]["n_kept"] == 1 and out[3]["text_clean"] == "unique three"
+
+    def test_within_doc_repeat_collapses_and_empty_doc_row_kept(self, spark):
+        """Within-document repeats keep only the first copy; a document
+        losing every paragraph still emits a row with empty text."""
+        out = self._run(spark, [
+            (1, "same para\nsame para\nother"),
+            (2, "same para"),
+        ])
+        assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 2
+        assert out[1]["text_clean"] == "same para\nother"
+        assert out[2]["n_paras"] == 1 and out[2]["n_kept"] == 0
+        assert out[2]["text_clean"] == ""
+
+    def test_normalization_matches_case_and_whitespace_variants(self, spark):
+        """The keep/drop key is the whitespace/case-normal form, so 'A  B'
+        duplicates 'a b' — but the SURVIVING paragraph keeps its original
+        text."""
+        out = self._run(spark, [
+            (1, "Hello   World"),
+            (2, "hello world"),
+        ])
+        assert out[1]["n_kept"] == 1
+        assert out[1]["text_clean"] == "Hello   World"
+        assert out[2]["n_kept"] == 0
+
+
+class TestWinnowSpans:
+    def test_islands_localize_the_embedded_copy(self, spark):
+        """A small doc embedded in a large one yields, on the large side,
+        island(s) covering the tail region where the copy sits — and the
+        small side is covered ~fully."""
+        from xcrawl3r_spark.operators import textops
+
+        small = "the quick brown fox jumps over the lazy dog again and again"
+        big = " ".join(f"filler{i:03d}word" for i in range(80)) + " " + small
+        docs = spark.createDataFrame(
+            [(1, small), (2, big), (3, "totally unrelated words entirely")],
+            "doc_id long, text string")
+        spans = textops.winnow_spans(docs, min_shared=2).collect()
+        by_side = {}
+        for r in spans:
+            assert (r["doc_a"], r["doc_b"]) == (1, 2)
+            by_side.setdefault(r["side"], []).append(r)
+        # side a (the small doc): matched buckets cover most of it
+        a_buckets = sum(r["n_buckets"] for r in by_side["a"])
+        n_a = (len(small) - textops.WINNOW_K + 1
+               + textops.WINNOW_W - 1) // textops.WINNOW_W
+        assert a_buckets >= n_a - 1
+        # side b: every island sits in the tail (where small was appended)
+        copy_start = len(big) - len(small)
+        for r in by_side["b"]:
+            assert r["char_end"] > copy_start
+        # intervals are well-formed and ordered by span_id
+        for rows in by_side.values():
+            rows.sort(key=lambda r: r["span_id"])
+            for r in rows:
+                assert r["bucket_start"] <= r["bucket_end"]
+                assert r["char_start"] < r["char_end"]
+            for x, y in zip(rows, rows[1:]):
+                assert x["bucket_end"] + 1 < y["bucket_start"]
+
+    def test_disjoint_copies_make_separate_islands(self, spark):
+        """Two shared regions separated by unique filler in the middle
+        produce (at least) two islands on the containing side."""
+        from xcrawl3r_spark.operators import textops
+
+        chunk1 = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"
+        chunk2 = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq"
+        mid = " ".join(f"mid{i:04d}unique" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, chunk1 + " " + chunk2),
+             (2, chunk1 + " " + mid + " " + chunk2)],
+            "doc_id long, text string")
+        spans = [r for r in
+                 textops.winnow_spans(docs, min_shared=2).collect()
+                 if r["side"] == "b"]
+        assert len(spans) >= 2

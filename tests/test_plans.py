@@ -497,3 +497,26 @@ class TestR3OperatorPlans:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert count_nodes(plan, "CartesianProduct") == 0, plan
         assert count_nodes(plan, "BatchEvalPython") == 0, plan
+
+
+    def test_token_quantiles_single_exchange(self, spark, sf_dir):
+        """The ranking window and the final aggregate both key on source,
+        so the whole operator must pay exactly ONE shuffle (the window's
+        hashpartitioning(source) serves the groupBy too)."""
+        from xcrawl3r_spark.operators.pipeline import token_quantiles
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(token_quantiles(docs))
+        assert count_nodes(plan, "Exchange") == 1, plan
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+
+    def test_paragraph_dedup_native_no_cartesian(self, spark, sf_dir):
+        """Paragraph dedup stays JVM-native: posexplode + window +
+        collect_list are all Catalyst nodes, joins are equi-joins."""
+        from xcrawl3r_spark.operators.dedupops import paragraph_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(paragraph_dedup(docs))
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+        assert count_nodes(plan, "ArrowEvalPython") == 0, plan
+        assert count_nodes(plan, "CartesianProduct") == 0, plan

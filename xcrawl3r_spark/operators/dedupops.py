@@ -466,6 +466,59 @@ def remove_dup_spans(
     )
 
 
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-global PARAGRAPH-level exact dedup (the CCNet / C4-family
+    granularity: Wenzek et al. 2019 dedup CommonCrawl by paragraph hash
+    before any document-level stage): split each document on newlines,
+    hash each paragraph's whitespace/case-normal form, keep only the
+    FIRST occurrence corpus-wide (min (doc_id, position) — the same
+    keep-first convention as ``remove_dup_spans``), and reassemble each
+    document from its surviving paragraphs in original order.
+
+    Output: (doc_id, n_paras, n_kept, text_clean) — one row per input
+    document; a document whose every paragraph appeared earlier keeps
+    n_kept=0 and text_clean=''. Within-document repeats collapse too
+    (only the first copy in the first document survives).
+
+    Scale posture: posexplode is narrow; the keep-first decision is ONE
+    row_number window over the paragraph hash (the minimal shuffle any
+    global first-occurrence semantic needs — a groupBy-min would still
+    shuffle the same rows and then pay a join back); reassembly is one
+    groupBy(doc_id) collect_list, bounded by a single document's size;
+    the final join back to the full doc list is doc_id-equi on two
+    doc_id-clustered sides. All hashes are the cross-engine md5 60-bit
+    ints, so the DuckDB twin reproduces every keep/drop decision."""
+    paras = F.split(F.col("text"), r"\n")
+    exploded = docs.select(
+        "doc_id", F.posexplode(paras).alias("idx", "para"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
+    hashed = exploded.select(
+        "doc_id", "idx", "para", md5_long(norm).alias("ph"))
+    first_w = Window.partitionBy("ph").orderBy("doc_id", "idx")
+    kept = (
+        hashed.withColumn("_rk", F.row_number().over(first_w))
+        .filter(F.col("_rk") == 1)
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"]),
+            "\n").alias("text_clean"),
+    )
+    return (
+        docs.select("doc_id", F.size(paras).cast("long").alias("n_paras"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id", "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash over whitespace tokens: bit i set iff
     sum over tokens of (+1 if bit i of md5_long(token) else -1) > 0."""

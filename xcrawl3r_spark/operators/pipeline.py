@@ -98,6 +98,47 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_quantiles(
+    docs: DataFrame, qs: tuple[int, ...] = (25, 50, 75, 95)
+) -> DataFrame:
+    """Per-source token-count DISCRETE quantiles (p25/p50/p75/p95 by
+    default) — the length-distribution dashboard row next to
+    ``corpus_stats`` (a source whose p95 collapses after a cleaning
+    change is the classic over-filtering smell).
+
+    Discrete (type-1) quantiles, not interpolated: the p-th quantile is
+    the element at rank ((n-1)*q) div 100 + 1 of the (n_tokens, doc_id)
+    ascending order — an ALL-INTEGER selection, so both engines pick the
+    identical element and the output is cross-engine exact (interpolated
+    quantiles divide floats and can't hash-match; approx_percentile is
+    approximate by design — neither survives the oracle gate).
+
+    Scale posture: tokenize is map-side; ranking is ONE window shuffle
+    on source (row_number and the per-source count share the partition,
+    so one exchange serves both), then a groupBy(source) with
+    conditional-max quantile picks that rides the SAME source
+    clustering. Per-source row counts are the only memory term."""
+    nt = docs.select(
+        "source", "doc_id", F.size(textops.tokens_col()).alias("nt"))
+    from pyspark.sql import Window
+
+    order_w = Window.partitionBy("source").orderBy("nt", "doc_id")
+    ranked = nt.select(
+        "source", "nt",
+        F.row_number().over(order_w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(F.col("rn") == F.expr(f"((n - 1) * {q}) div 100") + 1,
+                   F.col("nt"))
+        ).cast("long").alias(f"p{q}")
+        for q in qs
+    ]
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"), *picks)
+
+
 def corpus_curate(
     docs: DataFrame,
     budget: int = 5000,

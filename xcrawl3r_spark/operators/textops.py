@@ -451,6 +451,124 @@ def winnow_pairs(
     )
 
 
+def winnow_spans(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
+    min_shared: int = 2, max_fp_df: int | None = None,
+) -> DataFrame:
+    """Span LOCALIZATION for winnow pairs: for every qualifying pair
+    (same candidate semantics as ``winnow_pairs``: >= ``min_shared``
+    shared distinct fingerprints, posting lists capped at ``max_fp_df``)
+    and each side of it, the contiguous runs of winnow buckets whose
+    fingerprint also occurs in the other document — i.e. WHERE the
+    shared material sits, not just that it exists. This is the second
+    half of the Schleimer et al. 2003 use case (report the matched
+    regions), and the piece a reviewer needs before cutting/attributing
+    overlap found by ``winnow_pairs``.
+
+    Shape: one row per (doc_a, doc_b, side, island) with the island's
+    bucket interval, its bucket count, and the 1-based char interval it
+    covers in that side's NORMALIZED text (a bucket holds gram start
+    positions [bucket*w+1, bucket*w+w]; a gram spans k chars, so the
+    island [s, e] covers chars [s*w+1, (e+1)*w+k-1] — the end is NOT
+    clamped to the doc length, by design: clamping would need a join
+    against per-doc lengths that buys nothing downstream).
+
+    Scale posture: reuses the capped fingerprint relation of
+    ``winnow_pairs`` (the cap bounds every posting list, so the pair
+    join and both side joins are fan-out-bounded equi-joins); island
+    detection is one window pass per (pair, side) — the partition is a
+    single pair's matched buckets, trivially memory-safe. All-integer
+    output (plus the 'a'/'b' side tag), cross-engine exact."""
+    from pyspark.sql import Window as W
+
+    fpb = winnow_fingerprints(docs, k, w)  # (doc_id, bucket, fp)
+    fps = fpb.select("doc_id", "fp").distinct()
+    if max_fp_df is not None:
+        fps = (
+            fps.withColumn("_df", F.count("*").over(W.partitionBy("fp")))
+            .filter(F.col("_df") <= max_fp_df).drop("_df")
+        )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b")
+    )
+    # matched buckets per (pair, side): a side's bucket qualifies when its
+    # fingerprint is in the OTHER side's capped set. fpb needs no separate
+    # cap — a capped-out fp is gone from every doc's `fps` set, so the
+    # equi-join drops it globally. One row per (pair, side, bucket) by
+    # construction (fpb is unique per (doc, bucket)).
+    side_a = (
+        fpb.select(F.col("doc_id").alias("doc_a"), "bucket", "fp")
+        .join(fps.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .join(pairs, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", F.lit("a").alias("side"), "bucket")
+    )
+    side_b = (
+        fpb.select(F.col("doc_id").alias("doc_b"), "bucket", "fp")
+        .join(fps.select(F.col("doc_id").alias("doc_a"), "fp"), "fp")
+        .join(pairs, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", F.lit("b").alias("side"), "bucket")
+    )
+    matched = side_a.unionByName(side_b)
+    win = W.partitionBy("doc_a", "doc_b", "side").orderBy("bucket")
+    isl = (
+        matched
+        .withColumn(
+            "_new",
+            F.when(F.col("bucket") - F.lag("bucket").over(win) <= 1,
+                   F.lit(0)).otherwise(F.lit(1)))
+        .withColumn(
+            "island",
+            F.sum("_new").over(
+                win.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "side", "island")
+        .agg(
+            F.min("bucket").alias("bucket_start"),
+            F.max("bucket").alias("bucket_end"),
+            F.count("*").alias("n_buckets"),
+        )
+        .select(
+            "doc_a", "doc_b", "side",
+            F.col("island").cast("long").alias("span_id"),
+            "bucket_start", "bucket_end", "n_buckets",
+            (F.col("bucket_start") * w + 1).alias("char_start"),
+            ((F.col("bucket_end") + 1) * w + (k - 1)).alias("char_end"),
+        )
+    )
+
+
+def token_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus vocabulary heavy-hitters: the top-``k`` whitespace tokens by
+    total occurrence count, with document frequency — the "what is my
+    corpus made of" observability row (boilerplate tokens dominating the
+    head is the classic pre-dedup smell).
+
+    Scale posture: explode → ONE hash aggregation on token (count runs
+    map-side partial; countDistinct adds its standard partial-agg
+    expand), then ``orderBy().limit(k)`` which Spark compiles to
+    TakeOrderedAndProject — per-partition top-k heaps merged on the
+    driver, NO global sort shuffle (the plan-audit pins this). Ties
+    break deterministically (count desc, token asc)."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 # PII patterns shared with the DuckDB oracle (both engines use the same
 # source strings; constructs are in the RE2-compatible subset DuckDB
 # supports, evaluated identically by Java regex)
