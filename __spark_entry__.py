@@ -830,6 +830,47 @@ def q_text_winnow_spans(spark, sf_dir):
         max_fp_df=WINNOW_MAX_FP_DF)
 
 
+#: phash masks for the image near-dup gate: per group of 4 consecutive
+#: doc_ids, member 0 carries the base hash and members 1-3 flip 1, 2, and
+#: 6 bits — so pairs (0,1)=1, (0,2)=2, (1,2)=1 qualify at hamming_max=4
+#: while (0,3)=6, (1,3)=7, (2,3)=8 are correctly excluded
+PHASH_MASKS = (0, 1, 3, 4032)
+
+
+def q_image_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-dup image pairs (banded pigeonhole join +
+    exact hamming verify) over a deterministic phash column with planted
+    near-duplicate groups; the n^2-hamming DuckDB twin pins recall=1."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    base = md5_long(F.concat(F.lit("ph:"), F.expr("doc_id div 4")))
+    mask = F.element_at(
+        F.array(*[F.lit(m).cast("long") for m in PHASH_MASKS]),
+        (F.col("doc_id") % 4).cast("int") + 1)
+    imgs = docs.select(
+        F.concat(F.lit("img-"), F.col("doc_id")).alias("image_id"),
+        base.bitwiseXOR(mask).alias("phash"))
+    return images.phash_near_dup(imgs, hamming_max=4)
+
+
+def q_image_caption_gate(spark, sf_dir):
+    """LAION-style image+caption admission gate over an input_hint-shaped
+    table synthesized from documents (dims from doc_id, caption = text):
+    integer size/aspect bounds + caption token/char rules + language-ID,
+    one map-side projection."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.concat(F.lit("img-"), F.col("doc_id")).alias("image_id"),
+        (F.lit(32) + (F.col("doc_id") % 13) * 8).cast("int").alias("w"),
+        (F.lit(32) + ((F.col("doc_id") * 7) % 17) * 8).cast("int")
+        .alias("h"),
+        F.col("text").alias("caption"))
+    return images.caption_gate(imgs)
+
+
 def q_curate_mixture(spark, sf_dir):
     """Training-mixture assembly: a 20k-token budget split across sources
     by integer weights (derived here from the source-name hash so the
@@ -1026,8 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 11 new r4 keys follow, and 26 r3-green stable keys are
-    # parked past the window (listed at the bottom) — ALL 26 must rotate
+    # first), the 13 new r4 keys follow, and 28 r3-green stable keys are
+    # parked past the window (listed at the bottom) — ALL 28 must rotate
     # back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
@@ -1059,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_quantiles": q_corpus_token_quantiles,
         "text_token_topk": q_text_token_topk,
         "text_winnow_spans": q_text_winnow_spans,
+        "image_phash_near_dup": q_image_phash_near_dup,
+        "image_caption_gate": q_image_caption_gate,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1082,10 +1125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": q_text_gopher_quality,
         "text_repetition": q_text_repetition,
         "text_langid": q_text_langid,
-        "text_winnow": q_text_winnow,
-        "text_pii": q_text_pii,
         # -- parked past the 50-entry window for r4 (all driver-green in r3,
         #    unchanged this round; MUST rotate back in-window for r5) -------
+        "text_winnow": q_text_winnow,
+        "text_pii": q_text_pii,
         "text_normalize": q_text_normalize,
         "curate_split": q_curate_split,
         "curate_decontaminate": q_curate_decontaminate,
@@ -1134,6 +1177,14 @@ _TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
 _NORM_TEXT_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textops.STOPWORDS) + "]"
+
+#: (lang_code, markers) VALUES rows for langid twins that can't reuse
+#: _langid_oracle's fixed FROM documents shape (e.g. the caption gate)
+_LANG_ROWS_SQL = ", ".join(
+    "('{lang}', [{m}])".format(
+        lang=lang, m=", ".join(f"'{m}'" for m in markers))
+    for lang, markers in sorted(textops.LANG_MARKERS.items())
+)
 
 
 def _ext_url_sql() -> str:
@@ -2286,6 +2337,60 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct doc_id) as bigint) as n_docs
             from tok group by token
             order by n_occurrences desc, token limit 50
+        """,
+        # image phash near-dup twin: same planted phash construction
+        # (group base hash xor per-member mask), then exhaustive n^2
+        # hamming — pins the banded join's recall=1 claim
+        "image_phash_near_dup": f"""
+            with ph as (
+              select concat('img-', doc_id) as image_id,
+                     xor({md5_long_sql(
+                         "concat('ph:', cast(doc_id // 4 as varchar))")},
+                         ([{", ".join(str(m) for m in PHASH_MASKS)}])
+                           [cast(doc_id % 4 as int) + 1]) as phash
+              from documents)
+            select a.image_id as image_a, b.image_id as image_b,
+                   cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+            from ph a join ph b on a.image_id < b.image_id
+            where bit_count(xor(a.phash, b.phash)) <= 4
+        """,
+        # caption-gate twin: identical synthetic dims, integer aspect
+        # bound, token/char rules, and the langid argmax pointed at the
+        # caption (= text) column
+        "image_caption_gate": f"""
+            with base as (
+              select doc_id, concat('img-', doc_id) as image_id,
+                     cast(32 + (doc_id % 13) * 8 as int) as w,
+                     cast(32 + ((doc_id * 7) % 17) * 8 as int) as h,
+                     text as caption,
+                     {_TOKENS_SQL} as toks
+              from documents
+            ), scores as (
+              select doc_id, l.lang_code,
+                     len(list_filter(toks,
+                         t -> list_contains(l.markers, t))) as score
+              from base cross join (
+                select * from (values {_LANG_ROWS_SQL}) v(lang_code, markers)
+              ) l
+            ), pred as (
+              select doc_id, lang_code as lang_pred from (
+                select *, row_number() over (partition by doc_id
+                       order by score desc, lang_code) as rn
+                from scores) where rn = 1
+            )
+            select image_id, w, h,
+                   cast(len(toks) as int) as n_caption_tokens,
+                   (w >= 64 and h >= 64) as size_ok,
+                   (greatest(w, h) <= 3 * least(w, h)) as aspect_ok,
+                   (len(toks) >= 2 and len(toks) <= 64
+                    and length(trim(caption)) >= 5) as caption_ok,
+                   (lang_pred = 'en') as lang_ok,
+                   ((w >= 64 and h >= 64)
+                    and greatest(w, h) <= 3 * least(w, h)
+                    and len(toks) >= 2 and len(toks) <= 64
+                    and length(trim(caption)) >= 5
+                    and lang_pred = 'en') as passes
+            from base join pred using (doc_id)
         """,
         "text_pii": f"""
             with d as (

@@ -99,6 +99,8 @@ HEADLINE = [
     "corpus_token_quantiles",
     "text_token_topk",
     "text_winnow_spans",
+    "image_phash_near_dup",
+    "image_caption_gate",
 ]
 
 

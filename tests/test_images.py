@@ -186,3 +186,85 @@ def test_general_pixel_check_via_phash(spark):
         base.withColumn("phash", F.col("phash") + F.lit(0x5555555555)),
         synthetic_pixel_check=False)
     assert bad.filter("pixel_ok").count() == 0
+
+
+class TestPhashNearDup:
+    def test_planted_groups_found_exactly(self, spark):
+        """Images whose phashes differ by <= hamming_max pair up; recall
+        is exact (banded pigeonhole join vs hand-listed expectation)."""
+        from xcrawl3r_spark.operators.images import phash_near_dup
+
+        base = 0x0ABCDEF0123456  # arbitrary 60-bit-safe constant
+        rows = [
+            ("i0", base),            # group: i0/i1/i2 mutually close
+            ("i1", base ^ 0b1),      # 1 bit from i0
+            ("i2", base ^ 0b11),     # 2 bits from i0, 1 from i1
+            ("i3", base ^ 0x3F000),  # 6 bits away — excluded at max 4
+            ("i4", 0x7777777777777), # unrelated
+        ]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        got = {(r["image_a"], r["image_b"]): r["hamming"]
+               for r in phash_near_dup(df, hamming_max=4).collect()}
+        assert got == {("i0", "i1"): 1, ("i0", "i2"): 2, ("i1", "i2"): 1}
+
+    def test_bucket_cap_drops_hot_bucket(self, spark):
+        """max_chunk_df bounds the per-bucket fan-out: identical phashes
+        on every row would otherwise emit O(n^2) pairs."""
+        from xcrawl3r_spark.operators.images import phash_near_dup
+
+        df = spark.createDataFrame(
+            [(f"i{n:02d}", 12345) for n in range(12)],
+            "image_id string, phash long")
+        assert phash_near_dup(df, hamming_max=2).count() == 12 * 11 // 2
+        assert phash_near_dup(df, hamming_max=2, max_chunk_df=4).count() == 0
+
+
+class TestCaptionGate:
+    def _gate(self, spark, rows):
+        from xcrawl3r_spark.operators.images import caption_gate
+
+        df = spark.createDataFrame(
+            rows, "image_id string, w int, h int, caption string")
+        return {r["image_id"]: r for r in caption_gate(df).collect()}
+
+    def test_each_rule_gates_independently(self, spark):
+        good_cap = "the quick brown fox and the lazy dog of autumn"
+        out = self._gate(spark, [
+            ("ok",      256, 192, good_cap),
+            ("tiny",     32, 192, good_cap),             # size_ok fails
+            ("banner",  640, 100, good_cap),             # aspect > 3
+            ("nocap",   256, 192, "x"),                  # caption too short
+            ("german",  256, 192, "der die das und der hund"),  # lang != en
+        ])
+        assert out["ok"]["passes"]
+        assert not out["tiny"]["size_ok"] and not out["tiny"]["passes"]
+        assert not out["banner"]["aspect_ok"] and not out["banner"]["passes"]
+        assert not out["nocap"]["caption_ok"] and not out["nocap"]["passes"]
+        assert not out["german"]["lang_ok"] and not out["german"]["passes"]
+        assert out["german"]["size_ok"] and out["german"]["aspect_ok"]
+
+    def test_token_bounds_and_integer_aspect_edge(self, spark):
+        """Aspect bound is integer-exact: 3:1 passes, 301:100 fails; the
+        64-token caption ceiling is inclusive."""
+        cap64 = " ".join(["the"] + ["word"] * 63)
+        cap65 = " ".join(["the"] + ["word"] * 64)
+        out = self._gate(spark, [
+            ("a31", 300, 100, "the cat and a dog sat"),
+            ("a301", 301, 100, "the cat and a dog sat"),
+            ("t64", 128, 128, cap64),
+            ("t65", 128, 128, cap65),
+        ])
+        assert out["a31"]["aspect_ok"] and not out["a301"]["aspect_ok"]
+        assert out["t64"]["caption_ok"] and not out["t65"]["caption_ok"]
+
+    def test_zero_shuffle_plan(self, spark):
+        """The gate is one map-side projection — no Exchange in the
+        physical plan (the pre-decode filter must be free at 10^10)."""
+        from xcrawl3r_spark.operators.images import caption_gate
+
+        df = spark.createDataFrame(
+            [("i", 64, 64, "the a of and")],
+            "image_id string, w int, h int, caption string")
+        plan = caption_gate(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

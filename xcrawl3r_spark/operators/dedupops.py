@@ -573,9 +573,38 @@ def simhash_near_dup(
     ``log_dropped``), the same posting-list control as ngram_jaccard's.
     The uncapped default is exact.
     """
+    sig = simhash(docs, bits)
+    return hamming_near_dup(
+        sig, id_col="doc_id", hash_col="simhash",
+        hamming_max=hamming_max, bits=bits,
+        max_chunk_df=max_chunk_df, log_dropped=log_dropped)
+
+
+def hamming_near_dup(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    hamming_max: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_chunk_df: int | None = None,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Generic banded hamming near-dup join over ANY precomputed
+    ``bits``-bit integer signature column — the Manku-style pigeonhole
+    bucket join + exact bit_count(xor) verify factored out of
+    ``simhash_near_dup`` so image perceptual hashes (phash), audio
+    fingerprints, and text simhashes all share one engine path.
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b under the input
+    id's ordering — column names stay doc_a/doc_b regardless of
+    ``id_col`` (callers alias). Same recall/caps semantics as
+    ``simhash_near_dup``: exact (recall 1) uncapped; ``max_chunk_df``
+    drops overfull buckets, trading recall in boilerplate buckets for a
+    hard bound on join fan-out."""
     n_chunks = hamming_max + 1
     width = bits // n_chunks
-    sig = simhash(docs, bits)
+    sig = sig.select(F.col(id_col).alias("doc_id"),
+                     F.col(hash_col).alias("simhash"))
     entries = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -597,7 +626,7 @@ def simhash_near_dup(
             import logging
 
             logging.getLogger(__name__).info(
-                "simhash_near_dup: dropped %d buckets with df > %d",
+                "hamming_near_dup: dropped %d buckets with df > %d",
                 full.count(), max_chunk_df)
         bands = bands.join(F.broadcast(full), ["chunk", "key"], "left_anti")
     a = bands.select(F.col("doc_id").alias("doc_a"),

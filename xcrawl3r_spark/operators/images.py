@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from xcrawl3r_spark.functions.imagecodec import (
     decode_image,
@@ -337,4 +338,78 @@ def lineage(verified: DataFrame) -> DataFrame:
             ).alias("n_ok"),
         )
         .withColumn("stage", F.lit("decode_verify"))
+    )
+
+
+def phash_near_dup(
+    images: DataFrame,
+    hamming_max: int = 4,
+    bits: int = 60,
+    max_chunk_df: int | None = None,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE pairs over the input_hint
+    table's ``phash`` column — the image-side twin of text simhash
+    dedup (the first dedup pass every web-scale image+caption corpus
+    runs: re-hosted/resized copies of one image land within a few
+    phash bits of each other).
+
+    Same engine path as ``simhash_near_dup``: banded pigeonhole bucket
+    join (recall 1 uncapped) + exact bit_count(xor) verify, via
+    ``dedupops.hamming_near_dup``. At 10^10 images the phash column is
+    64 bits of metadata per row — the join never touches bytes, so the
+    stage costs the same as text simhash regardless of payload size.
+
+    Output: (image_a, image_b, hamming), image_a < image_b."""
+    from xcrawl3r_spark.operators.dedupops import hamming_near_dup
+
+    return hamming_near_dup(
+        images, id_col="image_id", hash_col="phash",
+        hamming_max=hamming_max, bits=bits, max_chunk_df=max_chunk_df,
+    ).select(
+        F.col("doc_a").alias("image_a"),
+        F.col("doc_b").alias("image_b"),
+        "hamming",
+    )
+
+
+def caption_gate(
+    images: DataFrame,
+    min_dim: int = 64,
+    max_aspect: int = 3,
+    min_caption_tokens: int = 2,
+    max_caption_tokens: int = 64,
+    min_caption_chars: int = 5,
+    lang: str = "en",
+) -> DataFrame:
+    """LAION-style image+caption pair admission gate (Schuhmann et al.
+    2021, public filter set): minimum image dimensions, aspect-ratio
+    bound, caption token/char floors and ceiling, and caption
+    language-ID — the joint metadata+text filter a 10^10-pair corpus
+    applies before any expensive decode.
+
+    All comparisons are INTEGER (the aspect bound is
+    greatest(w,h) <= max_aspect * least(w,h) — no float division), and
+    the language check reuses the marker-heuristic argmax pointed at
+    the caption column; one map-side projection, zero shuffles, no
+    bytes touched. Output: per-rule flags + the composite ``passes``."""
+    from xcrawl3r_spark.operators import textops
+
+    toks = textops.tokens_col("caption")
+    n_tok = F.size(toks)
+    ranked = textops.lang_ranked_col("caption")
+    size_ok = (F.col("w") >= min_dim) & (F.col("h") >= min_dim)
+    aspect_ok = (
+        F.greatest("w", "h") <= F.lit(max_aspect) * F.least("w", "h"))
+    caption_ok = (
+        (n_tok >= min_caption_tokens) & (n_tok <= max_caption_tokens)
+        & (F.length(F.trim("caption")) >= min_caption_chars))
+    lang_ok = ranked[0]["lang"] == lang
+    return images.select(
+        "image_id", "w", "h",
+        n_tok.alias("n_caption_tokens"),
+        size_ok.alias("size_ok"),
+        aspect_ok.alias("aspect_ok"),
+        caption_ok.alias("caption_ok"),
+        lang_ok.alias("lang_ok"),
+        (size_ok & aspect_ok & caption_ok & lang_ok).alias("passes"),
     )

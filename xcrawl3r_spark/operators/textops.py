@@ -328,11 +328,12 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_ranked_col() -> Column:
+def lang_ranked_col(text: Column | str = "text") -> Column:
     """The language-ID argmax as a column expression (array of
-    (neg_score, lang) structs sorted best-first) — shared by ``lang_id``
-    and the one-scan ``corpus_curate`` composite."""
-    toks = tokens_col()
+    (neg_score, lang) structs sorted best-first) — shared by ``lang_id``,
+    the one-scan ``corpus_curate`` composite, and the image caption gate
+    (which points it at the caption column)."""
+    toks = tokens_col(text)
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = F.array(*[F.lit(m) for m in markers])
