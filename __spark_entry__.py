@@ -836,6 +836,29 @@ def q_text_winnow_spans(spark, sf_dir):
 #: while (0,3)=6, (1,3)=7, (2,3)=8 are correctly excluded
 PHASH_MASKS = (0, 1, 3, 4032)
 
+#: the deterministic planted-phash image table, DuckDB side (twin of
+#: _phash_images below)
+_PHASH_TABLE_SQL = (
+    "select concat('img-', doc_id) as image_id, "
+    "xor({h}, ([{masks}])[cast(doc_id % 4 as int) + 1]) as phash "
+    "from documents"
+).format(
+    h=md5_long_sql("concat('ph:', cast(doc_id // 4 as varchar))"),
+    masks=", ".join(str(m) for m in PHASH_MASKS),
+)
+
+
+def _phash_images(docs):
+    """Deterministic (image_id, phash) table with planted near-dup
+    groups — shared by the phash pair and cluster gates."""
+    base = md5_long(F.concat(F.lit("ph:"), F.expr("doc_id div 4")))
+    mask = F.element_at(
+        F.array(*[F.lit(m).cast("long") for m in PHASH_MASKS]),
+        (F.col("doc_id") % 4).cast("int") + 1)
+    return docs.select(
+        F.concat(F.lit("img-"), F.col("doc_id")).alias("image_id"),
+        base.bitwiseXOR(mask).alias("phash"))
+
 
 def q_image_phash_near_dup(spark, sf_dir):
     """Perceptual-hash near-dup image pairs (banded pigeonhole join +
@@ -844,14 +867,17 @@ def q_image_phash_near_dup(spark, sf_dir):
     from xcrawl3r_spark.operators import images
 
     docs = _t_wide(spark, sf_dir, "documents")
-    base = md5_long(F.concat(F.lit("ph:"), F.expr("doc_id div 4")))
-    mask = F.element_at(
-        F.array(*[F.lit(m).cast("long") for m in PHASH_MASKS]),
-        (F.col("doc_id") % 4).cast("int") + 1)
-    imgs = docs.select(
-        F.concat(F.lit("img-"), F.col("doc_id")).alias("image_id"),
-        base.bitwiseXOR(mask).alias("phash"))
-    return images.phash_near_dup(imgs, hamming_max=4)
+    return images.phash_near_dup(_phash_images(docs), hamming_max=4)
+
+
+def q_image_phash_clusters(spark, sf_dir):
+    """Image-dedup removal step: phash pairs -> transitive closure ->
+    min-image_id canonical per cluster, full-table coverage (the a~b,
+    b~c resize chain collapses to one kept copy)."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return images.phash_dedup_clusters(_phash_images(docs), hamming_max=4)
 
 
 def q_image_caption_gate(spark, sf_dir):
@@ -1067,8 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 13 new r4 keys follow, and 28 r3-green stable keys are
-    # parked past the window (listed at the bottom) — ALL 28 must rotate
+    # first), the 14 new r4 keys follow, and 29 r3-green stable keys are
+    # parked past the window (listed at the bottom) — ALL 29 must rotate
     # back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
@@ -1102,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_spans": q_text_winnow_spans,
         "image_phash_near_dup": q_image_phash_near_dup,
         "image_caption_gate": q_image_caption_gate,
+        "image_phash_clusters": q_image_phash_clusters,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1124,9 +1151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pack_sequences": q_curate_pack_sequences,
         "text_gopher_quality": q_text_gopher_quality,
         "text_repetition": q_text_repetition,
-        "text_langid": q_text_langid,
         # -- parked past the 50-entry window for r4 (all driver-green in r3,
         #    unchanged this round; MUST rotate back in-window for r5) -------
+        "text_langid": q_text_langid,
         "text_winnow": q_text_winnow,
         "text_pii": q_text_pii,
         "text_normalize": q_text_normalize,
@@ -2342,17 +2369,38 @@ def oracle_sql() -> dict[str, str]:
         # (group base hash xor per-member mask), then exhaustive n^2
         # hamming — pins the banded join's recall=1 claim
         "image_phash_near_dup": f"""
-            with ph as (
-              select concat('img-', doc_id) as image_id,
-                     xor({md5_long_sql(
-                         "concat('ph:', cast(doc_id // 4 as varchar))")},
-                         ([{", ".join(str(m) for m in PHASH_MASKS)}])
-                           [cast(doc_id % 4 as int) + 1]) as phash
-              from documents)
+            with ph as ({_PHASH_TABLE_SQL})
             select a.image_id as image_a, b.image_id as image_b,
                    cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
             from ph a join ph b on a.image_id < b.image_id
             where bit_count(xor(a.phash, b.phash)) <= 4
+        """,
+        # cluster twin: the same n^2 pair set recursively closed (the
+        # dedup_clusters/sim_dedup_clusters closure SQL), full-table
+        # left join so singletons are their own canonical cluster
+        "image_phash_clusters": f"""
+            with ph as ({_PHASH_TABLE_SQL}),
+            pairs as (
+              select a.image_id as image_a, b.image_id as image_b
+              from ph a join ph b on a.image_id < b.image_id
+              where bit_count(xor(a.phash, b.phash)) <= 4
+            ),
+            und as (select image_a as a, image_b as b from pairs
+                    union select image_b, image_a from pairs),
+            nodes as (select distinct a as id from und),
+            closure as (
+              with recursive r(id, lab) as (
+                select id, id from nodes
+                union
+                select und.a, r.lab from und join r on und.b = r.id
+              )
+              select id, min(lab) as component from r group by id
+            )
+            select p.image_id,
+                   coalesce(c.component, p.image_id) as cluster,
+                   p.image_id = coalesce(c.component, p.image_id)
+                     as is_canonical
+            from ph p left join closure c on p.image_id = c.id
         """,
         # caption-gate twin: identical synthetic dims, integer aspect
         # bound, token/char rules, and the langid argmax pointed at the

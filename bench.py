@@ -101,6 +101,7 @@ HEADLINE = [
     "text_winnow_spans",
     "image_phash_near_dup",
     "image_caption_gate",
+    "image_phash_clusters",
 ]
 
 

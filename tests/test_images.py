@@ -268,3 +268,24 @@ class TestCaptionGate:
         plan = caption_gate(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_phash_clusters_collapse_resize_chain(spark):
+    """a~b and b~c within hamming_max but a~c beyond it must still land
+    in ONE cluster (transitive closure), keeping only min image_id;
+    singletons are their own canonical."""
+    from xcrawl3r_spark.operators.images import phash_dedup_clusters
+
+    base = 0x0ABCDEF0123456
+    df = spark.createDataFrame(
+        [("a", base),            # a~b: 3 bits
+         ("b", base ^ 0b111),    # b~c: 3 bits; a~c: 6 bits (> max 4)
+         ("c", base ^ 0b111111),
+         ("z", 0x7777777777777)],
+        "image_id string, phash long")
+    got = {r["image_id"]: r for r in
+           phash_dedup_clusters(df, hamming_max=4).collect()}
+    assert {k: v["cluster"] for k, v in got.items()} == {
+        "a": "a", "b": "a", "c": "a", "z": "z"}
+    assert [k for k, v in got.items() if v["is_canonical"]] == ["a", "z"] \
+        or {k for k, v in got.items() if v["is_canonical"]} == {"a", "z"}

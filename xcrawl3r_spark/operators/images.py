@@ -413,3 +413,37 @@ def caption_gate(
         lang_ok.alias("lang_ok"),
         (size_ok & aspect_ok & caption_ok & lang_ok).alias("passes"),
     )
+
+
+def phash_dedup_clusters(
+    images: DataFrame,
+    hamming_max: int = 4,
+    bits: int = 60,
+    max_chunk_df: int | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """The image-dedup REMOVAL step: phash near-dup pairs transitively
+    closed into clusters, one canonical image kept per cluster (minimum
+    image_id) — a resize chain a~b, b~c must collapse to ONE kept copy
+    even when a and c never share a bucket, the same argument as text
+    ``near_dup_clusters``.
+
+    Output covers the FULL table: (image_id, cluster, is_canonical);
+    keep iff is_canonical, singletons are their own cluster.
+    Deterministic: cluster = min reachable image_id. Scale: the
+    component table holds only images that appear in a pair; everything
+    else is the banded join's cost."""
+    from xcrawl3r_spark.operators.graph import connected_components
+
+    pairs = phash_near_dup(images, hamming_max, bits, max_chunk_df)
+    comp = connected_components(
+        pairs, max_iters=max_iters, src="image_a", dst="image_b")
+    return (
+        images.select("image_id")
+        .join(comp.withColumnRenamed("id", "image_id"), "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("component", "image_id").alias("cluster"),
+        )
+        .withColumn("is_canonical", F.col("image_id") == F.col("cluster"))
+    )
