@@ -28,6 +28,7 @@ from xcrawl3r_spark.functions.hashing import (  # noqa: E402
     md5_long, md5_long_sql, seeded_sql,
 )
 from xcrawl3r_spark.operators import dedupops, simsearch, textops  # noqa: E402
+from xcrawl3r_spark.operators import images as images_ops  # noqa: E402
 from xcrawl3r_spark.operators.dedup import anti_join_seen, build_bloom  # noqa: E402
 from xcrawl3r_spark.operators.politeness import politeness_select  # noqa: E402
 from xcrawl3r_spark.plans.crawl import Crawler  # noqa: E402
@@ -836,6 +837,10 @@ def q_text_winnow_spans(spark, sf_dir):
 #: while (0,3)=6, (1,3)=7, (2,3)=8 are correctly excluded
 PHASH_MASKS = (0, 1, 3, 4032)
 
+#: the default SDXL-family bucket list, shared verbatim with the DuckDB
+#: twin (same Python constant injected into both plans)
+AR_BUCKETS = images_ops.default_ar_buckets()
+
 #: the deterministic planted-phash image table, DuckDB side (twin of
 #: _phash_images below)
 _PHASH_TABLE_SQL = (
@@ -878,6 +883,98 @@ def q_image_phash_clusters(spark, sf_dir):
 
     docs = _t_wide(spark, sf_dir, "documents")
     return images.phash_dedup_clusters(_phash_images(docs), hamming_max=4)
+
+
+def _dims_images(docs, with_phash=False):
+    """Deterministic (image_id, w, h, fmt, caption[, phash]) table
+    spanning icon through beyond-HD dims — shared by the AR-bucketing,
+    resolution-tier and corpus-curate gates. Same synthesis style as the
+    caption gate but wider spread; ``with_phash=True`` adds the planted
+    near-dup phash column (_phash_images arithmetic)."""
+    cols = [
+        F.concat(F.lit("img-"), F.col("doc_id")).alias("image_id"),
+        (F.lit(48) + (F.col("doc_id") % 23) * 64).cast("int").alias("w"),
+        (F.lit(48) + ((F.col("doc_id") * 7) % 29) * 64).cast("int")
+        .alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp")),
+            (F.col("doc_id") % 3).cast("int") + 1).alias("fmt"),
+        F.col("text").alias("caption"),
+    ]
+    if with_phash:
+        base = md5_long(F.concat(F.lit("ph:"), F.expr("doc_id div 4")))
+        mask = F.element_at(
+            F.array(*[F.lit(m).cast("long") for m in PHASH_MASKS]),
+            (F.col("doc_id") % 4).cast("int") + 1)
+        cols.append(base.bitwiseXOR(mask).alias("phash"))
+    return docs.select(*cols)
+
+
+#: DuckDB twin of _dims_images (identical integer synthesis)
+_DIMS_TABLE_SQL = (
+    "select concat('img-', doc_id) as image_id, "
+    "cast(48 + (doc_id % 23) * 64 as int) as w, "
+    "cast(48 + ((doc_id * 7) % 29) * 64 as int) as h, "
+    "(['png', 'jpeg', 'webp'])[cast(doc_id % 3 as int) + 1] as fmt, "
+    "text as caption from documents"
+)
+
+
+def q_image_ar_buckets(spark, sf_dir):
+    """SDXL-style aspect-ratio bucket assignment: integer fixed-point
+    symmetric-ratio argmin over the 25-bucket default list, native
+    array_min/array_position, zero shuffle; DuckDB twin runs the exact
+    same int64 arithmetic over the injected bucket literals."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.ar_bucketing(_dims_images(docs))
+
+
+def q_image_resolution_tiers(spark, sf_dir):
+    """Per-(fmt, tier) image-corpus observability: least-dim tiering at
+    64/256/1024 + all-integer sums in ONE hash aggregate."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.resolution_tiers(_dims_images(docs))
+
+
+#: rendition suffix per doc_id % 5 — planted thumbnail-variant groups
+_THUMB_SUFFIXES = (
+    ".jpg", "-150x150.jpg", "-300x200.jpg", "@2x.jpg",
+    ".jpg?width=640&quality=80",
+)
+
+
+def q_image_thumbnail_variants(spark, sf_dir):
+    """Rendition-variant image-URL dedup: planted WordPress/-WxH, retina
+    and resizer-query variants (doc_id%5 within a doc_id//5 stem group)
+    collapse to one canonical; keeper prefers the pristine member."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://img.ex-"), F.col("source"), F.lit(".com/p/"),
+            F.expr("doc_id div 5"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _THUMB_SUFFIXES]),
+                (F.col("doc_id") % 5).cast("int") + 1),
+        ).alias("url"))
+    return images.thumbnail_variants(urls)
+
+
+def q_image_corpus_curate(spark, sf_dir):
+    """The image twin of corpus_curate: LAION gate (one scan) -> phash
+    cluster canonicals over survivors -> per-fmt caption-token budget
+    pack in seeded-hash order. Composite SQL twin re-derives every
+    stage (gate CTE + n^2-pair recursive closure + window cumsum)."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return images.curate_images(
+        _dims_images(docs, with_phash=True), budget=5000)
 
 
 def q_image_caption_gate(spark, sf_dir):
@@ -1129,6 +1226,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_near_dup": q_image_phash_near_dup,
         "image_caption_gate": q_image_caption_gate,
         "image_phash_clusters": q_image_phash_clusters,
+        "image_ar_buckets": q_image_ar_buckets,
+        "image_resolution_tiers": q_image_resolution_tiers,
+        "image_thumbnail_variants": q_image_thumbnail_variants,
+        "image_corpus_curate": q_image_corpus_curate,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1147,12 +1248,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_source_similarity": q_dedup_source_similarity,
+        # -- parked past the 50-entry window for r4 (all driver-green in r3,
+        #    unchanged this round; MUST rotate back in-window for r5) -------
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "curate_pack_sequences": q_curate_pack_sequences,
         "text_gopher_quality": q_text_gopher_quality,
         "text_repetition": q_text_repetition,
-        # -- parked past the 50-entry window for r4 (all driver-green in r3,
-        #    unchanged this round; MUST rotate back in-window for r5) -------
         "text_langid": q_text_langid,
         "text_winnow": q_text_winnow,
         "text_pii": q_text_pii,
@@ -2439,6 +2540,165 @@ def oracle_sql() -> dict[str, str]:
                     and length(trim(caption)) >= 5
                     and lang_pred = 'en') as passes
             from base join pred using (doc_id)
+        """,
+        # AR-bucketing twin: IDENTICAL int64 fixed-point score list over
+        # the same injected bucket literals ("//" is DuckDB's spelling of
+        # Spark's div), list_min + first-match list_position tie-break
+        "image_ar_buckets": f"""
+            with base as ({_DIMS_TABLE_SQL}),
+            scored as (
+              select image_id, w, h,
+                     [{", ".join(
+                         images_ops._ar_score_sql(bw, bh, div_op="//")
+                         for bw, bh in AR_BUCKETS)}] as scores
+              from base where w > 0 and h > 0
+            ), picked as (
+              select image_id, w, h,
+                     cast(list_position(scores, list_min(scores)) as int)
+                       as bucket_id
+              from scored
+            )
+            select image_id, w, h, bucket_id,
+                   ([{", ".join(str(bw) for bw, _ in AR_BUCKETS)}])
+                     [bucket_id] as bucket_w,
+                   ([{", ".join(str(bh) for _, bh in AR_BUCKETS)}])
+                     [bucket_id] as bucket_h
+            from picked
+        """,
+        # corpus-curate twin (image): gate CTE (same integer rules +
+        # langid argmax as the caption-gate twin, over the phash-bearing
+        # base) -> n^2 phash pairs among SURVIVORS -> recursive closure
+        # -> canonical filter -> per-fmt window cumsum pack
+        "image_corpus_curate": f"""
+            with base as (
+              select doc_id, concat('img-', doc_id) as image_id,
+                     cast(48 + (doc_id % 23) * 64 as int) as w,
+                     cast(48 + ((doc_id * 7) % 29) * 64 as int) as h,
+                     (['png', 'jpeg', 'webp'])
+                       [cast(doc_id % 3 as int) + 1] as fmt,
+                     text as caption,
+                     xor({md5_long_sql(
+                         "concat('ph:', cast(doc_id // 4 as varchar))")},
+                         ([{", ".join(str(m) for m in PHASH_MASKS)}])
+                           [cast(doc_id % 4 as int) + 1]) as phash,
+                     {_TOKENS_SQL} as toks
+              from documents
+            ), scores as (
+              select doc_id, l.lang_code,
+                     len(list_filter(toks,
+                         t -> list_contains(l.markers, t))) as score
+              from base cross join (
+                select * from (values {_LANG_ROWS_SQL}) v(lang_code, markers)
+              ) l
+            ), pred as (
+              select doc_id, lang_code as lang_pred from (
+                select *, row_number() over (partition by doc_id
+                       order by score desc, lang_code) as rn
+                from scores) where rn = 1
+            ), gated as (
+              select b.* from base b join pred using (doc_id)
+              where b.w >= 64 and b.h >= 64
+                and greatest(b.w, b.h) <= 3 * least(b.w, b.h)
+                and len(b.toks) >= 2 and len(b.toks) <= 64
+                and length(trim(b.caption)) >= 5
+                and lang_pred = 'en'
+            ), pairs as (
+              select a.image_id as ia, b.image_id as ib
+              from gated a join gated b on a.image_id < b.image_id
+              where bit_count(xor(a.phash, b.phash)) <= 4
+            ),
+            und as (select ia as a, ib as b from pairs
+                    union select ib, ia from pairs),
+            nodes as (select distinct a as id from und),
+            closure as (
+              with recursive r(id, lab) as (
+                select id, id from nodes
+                union
+                select und.a, r.lab from und join r on und.b = r.id
+              )
+              select id, min(lab) as component from r group by id
+            ), canon as (
+              select g.*, coalesce(c.component, g.image_id) as cluster
+              from gated g left join closure c on g.image_id = c.id
+              where g.image_id = coalesce(c.component, g.image_id)
+            ), packed as (
+              select image_id, fmt, w, h, cluster,
+                     cast(len(toks) as int) as n_caption_tokens,
+                     cast(sum(len(toks)) over (partition by fmt
+                          order by {seeded_sql("image_id", "imgpack")},
+                                   image_id
+                          rows between unbounded preceding
+                                   and current row) as bigint)
+                       as cum_tokens
+              from canon
+            )
+            select * from packed where cum_tokens <= 5000
+        """,
+        # thumbnail-variant twin: IDENTICAL RE2-safe regexes (injected
+        # from the operator constants; '\\1\\2' is RE2's spelling of
+        # Java's '$1$2') + the same split/filter/rejoin param drop and
+        # pristine-preferred keeper, windowed on canonical_url
+        "image_thumbnail_variants": f"""
+            with urls as (
+              select concat('https://img.ex-', source, '.com/p/',
+                     doc_id // 5,
+                     ([{", ".join("'" + s + "'" for s in _THUMB_SUFFIXES)}])
+                       [cast(doc_id % 5 as int) + 1]) as url
+              from documents
+            ), parts as (
+              select url, stripped,
+                     split_part(stripped, '?', 1) as base,
+                     case when contains(stripped, '?')
+                          then substring(stripped,
+                               length(split_part(stripped, '?', 1)) + 2)
+                          else '' end as qstr
+              from (
+                select url,
+                       regexp_replace(regexp_replace(url,
+                           '{images_ops._RETINA_RE}', '\\1\\2'),
+                           '{images_ops._SIZE_SUFFIX_RE}', '\\1\\2')
+                         as stripped
+                from urls)
+            ), canon as (
+              select url,
+                     case when len(kp) > 0
+                          then concat(base, '?', array_to_string(kp, '&'))
+                          else base end as canonical_url
+              from (
+                select url, base,
+                       list_filter(string_split(qstr, '&'),
+                         p -> p != '' and not list_contains(
+                           [{", ".join(
+                               "'" + k + "'"
+                               for k in images_ops.SIZE_QUERY_PARAMS)}],
+                           split_part(p, '=', 1))) as kp
+                from parts)
+            )
+            select url, canonical_url,
+                   cast(count(*) over w as bigint) as n_variants,
+                   case when bool_or(url = canonical_url) over w
+                        then url = canonical_url
+                        else url = min(url) over w end as is_kept
+            from canon
+            window w as (partition by canonical_url)
+        """,
+        # resolution-tier twin: same least-dim case ladder + all-integer
+        # sums (cast to BIGINT per the HUGEINT/pandas rule)
+        "image_resolution_tiers": f"""
+            with base as ({_DIMS_TABLE_SQL})
+            select fmt,
+                   case when least(w, h) < 64 then 'icon'
+                        when least(w, h) < 256 then 'thumb'
+                        when least(w, h) < 1024 then 'sd'
+                        else 'hd' end as tier,
+                   cast(count(*) as bigint) as n_images,
+                   cast(sum(cast(w as bigint) * h) as bigint)
+                     as total_pixels,
+                   cast(sum(case when length(trim(caption)) > 0
+                                 then 1 else 0 end) as bigint)
+                     as n_captioned
+            from base
+            group by 1, 2
         """,
         "text_pii": f"""
             with d as (

@@ -102,6 +102,10 @@ HEADLINE = [
     "image_phash_near_dup",
     "image_caption_gate",
     "image_phash_clusters",
+    "image_ar_buckets",
+    "image_resolution_tiers",
+    "image_thumbnail_variants",
+    "image_corpus_curate",
 ]
 
 

@@ -289,3 +289,133 @@ def test_phash_clusters_collapse_resize_chain(spark):
         "a": "a", "b": "a", "c": "a", "z": "z"}
     assert [k for k, v in got.items() if v["is_canonical"]] == ["a", "z"] \
         or {k for k, v in got.items() if v["is_canonical"]} == {"a", "z"}
+
+
+class TestArBucketing:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "image_id string, w int, h int")
+
+    def test_square_lands_in_square_bucket(self, spark):
+        from xcrawl3r_spark.operators.images import ar_bucketing
+
+        got = ar_bucketing(self._df(spark, [("a", 800, 800)])).collect()[0]
+        assert (got["bucket_w"], got["bucket_h"]) == (1024, 1024)
+
+    def test_extreme_portrait_clamps_to_tallest_bucket(self, spark):
+        from xcrawl3r_spark.operators.images import ar_bucketing
+
+        got = ar_bucketing(self._df(spark, [("a", 100, 900)])).collect()[0]
+        assert (got["bucket_w"], got["bucket_h"]) == (512, 2048)
+
+    def test_landscape_matches_mirrored_bucket(self, spark):
+        from xcrawl3r_spark.operators.images import ar_bucketing
+
+        # 1600x640 is exactly bucket (1600, 640): score == scale
+        got = ar_bucketing(self._df(spark, [("a", 1600, 640)])).collect()[0]
+        assert (got["bucket_w"], got["bucket_h"]) == (1600, 640)
+
+    def test_zero_dim_rows_dropped(self, spark):
+        from xcrawl3r_spark.operators.images import ar_bucketing
+
+        got = ar_bucketing(
+            self._df(spark, [("a", 0, 500), ("b", 512, 512)])).collect()
+        assert [r["image_id"] for r in got] == ["b"]
+
+    def test_plan_is_shuffle_free(self, spark):
+        from xcrawl3r_spark.operators.images import ar_bucketing
+
+        plan = ar_bucketing(self._df(spark, [("a", 640, 480)])) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestResolutionTiers:
+    def test_tier_boundaries(self, spark):
+        from xcrawl3r_spark.operators.images import resolution_tiers
+
+        df = spark.createDataFrame(
+            [("a", 63, 2000, "png", "x"),    # least 63 -> icon
+             ("b", 64, 2000, "png", ""),     # least 64 -> thumb, blank cap
+             ("c", 255, 256, "png", "y"),    # least 255 -> thumb
+             ("d", 1024, 1024, "jpeg", "z")],  # least 1024 -> hd
+            "image_id string, w int, h int, fmt string, caption string")
+        got = {(r["fmt"], r["tier"]): r
+               for r in resolution_tiers(df).collect()}
+        assert set(got) == {("png", "icon"), ("png", "thumb"),
+                            ("jpeg", "hd")}
+        assert got[("png", "thumb")]["n_images"] == 2
+        assert got[("png", "thumb")]["n_captioned"] == 1
+        assert got[("jpeg", "hd")]["total_pixels"] == 1024 * 1024
+
+
+class TestThumbnailVariants:
+    def _run(self, spark, urls):
+        from xcrawl3r_spark.operators.images import thumbnail_variants
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {r["url"]: r for r in thumbnail_variants(df).collect()}
+
+    def test_renditions_collapse_and_pristine_kept(self, spark):
+        got = self._run(spark, [
+            "https://a.com/p/1.jpg",
+            "https://a.com/p/1-300x200.jpg",
+            "https://a.com/p/1@2x.jpg",
+            "https://a.com/p/1.jpg?width=640&quality=80",
+        ])
+        assert {r["canonical_url"] for r in got.values()} \
+            == {"https://a.com/p/1.jpg"}
+        assert all(r["n_variants"] == 4 for r in got.values())
+        assert [u for u, r in got.items() if r["is_kept"]] \
+            == ["https://a.com/p/1.jpg"]
+
+    def test_min_url_keeper_without_pristine_member(self, spark):
+        got = self._run(spark, [
+            "https://a.com/p/1-150x150.jpg",
+            "https://a.com/p/1-300x200.jpg",
+        ])
+        assert [u for u, r in got.items() if r["is_kept"]] \
+            == ["https://a.com/p/1-150x150.jpg"]
+
+    def test_non_size_query_params_survive(self, spark):
+        got = self._run(spark, ["https://a.com/p/1.jpg?v=abc&width=640"])
+        assert got["https://a.com/p/1.jpg?v=abc&width=640"][
+            "canonical_url"] == "https://a.com/p/1.jpg?v=abc"
+
+    def test_stacked_suffixes_and_dpr(self, spark):
+        got = self._run(spark, ["https://a.com/p/2-150x150@2x.png?dpr=2"])
+        assert got["https://a.com/p/2-150x150@2x.png?dpr=2"][
+            "canonical_url"] == "https://a.com/p/2.png"
+
+    def test_single_shuffle_plan(self, spark):
+        from xcrawl3r_spark.operators.images import thumbnail_variants
+
+        df = spark.createDataFrame([("https://a.com/x.png",)], "url string")
+        plan = thumbnail_variants(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+def test_curate_images_composite_stages(spark):
+    """Each stage must bite: the undersized image is gated out, the
+    near-dup pair keeps only its min-id canonical, and the per-fmt
+    budget cuts admission in seeded-hash order."""
+    from xcrawl3r_spark.operators.images import curate_images
+
+    base = 0x0ABCDEF0123456
+    cap = "a plain english caption with the usual words"
+    rows = [
+        ("a", 512, 512, "png", cap, base),        # canonical of {a, b}
+        ("b", 512, 512, "png", cap, base ^ 0b11),  # near-dup of a -> dropped
+        ("c", 512, 512, "png", cap, 0x7000000000000),  # singleton, kept
+        ("d", 32, 512, "png", cap, 0x7111111111111),   # undersized -> gated
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, "
+              "caption string, phash long")
+    got = {r["image_id"]: r for r in
+           curate_images(df, budget=10_000).collect()}
+    assert set(got) == {"a", "c"}
+    assert got["a"]["cluster"] == "a"
+
+    tight = curate_images(df, budget=got["a"]["n_caption_tokens"]).collect()
+    assert len(tight) == 1  # budget admits exactly one doc per fmt

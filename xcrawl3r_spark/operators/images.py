@@ -21,7 +21,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark import TaskContext
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xcrawl3r_spark.functions.imagecodec import (
@@ -380,6 +380,7 @@ def caption_gate(
     max_caption_tokens: int = 64,
     min_caption_chars: int = 5,
     lang: str = "en",
+    keep_all: bool = False,
 ) -> DataFrame:
     """LAION-style image+caption pair admission gate (Schuhmann et al.
     2021, public filter set): minimum image dimensions, aspect-ratio
@@ -391,7 +392,10 @@ def caption_gate(
     greatest(w,h) <= max_aspect * least(w,h) — no float division), and
     the language check reuses the marker-heuristic argmax pointed at
     the caption column; one map-side projection, zero shuffles, no
-    bytes touched. Output: per-rule flags + the composite ``passes``."""
+    bytes touched. Output: per-rule flags + the composite ``passes``;
+    ``keep_all=True`` keeps EVERY input column alongside the flags so a
+    composite pipeline (curate_images) can gate in the same scan with
+    no join-back."""
     from xcrawl3r_spark.operators import textops
 
     toks = textops.tokens_col("caption")
@@ -404,8 +408,9 @@ def caption_gate(
         (n_tok >= min_caption_tokens) & (n_tok <= max_caption_tokens)
         & (F.length(F.trim("caption")) >= min_caption_chars))
     lang_ok = ranked[0]["lang"] == lang
+    lead = ["*"] if keep_all else ["image_id", "w", "h"]
     return images.select(
-        "image_id", "w", "h",
+        *lead,
         n_tok.alias("n_caption_tokens"),
         size_ok.alias("size_ok"),
         aspect_ok.alias("aspect_ok"),
@@ -446,4 +451,242 @@ def phash_dedup_clusters(
             F.coalesce("component", "image_id").alias("cluster"),
         )
         .withColumn("is_canonical", F.col("image_id") == F.col("cluster"))
+    )
+
+
+def default_ar_buckets(
+    pixel_budget: int = 1024 * 1024,
+    step: int = 64,
+    min_side: int = 512,
+    max_side: int = 2048,
+) -> list[tuple[int, int]]:
+    """The NovelAI/SDXL-family aspect-ratio bucket list (public
+    technique: NovelAI aspect-bucketing post 2022; SDXL report 2023,
+    appendix "multi-aspect training"): for each width that is a multiple
+    of ``step`` in [min_side, max_side], the largest step-multiple
+    height with w*h <= pixel_budget. Covers portrait through landscape
+    symmetrically (w=512 -> h=2048 ... w=2048 -> h=512 at the default
+    1024^2 budget). Pure integers, deterministic — the same list is
+    injected into the DuckDB oracle twin."""
+    buckets: list[tuple[int, int]] = []
+    for w in range(min_side, max_side + 1, step):
+        h = min((pixel_budget // w) // step * step, max_side)
+        if h >= min_side and (w, h) not in buckets:
+            buckets.append((w, h))
+    return buckets
+
+
+#: integer scale for the rational aspect-distance score (see ar_bucketing)
+AR_SCORE_SCALE = 1_000_000
+
+
+def _ar_score_sql(
+    bw: int, bh: int, scale: int = AR_SCORE_SCALE, div_op: str = "div",
+) -> str:
+    """Integer aspect-distance of (w, h) to bucket (bw, bh), identical in
+    Spark SQL and DuckDB (pass div_op="//" for DuckDB's integer-division
+    spelling): the symmetric ratio max(r, 1/r) of the two aspect ratios
+    as an exact rational max(w*bh, h*bw)/min(w*bh, h*bw), fixed-pointed
+    by ``scale`` with integer division. 1.0 (== scale) means exact
+    aspect match; ties across buckets break on list order."""
+    a = f"cast(w as bigint) * {bh}"
+    b = f"cast(h as bigint) * {bw}"
+    return f"(greatest({a}, {b}) * {scale}) {div_op} least({a}, {b})"
+
+
+def ar_bucketing(
+    images: DataFrame,
+    buckets: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Multi-aspect training bucket assignment (SDXL-style): every image
+    goes to the bucket whose aspect ratio is nearest its own, so a
+    training loader can batch same-shaped resize targets without
+    cropping information away.
+
+    Argmin over the fixed bucket list is computed per row with NATIVE
+    array functions (array of integer scores -> array_min ->
+    array_position for the first-match tie-break) — one map-side
+    projection, zero shuffles, whole-stage codegen, no UDF. All
+    arithmetic is int64 (score = fixed-point symmetric ratio,
+    ``_ar_score_sql``), so the DuckDB twin is bit-identical.
+
+    Rows with non-positive dims are dropped (a 0 dim has no aspect).
+    Output: (image_id, w, h, bucket_id 1-based, bucket_w, bucket_h).
+    At 10^10 rows this is a pure scan stage; the bucket list (~25
+    entries) lives in the plan as literals."""
+    bks = buckets if buckets is not None else default_ar_buckets()
+    scores = F.array(*[F.expr(_ar_score_sql(bw, bh)) for bw, bh in bks])
+    idx = F.array_position(scores, F.array_min(scores)).cast("int")
+    return (
+        images
+        .where((F.col("w") > 0) & (F.col("h") > 0))
+        .select("image_id", "w", "h", idx.alias("bucket_id"))
+        .select(
+            "image_id", "w", "h", "bucket_id",
+            F.element_at(
+                F.array(*[F.lit(bw) for bw, _ in bks]),
+                F.col("bucket_id")).alias("bucket_w"),
+            F.element_at(
+                F.array(*[F.lit(bh) for _, bh in bks]),
+                F.col("bucket_id")).alias("bucket_h"),
+        )
+    )
+
+
+#: (upper-exclusive least-dim bound, tier name); the last tier is open
+RESOLUTION_TIERS = ((64, "icon"), (256, "thumb"), (1024, "sd"))
+RESOLUTION_TIER_TOP = "hd"
+
+
+def resolution_tiers(images: DataFrame) -> DataFrame:
+    """Per-(fmt, tier) corpus observability for the image table — the
+    numbers a curation run reads before picking admission thresholds
+    (how much of the crawl is icons/thumbnails vs usable training
+    material). Tier = least(w, h) bucketed at 64/256/1024.
+
+    One map-side projection + ONE hash aggregate (partial map-side
+    combine; output cardinality = |fmts| x 4 rows). All-integer sums:
+    n_images, total_pixels (int64 — 10^10 rows x 10^6 px fits), and
+    n_captioned (non-blank caption count)."""
+    m = F.least("w", "h")
+    tier = F.lit(RESOLUTION_TIER_TOP)
+    for bound, name in reversed(RESOLUTION_TIERS):
+        tier = F.when(m < bound, name).otherwise(tier)
+    return (
+        images.select(
+            "fmt", tier.alias("tier"),
+            (F.col("w").cast("long") * F.col("h")).alias("px"),
+            (F.length(F.trim("caption")) > 0).cast("long").alias("cap"),
+        )
+        .groupBy("fmt", "tier")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("px").alias("total_pixels"),
+            F.sum("cap").alias("n_captioned"),
+        )
+    )
+
+
+#: retina-density suffix before the extension: img@2x.png -> img.png
+_RETINA_RE = r"@[234]x(\.[A-Za-z0-9]{2,5})((?:[?#].*)?)$"
+#: WordPress/CDN size suffix before the extension: img-300x200.jpg -> img.jpg
+_SIZE_SUFFIX_RE = r"-\d{1,5}x\d{1,5}(\.[A-Za-z0-9]{2,5})((?:[?#].*)?)$"
+#: query params that only select a rendition, never a different image
+SIZE_QUERY_PARAMS = (
+    "w", "h", "width", "height", "size", "resize", "fit",
+    "quality", "dpr", "scale", "crop", "zoom",
+)
+
+
+def thumbnail_variants(
+    urls: DataFrame,
+    url_col: str = "url",
+    params: tuple[str, ...] = SIZE_QUERY_PARAMS,
+) -> DataFrame:
+    """Rendition-variant image-URL dedup: the SAME image is typically
+    crawled at many CDN renditions (WordPress ``-300x200`` thumbnails,
+    ``@2x`` retina copies, ``?width=640&quality=80`` resizer params).
+    Canonicalizing those to one key BEFORE any fetch or phash work is
+    the cheapest dedup pass an image crawl has — pure string surgery on
+    the URL column, no bytes, no network.
+
+    Canonical form: retina suffix stripped, -WxH size suffix stripped,
+    size-selection query params dropped (native split/filter/rejoin —
+    no UDF, RE2-safe regexes shared verbatim with the DuckDB twin).
+    Grouping costs ONE shuffle (a window on canonical_url for the
+    variant count + keeper — no self-join). Keeper preference is the
+    pristine member (url == canonical, i.e. the full-size original) when
+    the group has one, else the minimum url — deterministic either way.
+
+    Output: (url, canonical_url, n_variants, is_kept)."""
+    u = F.col(url_col)
+    stripped = F.regexp_replace(
+        F.regexp_replace(u, _RETINA_RE, r"$1$2"),
+        _SIZE_SUFFIX_RE, r"$1$2")
+    base = F.substring_index(stripped, "?", 1)
+    qstr = F.when(
+        stripped.contains("?"),
+        F.substring(stripped, F.length(base) + 2, F.lit(1 << 20)),
+    ).otherwise(F.lit(""))
+    kept_params = F.filter(
+        F.split(qstr, "&"),
+        lambda p: (p != "") & ~F.array_contains(
+            F.array(*[F.lit(k) for k in params]),
+            F.substring_index(p, "=", 1)),
+    )
+    canonical = F.when(
+        F.size(kept_params) > 0,
+        F.concat(base, F.lit("?"), F.array_join(kept_params, "&")),
+    ).otherwise(base)
+
+    w = Window.partitionBy("canonical_url")
+    keeper = F.min(
+        F.struct(
+            (F.col("url") != F.col("canonical_url")).alias("not_pristine"),
+            F.col("url").alias("u"),
+        )
+    ).over(w)
+    return (
+        urls.select(u.alias("url"), canonical.alias("canonical_url"))
+        .withColumn("n_variants", F.count("*").over(w))
+        .withColumn("is_kept", F.col("url") == keeper["u"])
+    )
+
+
+def curate_images(
+    images: DataFrame,
+    budget: int = 5000,
+    hamming_max: int = 4,
+    min_dim: int = 64,
+    max_aspect: int = 3,
+    min_caption_tokens: int = 2,
+    max_caption_tokens: int = 64,
+    min_caption_chars: int = 5,
+    lang: str = "en",
+    seed: str = "imgpack",
+) -> DataFrame:
+    """The FULL image+caption training-corpus assembly pipeline — the
+    image twin of ``pipeline.corpus_curate``:
+
+        1. LAION-style admission gate (caption_gate, keep_all=True):
+           every size/aspect/caption/language rule in ONE map-side scan,
+           no join-back;
+        2. perceptual dedup = phash near-dup pairs -> transitive closure
+           -> keep cluster canonicals (phash_dedup_clusters over gate
+           SURVIVORS only — the banded join never sees rejected rows);
+        3. pack survivors to ``budget`` caption tokens per fmt in
+           seeded-hash order (pack_token_budget semantics: admit iff the
+           running total INCLUDING the row is <= budget).
+
+    Deterministic end-to-end, all-integer comparisons, no bytes touched
+    (phash + dims + caption are metadata columns). At 10^10 pairs the
+    plan is: one scan (gate) -> banded self-join on survivors (phash) ->
+    big-big join back (canonical filter) -> one window per fmt.
+
+    Output: (image_id, fmt, w, h, cluster, n_caption_tokens,
+    cum_tokens), admitted rows only."""
+    from xcrawl3r_spark.functions.hashing import seeded
+
+    gated = caption_gate(
+        images, min_dim, max_aspect, min_caption_tokens,
+        max_caption_tokens, min_caption_chars, lang, keep_all=True,
+    ).where("passes")
+    canon = phash_dedup_clusters(
+        gated.select("image_id", "phash"), hamming_max,
+    ).where("is_canonical").select("image_id", "cluster")
+    survivors = gated.join(canon, "image_id")
+    pack_w = (
+        Window.partitionBy("fmt")
+        .orderBy("_ph", "image_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        survivors
+        .withColumn("_ph", seeded(F.col("image_id"), seed))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_caption_tokens").over(pack_w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("image_id", "fmt", "w", "h", "cluster",
+                "n_caption_tokens", "cum_tokens")
     )
