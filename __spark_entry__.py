@@ -977,6 +977,129 @@ def q_image_corpus_curate(spark, sf_dir):
         _dims_images(docs, with_phash=True), budget=5000)
 
 
+def _refs_pages(docs):
+    """Deterministic (url, body) HTML pages planted from documents for
+    the image-reference extraction gate: every page carries an <img src>,
+    a 3-candidate srcset (messy whitespace on purpose) with an <img src>
+    fallback; doc_id residues add an og:image meta (%2), a content-first
+    twitter:image meta (%4), and a data-URI img (%5, must be excluded).
+    The DuckDB twin (_REFS_PAGES_SQL) builds byte-identical strings."""
+    d = F.col("doc_id").cast("string")
+
+    def _opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    page = F.concat(
+        F.lit("https://img-"), F.col("source"), F.lit(".ex.com/g/"),
+        F.expr("doc_id div 7").cast("string"), F.lit("/p-"), d,
+        F.lit(".html"))
+    body = F.concat(
+        F.lit('<img src="th-'), d, F.lit('.jpg">'),
+        F.lit('<img srcset="/m/'), d, F.lit('-480.jpg  480w, /m/'), d,
+        F.lit('-960.jpg 960w,hero-'), d, F.lit('.png 2x" src="fall-'), d,
+        F.lit('.gif">'),
+        _opt(F.col("doc_id") % 2 == 0,
+             F.lit('<meta property="og:image" content="//cdn.ex-'),
+             F.col("source"), F.lit(".com/og/"), d, F.lit('.webp">')),
+        _opt(F.col("doc_id") % 4 == 1,
+             F.lit('<meta content="https://t.ex.com/tw/'), d,
+             F.lit('.jpg" name="twitter:image">')),
+        _opt(F.col("doc_id") % 5 == 0,
+             F.lit('<img src="data:image/png;base64,AAAA">')),
+    )
+    return docs.select(page.alias("url"), body.alias("body"))
+
+
+#: DuckDB twin of _refs_pages (identical concatenation)
+_REFS_PAGES_SQL = """
+    select concat('https://img-', source, '.ex.com/g/',
+                  cast(doc_id // 7 as varchar), '/p-', d, '.html') as url,
+           concat('<img src="th-', d, '.jpg">',
+                  '<img srcset="/m/', d, '-480.jpg  480w, /m/', d,
+                  '-960.jpg 960w,hero-', d, '.png 2x" src="fall-', d,
+                  '.gif">',
+                  case when doc_id % 2 = 0 then concat(
+                    '<meta property="og:image" content="//cdn.ex-',
+                    source, '.com/og/', d, '.webp">') else '' end,
+                  case when doc_id % 4 = 1 then concat(
+                    '<meta content="https://t.ex.com/tw/', d,
+                    '.jpg" name="twitter:image">') else '' end,
+                  case when doc_id % 5 = 0 then
+                    '<img src="data:image/png;base64,AAAA">'
+                    else '' end) as body
+    from (select doc_id, source, cast(doc_id as varchar) as d
+          from documents)
+"""
+
+
+def q_image_srcset_extract(spark, sf_dir):
+    """Every image reference on planted HTML pages — img src, every
+    srcset candidate (descriptor parsed, largest-width flagged is_best),
+    og:/twitter:image metas, data URIs excluded; simplified native URL
+    resolution. One scan + one explode, zero shuffle (plan-audited)."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    out = images.extract_image_refs(_refs_pages(docs))
+    # nullable int crosses the gate's pandas fetch as a string (the
+    # HUGEINT/float64-NaN rule — see CLAUDE.md)
+    return out.withColumn("w_desc", F.col("w_desc").cast("string"))
+
+
+def q_image_ar_batches(spark, sf_dir):
+    """Training-batch assembly over AR buckets via the TWO-PHASE scale
+    path (range-repartition + partition-offset global index — the
+    driver gate exercises the 100 TB code path; the window path is
+    pytest-pinned identical). batch_size=16, ragged tails dropped."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.ar_batch_assembly(
+        _dims_images(docs), batch_size=16, two_phase=True)
+
+
+def q_image_caption_alignment(spark, sf_dir):
+    """CLIP-score alignment gate over planted pairs from embeddings:
+    %3==0 rows pair an embedding with itself (cosine 1.0, passes), the
+    rest with its reverse (varied scores straddling the 0.28 bar)."""
+    from xcrawl3r_spark.operators import images
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.concat(F.lit("img-"), F.col("vec_id").cast("string"))
+        .alias("image_id"),
+        F.col("embedding").alias("img_embedding"),
+        F.when(F.col("vec_id") % 3 == 0, F.col("embedding"))
+        .otherwise(F.reverse(F.col("embedding")))
+        .alias("cap_embedding"),
+    )
+    return images.caption_alignment_gate(pairs)
+
+
+def q_image_data_uris(spark, sf_dir):
+    """Inline data-URI inventory over planted pages: every page embeds a
+    png payload derived from doc_id, %3 adds a webp, a text/plain decoy
+    must be ignored. fmt + exact decoded byte count + md5 identity."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    b64 = F.base64(F.concat(F.lit("px-"), d).cast("binary"))
+    b64w = F.base64(F.concat(F.lit("ph"), d).cast("binary"))
+    body = F.concat(
+        F.lit('<img src="data:image/png;base64,'), b64, F.lit('">'),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit('<img src="data:image/WEBP;base64,'), b64w,
+            F.lit('">'))).otherwise(F.lit("")),
+        F.lit('<a href="data:text/plain;base64,aGVsbG8=">t</a>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://d.ex.com/p-"), d, F.lit(".html"))
+        .alias("url"),
+        body.alias("body"))
+    return images.inline_data_uris(pages)
+
+
 def q_image_caption_gate(spark, sf_dir):
     """LAION-style image+caption admission gate over an input_hint-shaped
     table synthesized from documents (dims from doc_id, caption = text):
@@ -1230,6 +1353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resolution_tiers": q_image_resolution_tiers,
         "image_thumbnail_variants": q_image_thumbnail_variants,
         "image_corpus_curate": q_image_corpus_curate,
+        "image_srcset_extract": q_image_srcset_extract,
+        "image_data_uris": q_image_data_uris,
+        "image_ar_batches": q_image_ar_batches,
+        "image_caption_alignment": q_image_caption_alignment,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1244,12 +1371,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_seed_expansion": q_e5_seed_expansion,
         "robots_decisions": q_robots_decisions,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # -- parked past the 50-entry window for r4 (all driver-green in r3,
+        #    unchanged this round; MUST rotate back in-window for r5; the
+        #    boundary sits at dedup_minhash_lsh after the late-r4 image-op
+        #    inserts above) ------------------------------------------------
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_source_similarity": q_dedup_source_similarity,
-        # -- parked past the 50-entry window for r4 (all driver-green in r3,
-        #    unchanged this round; MUST rotate back in-window for r5) -------
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "curate_pack_sequences": q_curate_pack_sequences,
         "text_gopher_quality": q_text_gopher_quality,
@@ -2699,6 +2828,177 @@ def oracle_sql() -> dict[str, str]:
                      as n_captioned
             from base
             group by 1, 2
+        """,
+        # CLIP-alignment twin: the sim_cosine_topk float discipline —
+        # double-cast fold, round 6 dp per row BEFORE the threshold
+        # compare; no cross-row float aggregation
+        "image_caption_alignment": """
+            with p as (
+              select concat('img-', cast(vec_id as varchar)) as image_id,
+                     list_transform(embedding, v -> cast(v as double)) as a,
+                     list_transform(
+                       case when vec_id % 3 = 0 then embedding
+                            else list_reverse(embedding) end,
+                       v -> cast(v as double)) as b
+              from embeddings
+            ), scored as (
+              select image_id,
+                     round((select sum(x * y) from
+                              (select unnest(a) as x, unnest(b) as y) z)
+                           / (sqrt((select sum(x * x) from
+                                     (select unnest(a) as x) z))
+                              * sqrt((select sum(y * y) from
+                                       (select unnest(b) as y) z))),
+                           6) as clip_score
+              from p
+            )
+            select image_id, clip_score, clip_score >= 0.28 as passes
+            from scored
+        """,
+        # AR-batch-assembly twin: the ar_buckets assignment CTEs + ONE
+        # row_number window per bucket in seeded-hash order; batch ids
+        # are integer div/mod on the 0-based rank, ragged tails cut by
+        # the per-bucket count (same full-frame count window)
+        "image_ar_batches": f"""
+            with base as ({_DIMS_TABLE_SQL}),
+            scored as (
+              select image_id, w, h,
+                     [{", ".join(
+                         images_ops._ar_score_sql(bw, bh, div_op="//")
+                         for bw, bh in AR_BUCKETS)}] as scores
+              from base where w > 0 and h > 0
+            ), picked as (
+              select image_id,
+                     cast(list_position(scores, list_min(scores)) as int)
+                       as bucket_id
+              from scored
+            ), ranked as (
+              select image_id, bucket_id,
+                     ([{", ".join(str(bw) for bw, _ in AR_BUCKETS)}])
+                       [bucket_id] as bucket_w,
+                     ([{", ".join(str(bh) for _, bh in AR_BUCKETS)}])
+                       [bucket_id] as bucket_h,
+                     row_number() over (partition by bucket_id
+                       order by {seeded_sql("image_id", "arb")},
+                                image_id) - 1 as rn,
+                     count(*) over (partition by bucket_id) as n
+              from picked
+            )
+            select image_id, bucket_id, bucket_w, bucket_h,
+                   cast(rn // 16 as bigint) as batch_idx,
+                   cast(rn % 16 as int) as pos_in_batch
+            from ranked
+            where rn < (n // 16) * 16
+        """,
+        # srcset-extraction twin: the operator's regex constants injected
+        # verbatim ($-quoted — they contain both quote kinds); the nested
+        # higher-order candidate parse becomes two lateral unnests, the
+        # same whitespace-field arithmetic (OOB list index -> NULL ==
+        # Spark's try_element_at), and the same simplified resolver
+        "image_srcset_extract": f"""
+            with pages as ({_REFS_PAGES_SQL}),
+            attrs as (
+              select url as page_url,
+                     regexp_extract_all(body,
+                       $ire${images_ops.IMG_SRC_RE}$ire$, 1) as srcs,
+                     regexp_extract_all(body,
+                       $ire${images_ops.SRCSET_RE}$ire$, 1) as srcsets,
+                     list_concat(
+                       regexp_extract_all(body,
+                         $ire${images_ops.OG_PROP_FIRST_RE}$ire$, 1),
+                       regexp_extract_all(body,
+                         $ire${images_ops.OG_CONTENT_FIRST_RE}$ire$, 1))
+                       as ogs
+              from pages),
+            src_refs as (
+              select page_url, u.r as ref, 'src' as ref_kind,
+                     '' as descriptor, cast(null as int) as w_desc,
+                     true as is_best
+              from attrs, unnest(srcs) u(r)),
+            og_refs as (
+              select page_url, u.r as ref, 'og' as ref_kind,
+                     '' as descriptor, cast(null as int) as w_desc,
+                     true as is_best
+              from attrs, unnest(ogs) u(r)),
+            ss_attr as (
+              select page_url,
+                     [x for x in list_transform(string_split(s, ','),
+                          c -> regexp_replace(c, '^\\s+|\\s+$', ''))
+                      if x != ''] as cands
+              from attrs, unnest(srcsets) u(s)),
+            ss_w as (
+              select page_url, cands,
+                     list_max(list_transform(cands, c ->
+                       try_cast(nullif(regexp_extract(
+                         coalesce(regexp_split_to_array(c, '\\s+')[2], ''),
+                         '^(\\d+)w$', 1), '') as int))) as maxw
+              from ss_attr),
+            ss_refs as (
+              select page_url,
+                     regexp_split_to_array(c, '\\s+')[1] as ref,
+                     'srcset' as ref_kind,
+                     coalesce(regexp_split_to_array(c, '\\s+')[2], '')
+                       as descriptor,
+                     try_cast(nullif(regexp_extract(
+                       coalesce(regexp_split_to_array(c, '\\s+')[2], ''),
+                       '^(\\d+)w$', 1), '') as int) as w_desc,
+                     case when maxw is not null
+                          then coalesce(try_cast(nullif(regexp_extract(
+                                 coalesce(regexp_split_to_array(
+                                   c, '\\s+')[2], ''),
+                                 '^(\\d+)w$', 1), '') as int), -1) = maxw
+                          else c = cands[1] end as is_best
+              from ss_w, unnest(cands) u(c)),
+            allrefs as (
+              select * from src_refs union all
+              select * from ss_refs union all
+              select * from og_refs)
+            select page_url, ref, ref_kind, descriptor,
+                   cast(w_desc as varchar) as w_desc, is_best,
+                   case when regexp_matches(ref,
+                          '^[A-Za-z][A-Za-z0-9+.\\-]*:') then ref
+                        when starts_with(ref, '//') then concat(
+                          regexp_extract(page_url, '^(https?):', 1),
+                          ':', ref)
+                        when starts_with(ref, '/') then concat(
+                          regexp_extract(page_url,
+                            '^(https?://[^/]+)', 1), ref)
+                        else concat(
+                          regexp_replace(page_url, '[^/]*$', ''), ref)
+                   end as img_url
+            from allrefs
+            where not starts_with(ref, 'data:')
+        """,
+        # data-URI twin: same page synthesis (to_base64(encode()) ==
+        # Spark base64(cast binary)), same full-match extract + per-match
+        # group re-extract, octet_length(from_base64) byte count, md5
+        # over the base64 TEXT (DuckDB md5 is varchar-only)
+        "image_data_uris": f"""
+            with pages as (
+              select concat('https://d.ex.com/p-', d, '.html') as url,
+                     concat('<img src="data:image/png;base64,',
+                            to_base64(encode('px-' || d)), '">',
+                            case when doc_id % 3 = 0 then concat(
+                              '<img src="data:image/WEBP;base64,',
+                              to_base64(encode('ph' || d)), '">')
+                              else '' end,
+                            '<a href="data:text/plain;base64,aGVsbG8=">',
+                            't</a>') as body
+              from (select doc_id, cast(doc_id as varchar) as d
+                    from documents)),
+            hits as (
+              select url as page_url, u.m as m
+              from pages, unnest(regexp_extract_all(body,
+                     $dre${images_ops.DATA_URI_RE}$dre$, 0)) u(m))
+            select page_url,
+                   lower(regexp_extract(m,
+                     $dre${images_ops.DATA_URI_RE}$dre$, 1)) as fmt,
+                   cast(octet_length(from_base64(regexp_extract(m,
+                     $dre${images_ops.DATA_URI_RE}$dre$, 2))) as bigint)
+                     as n_bytes,
+                   md5(regexp_extract(m,
+                     $dre${images_ops.DATA_URI_RE}$dre$, 2)) as payload_md5
+            from hits
         """,
         "text_pii": f"""
             with d as (

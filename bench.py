@@ -106,6 +106,10 @@ HEADLINE = [
     "image_resolution_tiers",
     "image_thumbnail_variants",
     "image_corpus_curate",
+    "image_srcset_extract",
+    "image_data_uris",
+    "image_ar_batches",
+    "image_caption_alignment",
 ]
 
 

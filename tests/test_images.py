@@ -419,3 +419,188 @@ def test_curate_images_composite_stages(spark):
 
     tight = curate_images(df, budget=got["a"]["n_caption_tokens"]).collect()
     assert len(tight) == 1  # budget admits exactly one doc per fmt
+
+
+class TestExtractImageRefs:
+    def _run(self, spark, body, url="https://s.ex.com/a/b/p1.html"):
+        from xcrawl3r_spark.operators.images import extract_image_refs
+
+        df = spark.createDataFrame([(url, body)], "url string, body string")
+        return extract_image_refs(df).collect()
+
+    def test_src_srcset_og_kinds_and_resolution(self, spark):
+        rows = self._run(spark, (
+            '<img src="th.jpg">'
+            '<img srcset="/m/a-480.jpg  480w, /m/a-960.jpg 960w,'
+            'hero.png 2x" src="fall.gif">'
+            '<meta property="og:image" content="//cdn.ex.com/og.webp">'
+            '<meta content="https://t.ex.com/tw.jpg" name="twitter:image">'
+        ))
+        by_ref = {r["ref"]: r for r in rows}
+        assert len(rows) == 7  # emit-per-occurrence, both img srcs counted
+        assert by_ref["th.jpg"]["img_url"] == "https://s.ex.com/a/b/th.jpg"
+        assert by_ref["/m/a-480.jpg"]["img_url"] \
+            == "https://s.ex.com/m/a-480.jpg"
+        assert by_ref["//cdn.ex.com/og.webp"]["img_url"] \
+            == "https://cdn.ex.com/og.webp"
+        assert by_ref["https://t.ex.com/tw.jpg"]["ref_kind"] == "og"
+        assert by_ref["/m/a-960.jpg"]["w_desc"] == 960
+
+    def test_best_rendition_largest_width_wins(self, spark):
+        rows = self._run(spark, (
+            '<img srcset="s.jpg 320w, m.jpg 640w, l.jpg 1280w">'))
+        assert [r["ref"] for r in rows if r["is_best"]] == ["l.jpg"]
+
+    def test_density_only_srcset_defaults_to_first(self, spark):
+        rows = self._run(spark, '<source srcset="a.webp 1x, b.webp 2x">')
+        assert [r["ref"] for r in rows if r["is_best"]] == ["a.webp"]
+
+    def test_data_uri_excluded_and_data_src_not_matched(self, spark):
+        rows = self._run(spark, (
+            '<img src="data:image/png;base64,AAAA">'
+            '<img data-src="lazy.jpg" src="eager.jpg">'))
+        assert [r["ref"] for r in rows] == ["eager.jpg"]
+
+    def test_emit_per_occurrence_no_dedup(self, spark):
+        rows = self._run(spark, '<img src="x.jpg"><img src="x.jpg">')
+        assert [r["ref"] for r in rows] == ["x.jpg", "x.jpg"]
+
+    def test_plan_is_shuffle_free(self, spark):
+        from xcrawl3r_spark.operators.images import extract_image_refs
+
+        df = spark.createDataFrame(
+            [("https://a.com/p.html", "<img src='x.jpg'>")],
+            "url string, body string")
+        plan = extract_image_refs(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestInlineDataUris:
+    def _run(self, spark, body):
+        from xcrawl3r_spark.operators.images import inline_data_uris
+
+        df = spark.createDataFrame(
+            [("https://a.com/p.html", body)], "url string, body string")
+        return inline_data_uris(df).collect()
+
+    def test_fmt_bytes_and_md5(self, spark):
+        import hashlib
+
+        rows = self._run(spark, (
+            '<img src="data:image/png;base64,aGVsbG8=">'
+            '<div style="background:url(data:image/GIF;base64,R0lGODlh)">'))
+        got = {r["fmt"]: r for r in rows}
+        assert got["png"]["n_bytes"] == 5  # b"hello"
+        assert got["png"]["payload_md5"] \
+            == hashlib.md5(b"aGVsbG8=").hexdigest()
+        assert got["gif"]["n_bytes"] == 6
+
+    def test_truncated_tail_never_breaks_decode(self, spark):
+        # 5 payload chars: the strict grammar captures only the first
+        # whole block, so unbase64 cannot throw under ANSI mode
+        rows = self._run(spark, '<img src="data:image/png;base64,AAAAB">')
+        assert rows[0]["n_bytes"] == 3
+
+    def test_non_image_data_uris_ignored(self, spark):
+        assert self._run(
+            spark, '<a href="data:text/plain;base64,aGVsbG8=">x</a>') == []
+
+    def test_plan_is_shuffle_free(self, spark):
+        from xcrawl3r_spark.operators.images import inline_data_uris
+
+        df = spark.createDataFrame(
+            [("https://a.com/p.html", "x")], "url string, body string")
+        plan = inline_data_uris(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestArBatchAssembly:
+    def _df(self, spark, n=300):
+        rows = [(f"img-{i:04d}", 100 + (i % 23) * 61, 90 + ((i * 7) % 29) * 53)
+                for i in range(n)]
+        return spark.createDataFrame(rows, "image_id string, w int, h int")
+
+    def test_two_phase_matches_window_path(self, spark):
+        from xcrawl3r_spark.operators.images import ar_batch_assembly
+
+        df = self._df(spark)
+        a = sorted(map(tuple, ar_batch_assembly(df, 8).collect()))
+        b = sorted(map(tuple,
+                       ar_batch_assembly(df, 8, two_phase=True).collect()))
+        assert a == b and len(a) > 0
+
+    def test_batches_full_and_positions_complete(self, spark):
+        from xcrawl3r_spark.operators.images import ar_batch_assembly
+
+        rows = ar_batch_assembly(self._df(spark), 8).collect()
+        sizes = {}
+        for r in rows:
+            sizes.setdefault((r["bucket_id"], r["batch_idx"]), []) \
+                .append(r["pos_in_batch"])
+        for poss in sizes.values():
+            assert sorted(poss) == list(range(8))  # every batch exactly full
+
+    def test_drop_last_false_keeps_every_row(self, spark):
+        from xcrawl3r_spark.operators.images import ar_batch_assembly
+
+        df = self._df(spark, 100)
+        assert ar_batch_assembly(df, 8, drop_last=False).count() == 100
+
+    def test_deterministic_across_runs(self, spark):
+        from xcrawl3r_spark.operators.images import ar_batch_assembly
+
+        df = self._df(spark, 120)
+        one = sorted(map(tuple, ar_batch_assembly(df, 4).collect()))
+        two = sorted(map(tuple,
+                         ar_batch_assembly(df, 4, two_phase=True).collect()))
+        three = sorted(map(tuple,
+                           ar_batch_assembly(df, 4, two_phase=True).collect()))
+        assert one == two == three
+
+    def test_window_path_single_exchange(self, spark):
+        from xcrawl3r_spark.operators.images import ar_batch_assembly
+
+        plan = ar_batch_assembly(self._df(spark, 10), 4) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Window") == 1
+
+
+class TestCaptionAlignmentGate:
+    def test_identical_embeddings_pass_orthogonal_fail(self, spark):
+        from xcrawl3r_spark.operators.images import caption_alignment_gate
+
+        df = spark.createDataFrame(
+            [("same", [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+             ("orth", [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+             ("anti", [1.0, 1.0, 0.0], [-1.0, -1.0, 0.0])],
+            "image_id string, img_embedding array<double>, "
+            "cap_embedding array<double>")
+        got = {r["image_id"]: r
+               for r in caption_alignment_gate(df).collect()}
+        assert got["same"]["clip_score"] == 1.0 and got["same"]["passes"]
+        assert got["orth"]["clip_score"] == 0.0 and not got["orth"]["passes"]
+        assert got["anti"]["clip_score"] == -1.0
+
+    def test_threshold_boundary_inclusive(self, spark):
+        from xcrawl3r_spark.operators.images import caption_alignment_gate
+
+        df = spark.createDataFrame(
+            [("x", [1.0, 0.0], [1.0, 0.0])],
+            "image_id string, img_embedding array<double>, "
+            "cap_embedding array<double>")
+        assert caption_alignment_gate(df, threshold=1.0) \
+            .collect()[0]["passes"]
+
+    def test_plan_is_shuffle_free(self, spark):
+        from xcrawl3r_spark.operators.images import caption_alignment_gate
+
+        df = spark.createDataFrame(
+            [("x", [1.0], [1.0])],
+            "image_id string, img_embedding array<double>, "
+            "cap_embedding array<double>")
+        plan = caption_alignment_gate(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

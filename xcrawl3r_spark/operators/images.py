@@ -690,3 +690,336 @@ def curate_images(
         .select("image_id", "fmt", "w", "h", "cluster",
                 "n_caption_tokens", "cum_tokens")
     )
+
+
+#: <img src="..."> — `\ssrc` keeps data-src/srcset from matching; value
+#: capture stops at the quote (RE2-safe, shared verbatim with DuckDB)
+IMG_SRC_RE = r"""(?i)<img[^>]*\ssrc\s*=\s*["']([^"']+)["']"""
+#: srcset attribute on <img> or <picture><source>
+SRCSET_RE = r"""(?i)<(?:img|source)[^>]*\ssrcset\s*=\s*["']([^"']+)["']"""
+#: social-card image metas, both attribute orders (RE2 has no
+#: lookaround, so the two orders are two alternations run separately)
+OG_PROP_FIRST_RE = (
+    r"""(?i)<meta[^>]*\s(?:property|name)\s*=\s*["']"""
+    r"""(?:og:image|twitter:image)["'][^>]*\scontent\s*=\s*["']"""
+    r"""([^"']+)["']"""
+)
+OG_CONTENT_FIRST_RE = (
+    r"""(?i)<meta[^>]*\scontent\s*=\s*["']([^"']+)["'][^>]*"""
+    r"""\s(?:property|name)\s*=\s*["'](?:og:image|twitter:image)["']"""
+)
+
+
+def _ws_trim(c):
+    """Whitespace trim as a shared regexp (Spark trim() strips spaces
+    only; srcset candidates carry newlines/tabs after the comma)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def _srcset_field(c, n):
+    """nth whitespace-separated field of a srcset candidate (1-based;
+    NULL past the end — try_element_at matches DuckDB's OOB-NULL list
+    indexing under ANSI mode)."""
+    return F.try_element_at(F.split(c, r"\s+"), F.lit(n))
+
+
+def _srcset_wdesc(c):
+    """Integer width descriptor of a candidate ('480w' -> 480; NULL for
+    density ('2x') or missing descriptors)."""
+    d = F.coalesce(_srcset_field(c, 2), F.lit(""))
+    return F.nullif(F.regexp_extract(d, r"^(\d+)w$", 1), F.lit("")).cast(
+        "int")
+
+
+def extract_image_refs(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Every image reference on an HTML page — the crawl→image-corpus
+    bridge feeding the payload branch (which image URLs are worth a
+    GET). Three reference kinds, emit-per-occurrence (D3 semantics —
+    the same URL twice on a page is two rows, no dedup):
+
+    - ``src``: ``<img src=...>`` (the reference's E3 ``[src]`` walk
+      restricted to images — `/root/reference/pkg/xcrawl3r/xcrawl3r.go:165-206`
+      extracts every src; an image pipeline wants only renderable refs);
+    - ``srcset``: every candidate of every ``srcset`` attribute on
+      ``<img>``/``<source>``, with its descriptor parsed (``w_desc``
+      int for '480w' width descriptors) and ``is_best`` marking the
+      largest-width candidate per attribute (the rendition a
+      fetch-the-best policy GETs; density-only srcsets fall back to the
+      first candidate, the spec default);
+    - ``og``: ``og:image`` / ``twitter:image`` social-card metas (both
+      attribute orders).
+
+    ``data:`` URIs are excluded (see inline_data_uris). Resolution to
+    ``img_url`` is the NATIVE simplified resolver: absolute pass-through,
+    scheme-relative (``//``), root-relative, and naive dir-concat for
+    path-relative refs — no ``../`` normalization (documented divergence
+    from the crawl kernel's urljoin; the crawl path keeps its Python
+    kernel, this analytics path stays JVM-native).
+
+    Scale posture: ONE scan, ONE explode of a per-row struct array built
+    with nested higher-order functions — no UDF, no shuffle, whole-stage
+    codegen end-to-end; safe at 10^10 pages. Output: (page_url, ref,
+    ref_kind, descriptor, w_desc, is_best, img_url)."""
+    page = F.col(url_col)
+    body = F.col(body_col)
+
+    def _structs(ref, kind, desc, wd, best):
+        return F.struct(
+            ref.alias("ref"), kind.alias("kind"), desc.alias("descriptor"),
+            wd.cast("int").alias("w_desc"), best.alias("is_best"))
+
+    srcs = F.transform(
+        F.regexp_extract_all(body, F.lit(IMG_SRC_RE), F.lit(1)),
+        lambda r: _structs(r, F.lit("src"), F.lit(""), F.lit(None),
+                           F.lit(True)))
+    ogs = F.transform(
+        F.concat(
+            F.regexp_extract_all(body, F.lit(OG_PROP_FIRST_RE), F.lit(1)),
+            F.regexp_extract_all(
+                body, F.lit(OG_CONTENT_FIRST_RE), F.lit(1))),
+        lambda r: _structs(r, F.lit("og"), F.lit(""), F.lit(None),
+                           F.lit(True)))
+
+    def _srcset_structs(s):
+        cands = F.filter(
+            F.transform(F.split(s, ","), _ws_trim), lambda c: c != "")
+        maxw = F.array_max(F.transform(cands, _srcset_wdesc))
+        return F.transform(
+            cands,
+            lambda c: _structs(
+                _srcset_field(c, 1), F.lit("srcset"),
+                F.coalesce(_srcset_field(c, 2), F.lit("")),
+                _srcset_wdesc(c),
+                F.when(maxw.isNotNull(),
+                       F.coalesce(_srcset_wdesc(c), F.lit(-1)) == maxw)
+                .otherwise(c == F.try_element_at(cands, F.lit(1)))))
+
+    srcset_refs = F.flatten(F.transform(
+        F.regexp_extract_all(body, F.lit(SRCSET_RE), F.lit(1)),
+        _srcset_structs))
+
+    ref = F.col("r.ref")
+    pg = F.col("page_url")
+    origin = F.regexp_extract(pg, r"^(https?://[^/]+)", 1)
+    img_url = (
+        F.when(ref.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), ref)
+        .when(ref.startswith("//"), F.concat(
+            F.regexp_extract(pg, r"^(https?):", 1), F.lit(":"), ref))
+        .when(ref.startswith("/"), F.concat(origin, ref))
+        .otherwise(F.concat(
+            F.regexp_replace(pg, r"[^/]*$", ""), ref)))
+    return (
+        pages
+        .select(page.alias("page_url"),
+                F.explode(F.concat(srcs, srcset_refs, ogs)).alias("r"))
+        .where(~ref.startswith("data:"))
+        .select(
+            "page_url", ref.alias("ref"), F.col("r.kind").alias("ref_kind"),
+            F.col("r.descriptor").alias("descriptor"),
+            F.col("r.w_desc").alias("w_desc"),
+            F.col("r.is_best").alias("is_best"),
+            img_url.alias("img_url"),
+        )
+    )
+
+
+#: inline base64 image payload: data:image/<fmt>;base64,<payload>. The
+#: payload grammar admits only whole 4-char blocks plus one optional
+#: padded tail block, so a captured match can NEVER fail base64 decode
+#: (a truncated capture would otherwise error the whole task under ANSI)
+DATA_URI_RE = (
+    r"(?i)data:image/([a-z0-9.+-]+);base64,"
+    r"((?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?)"
+)
+
+
+def inline_data_uris(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Inline base64 image payloads embedded in HTML (``data:image/...``
+    URIs — small icons/placeholders inlined by bundlers and lazy-load
+    shims). These are the one image class a crawl gets WITHOUT a GET, so
+    an image pipeline inventories them separately from fetchable refs
+    (extract_image_refs excludes them).
+
+    Per occurrence: declared format (lowercased), exact decoded byte
+    count (``unbase64`` — the strict payload grammar guarantees
+    decodability), and an md5 identity over the base64 TEXT (DuckDB's
+    md5 is varchar-only, so the twin hashes the same text; dedup
+    equality is unaffected since base64 is injective).
+
+    One scan, one explode, zero shuffle, whole-stage codegen; a
+    downstream ``groupBy(payload_md5)`` dedups the (heavily repeated)
+    placeholder pixels. Output: (page_url, fmt, n_bytes, payload_md5)."""
+    page = F.col(url_col)
+    matches = F.regexp_extract_all(
+        F.col(body_col), F.lit(DATA_URI_RE), F.lit(0))
+    m = F.col("m")
+    payload = F.regexp_extract(m, DATA_URI_RE, 2)
+    return (
+        pages
+        .select(page.alias("page_url"), F.explode(matches).alias("m"))
+        .select(
+            "page_url",
+            F.lower(F.regexp_extract(m, DATA_URI_RE, 1)).alias("fmt"),
+            F.length(F.unbase64(payload)).cast("long").alias("n_bytes"),
+            F.md5(payload.cast("binary")).alias("payload_md5"),
+        )
+    )
+
+
+def _with_partition_offset_index(sorted_df: DataFrame, col: str) -> DataFrame:
+    """Contiguous global 0-based index over an ALREADY range-partitioned,
+    partition-sorted frame — the scalable substitute for a global
+    row_number window (which funnels every row of a partition key through
+    one reducer). Two passes: a per-partition count (collects exactly
+    n_partitions rows to the driver — bounded by config, not data), then
+    an Arrow-batched pass adding offset+position. The input MUST be
+    checkpointed first: range boundaries are sampled, so an
+    un-materialized plan could re-sample between the two passes."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    counts = {
+        r["pid"]: r["count"]
+        for r in sorted_df.groupBy(
+            F.spark_partition_id().alias("pid")).count().collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    schema = StructType(
+        list(sorted_df.schema.fields) + [StructField(col, LongType())])
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        base = offsets.get(tc.partitionId() if tc else -1, 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[col] = np.arange(base + seen, base + seen + len(pdf),
+                                 dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    return sorted_df.mapInPandas(_gen, schema)
+
+
+def ar_batch_assembly(
+    images: DataFrame,
+    batch_size: int,
+    buckets: list[tuple[int, int]] | None = None,
+    seed: str = "arb",
+    drop_last: bool = True,
+    two_phase: bool = False,
+) -> DataFrame:
+    """Deterministic training-batch assembly over aspect-ratio buckets —
+    the loader-facing step after ar_bucketing: within each bucket,
+    images take a seeded-hash shuffle order and pack into fixed-size
+    batches (``batch_idx`` within bucket, ``pos_in_batch``); with
+    ``drop_last`` the ragged final batch of each bucket is dropped
+    (the training default — a partial batch changes the gradient scale).
+
+    Both paths produce IDENTICAL rows (pytest-pinned):
+
+    - default: one ``row_number`` window per bucket — correct everywhere,
+      but ~25 bucket keys means ~25-way reducer parallelism: fine to
+      ~10^8 rows/bucket, a funnel at 10^10;
+    - ``two_phase=True``, the 100 TB path: range-repartition on
+      (bucket, hash) + partition-local sort (DISK_ONLY checkpoint pins
+      the sampled boundaries), then a contiguous global index from
+      per-partition counts (driver collect bounded by the partition
+      count) and per-bucket rank = global index − cumulative bucket base
+      (a |buckets|-row literal map, no join). Parallelism = shuffle
+      partitions, not bucket count.
+
+    Output: (image_id, bucket_id, bucket_w, bucket_h, batch_idx,
+    pos_in_batch)."""
+    from pyspark import StorageLevel
+
+    from xcrawl3r_spark.functions.hashing import seeded
+
+    b = int(batch_size)
+    bucketed = ar_bucketing(images, buckets).withColumn(
+        "_h", seeded(F.col("image_id"), seed))
+    if not two_phase:
+        wseq = Window.partitionBy("bucket_id").orderBy("_h", "image_id")
+        # same partitionBy AND orderBy as wseq (full frame) so both
+        # aggregates ride ONE Window operator / ONE exchange
+        wall = wseq.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        ranked = (
+            bucketed
+            .withColumn("_rn", F.row_number().over(wseq) - 1)
+            .withColumn("_n", F.count("*").over(wall))
+        )
+    else:
+        sorted_df = (
+            bucketed.repartitionByRange("bucket_id", "_h", "image_id")
+            .sortWithinPartitions("bucket_id", "_h", "image_id")
+            .localCheckpoint(eager=True,
+                             storageLevel=StorageLevel.DISK_ONLY)
+        )
+        indexed = _with_partition_offset_index(sorted_df, "_gidx")
+        # global order starts with bucket_id, so each bucket's rows are a
+        # contiguous index range; base/size per bucket from ONE tiny agg
+        stats = {
+            r["bucket_id"]: r["count"]
+            for r in sorted_df.groupBy("bucket_id").count().collect()
+        }
+        bases, acc = {}, 0
+        for bid in sorted(stats):
+            bases[bid] = acc
+            acc += stats[bid]
+        base_map = F.create_map(
+            *[F.lit(x) for bid in bases for x in (bid, bases[bid])])
+        n_map = F.create_map(
+            *[F.lit(x) for bid in stats for x in (bid, stats[bid])])
+        ranked = indexed.withColumns({
+            "_rn": F.col("_gidx") - base_map[F.col("bucket_id")],
+            "_n": n_map[F.col("bucket_id")],
+        })
+    out = ranked
+    if drop_last:
+        out = out.where(
+            F.col("_rn") < (F.expr(f"_n div {b}") * b))
+    return out.select(
+        "image_id", "bucket_id", "bucket_w", "bucket_h",
+        F.expr(f"_rn div {b}").cast("long").alias("batch_idx"),
+        (F.col("_rn") % b).cast("int").alias("pos_in_batch"),
+    )
+
+
+def caption_alignment_gate(
+    pairs: DataFrame,
+    img_col: str = "img_embedding",
+    cap_col: str = "cap_embedding",
+    threshold: float = 0.28,
+) -> DataFrame:
+    """CLIP-score-style image+caption alignment admission — the other
+    half of the LAION filter set (Schuhmann et al. 2021/2022: drop pairs
+    whose image/text embedding cosine is below ~0.28; caption_gate does
+    the metadata rules, this does the semantic rule). The embeddings are
+    inputs (produced upstream by a model-inference stage this engine
+    treats as a column source), so the gate itself is pure arithmetic:
+    cosine via the simsearch fold kernel, rounded to 6 dp per row BEFORE
+    the threshold compare (the cross-engine float determinism rule — no
+    cross-row float aggregation anywhere).
+
+    Map-side projection, zero shuffle, whole-stage codegen. Output:
+    (image_id, clip_score, passes)."""
+    from xcrawl3r_spark.operators.simsearch import _vec_d, cosine_cols
+
+    score = F.round(
+        cosine_cols(_vec_d(img_col), _vec_d(cap_col)), 6)
+    return pairs.select(
+        "image_id",
+        score.alias("clip_score"),
+        (score >= threshold).alias("passes"),
+    )
