@@ -1058,6 +1058,43 @@ def q_image_ar_batches(spark, sf_dir):
         _dims_images(docs), batch_size=16, two_phase=True)
 
 
+#: (declared-fmt, magic-hex) synthesis table for the sniff gate — %7
+#: rows mislabel as png, %11 rows carry no payload
+_SNIFF_MAGICS = (
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FFE0"),
+    ("gif", "474946383761"),
+    ("gif", "474946383961"),
+    ("webp", "524946460800000057454250"),
+    ("bmp", "424D"),
+)
+_SNIFF_PAD = "00112233445566778899AABB"
+
+
+def q_image_sniff_format(spark, sf_dir):
+    """Magic-byte sniffing over synthesized payloads: six real magics
+    cycled by doc_id, %7 rows mislabeled as png, %11 rows NULL bytes —
+    sniffed_fmt + fmt_ok must flag exactly the liars."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = (F.col("doc_id") % 6).cast("int") + 1
+    payload = F.concat(
+        F.element_at(
+            F.array(*[F.lit(m) for _, m in _SNIFF_MAGICS]), idx),
+        F.lit(_SNIFF_PAD))
+    table = docs.select(
+        F.concat(F.lit("img-"), F.col("doc_id")).alias("image_id"),
+        F.when(F.col("doc_id") % 11 != 0, F.unhex(payload))
+        .alias("bytes"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("png"))
+        .otherwise(F.element_at(
+            F.array(*[F.lit(f) for f, _ in _SNIFF_MAGICS]), idx))
+        .alias("fmt"),
+    )
+    return images.sniff_format(table)
+
+
 def q_image_caption_alignment(spark, sf_dir):
     """CLIP-score alignment gate over planted pairs from embeddings:
     %3==0 rows pair an embedding with itself (cosine 1.0, passes), the
@@ -1098,6 +1135,17 @@ def q_image_data_uris(spark, sf_dir):
         .alias("url"),
         body.alias("body"))
     return images.inline_data_uris(pages)
+
+
+def q_image_fetch_plan(spark, sf_dir):
+    """The crawl→fetch composite: extract_image_refs over the planted
+    pages → best-rendition refs → rendition canonicalization → ONE hash
+    agg producing the distinct fetch set with pristine-preferred GET
+    URLs and ref/url/page counts."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.fetch_plan(images.extract_image_refs(_refs_pages(docs)))
 
 
 def q_image_caption_gate(spark, sf_dir):
@@ -1357,6 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_data_uris": q_image_data_uris,
         "image_ar_batches": q_image_ar_batches,
         "image_caption_alignment": q_image_caption_alignment,
+        "image_sniff_format": q_image_sniff_format,
+        "image_fetch_plan": q_image_fetch_plan,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1369,12 +1419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_metrics_agg": q_a6_metrics_agg,
         "e1_regex_extract": q_e1_regex_extract,
         "e5_seed_expansion": q_e5_seed_expansion,
-        "robots_decisions": q_robots_decisions,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # -- parked past the 50-entry window for r4 (all driver-green in r3,
         #    unchanged this round; MUST rotate back in-window for r5; the
-        #    boundary sits at dedup_minhash_lsh after the late-r4 image-op
+        #    boundary sits at robots_decisions after the late-r4 image-op
         #    inserts above) ------------------------------------------------
+        "robots_decisions": q_robots_decisions,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -2066,7 +2116,7 @@ def oracle_sql() -> dict[str, str]:
     norm_text = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
     para_hash = md5_long_sql(
         r"regexp_replace(lower(trim(paras[i])), '\s+', ' ', 'g')")
-    return {
+    d = {
         "f1_scope_filter": f"""
             select doc_id, {_DOC_URL_SQL} as url from documents
             where regexp_matches({_DOC_URL_SQL}, '{scope}')
@@ -2829,6 +2879,40 @@ def oracle_sql() -> dict[str, str]:
             from base
             group by 1, 2
         """,
+        # sniff twin: same synthesis (from_hex == Spark unhex), sniffing
+        # over hex(blob) string prefixes (DuckDB substring is
+        # varchar-only; both engines' hex() is uppercase)
+        "image_sniff_format": f"""
+            with base as (
+              select concat('img-', doc_id) as image_id,
+                     case when doc_id % 11 != 0 then from_hex(concat(
+                       ([{", ".join(
+                           "'" + m + "'" for _, m in _SNIFF_MAGICS)}])
+                         [cast(doc_id % 6 as int) + 1],
+                       '{_SNIFF_PAD}')) end as bytes,
+                     case when doc_id % 7 = 0 then 'png'
+                          else ([{", ".join(
+                              "'" + f + "'" for f, _ in _SNIFF_MAGICS)}])
+                            [cast(doc_id % 6 as int) + 1] end as fmt
+              from documents
+            ), sniffed as (
+              select image_id, fmt,
+                     case when starts_with(h, '52494646')
+                               and substring(h, 17, 8) = '57454250'
+                            then 'webp'
+                          when starts_with(h, '89504E470D0A1A0A')
+                            then 'png'
+                          when starts_with(h, 'FFD8FF') then 'jpeg'
+                          when starts_with(h, '474946383761') then 'gif'
+                          when starts_with(h, '474946383961') then 'gif'
+                          when starts_with(h, '424D') then 'bmp'
+                     end as sniffed_fmt
+              from (select image_id, fmt, hex(bytes) as h from base)
+            )
+            select image_id, fmt, sniffed_fmt,
+                   coalesce(sniffed_fmt = fmt, false) as fmt_ok
+            from sniffed
+        """,
         # CLIP-alignment twin: the sim_cosine_topk float discipline —
         # double-cast fold, round 6 dp per row BEFORE the threshold
         # compare; no cross-row float aggregation
@@ -3296,3 +3380,47 @@ def oracle_sql() -> dict[str, str]:
             from embeddings e left join closure c on e.vec_id = c.id
         """,
     }
+    # fetch-plan twin COMPOSES the srcset-extraction twin (nested WITH in
+    # a CTE) + the thumbnail canonicalization fragment + the same
+    # pristine-preferred keeper as a FILTER-clause aggregate
+    d["image_fetch_plan"] = f"""
+        with refs as ({d["image_srcset_extract"]}),
+        best as (
+          select page_url, img_url as url from refs where is_best
+        ),
+        canon as (
+          select page_url, url,
+                 case when len(kp) > 0
+                      then concat(base, '?', array_to_string(kp, '&'))
+                      else base end as canonical_url
+          from (
+            select page_url, url,
+                   split_part(stripped, '?', 1) as base,
+                   list_filter(string_split(
+                     case when contains(stripped, '?')
+                          then substring(stripped,
+                               length(split_part(stripped, '?', 1)) + 2)
+                          else '' end, '&'),
+                     p -> p != '' and not list_contains(
+                       [{", ".join(
+                           "'" + k + "'"
+                           for k in images_ops.SIZE_QUERY_PARAMS)}],
+                       split_part(p, '=', 1))) as kp
+            from (
+              select page_url, url,
+                     regexp_replace(regexp_replace(url,
+                         '{images_ops._RETINA_RE}', '\\1\\2'),
+                         '{images_ops._SIZE_SUFFIX_RE}', '\\1\\2')
+                       as stripped
+              from best))
+        )
+        select canonical_url,
+               coalesce(min(url) filter (where url = canonical_url),
+                        min(url)) as fetch_url,
+               cast(count(*) as bigint) as n_refs,
+               cast(count(distinct url) as bigint) as n_urls,
+               cast(count(distinct page_url) as bigint) as n_pages
+        from canon
+        group by canonical_url
+    """
+    return d

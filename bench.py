@@ -110,6 +110,8 @@ HEADLINE = [
     "image_data_uris",
     "image_ar_batches",
     "image_caption_alignment",
+    "image_sniff_format",
+    "image_fetch_plan",
 ]
 
 

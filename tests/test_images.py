@@ -604,3 +604,82 @@ class TestCaptionAlignmentGate:
         plan = caption_alignment_gate(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestSniffFormat:
+    def _row(self, img_id, hexs, fmt):
+        return (img_id, bytes.fromhex(hexs) if hexs else None, fmt)
+
+    def test_magics_and_mislabels(self, spark):
+        from xcrawl3r_spark.operators.images import sniff_format
+
+        df = spark.createDataFrame([
+            self._row("png-ok", "89504e470d0a1a0a0000000d49484452", "png"),
+            self._row("jpg-ok", "ffd8ffe000104a46494600", "jpeg"),
+            self._row("gif-ok", "474946383961f00f", "gif"),
+            self._row("webp-ok", "524946460800000057454250565038", "webp"),
+            self._row("bmp-ok", "424d8a000000", "bmp"),
+            self._row("lies", "3c68746d6c3e", "png"),       # "<html>"
+            self._row("mislabel", "ffd8ffe0aabb", "png"),   # jpeg as png
+            self._row("nobytes", None, "png"),
+        ], "image_id string, bytes binary, fmt string")
+        got = {r["image_id"]: r for r in sniff_format(df).collect()}
+        for k in ("png-ok", "jpg-ok", "gif-ok", "webp-ok", "bmp-ok"):
+            assert got[k]["fmt_ok"], k
+        assert got["lies"]["sniffed_fmt"] is None
+        assert not got["lies"]["fmt_ok"]
+        assert got["mislabel"]["sniffed_fmt"] == "jpeg"
+        assert not got["mislabel"]["fmt_ok"]
+        assert got["nobytes"]["sniffed_fmt"] is None
+        assert not got["nobytes"]["fmt_ok"]
+
+    def test_riff_without_webp_tag_not_webp(self, spark):
+        from xcrawl3r_spark.operators.images import sniff_format
+
+        df = spark.createDataFrame(
+            [("wav", bytes.fromhex("52494646080000005741564520"), "webp")],
+            "image_id string, bytes binary, fmt string")
+        r = sniff_format(df).collect()[0]
+        assert r["sniffed_fmt"] is None and not r["fmt_ok"]
+
+    def test_plan_is_shuffle_free(self, spark):
+        from xcrawl3r_spark.operators.images import sniff_format
+
+        df = spark.createDataFrame(
+            [("a", b"x", "png")], "image_id string, bytes binary, fmt string")
+        plan = sniff_format(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestFetchPlan:
+    def test_best_only_canonical_grouping_and_keeper(self, spark):
+        from xcrawl3r_spark.operators.images import (
+            extract_image_refs, fetch_plan)
+
+        body_a = ('<img srcset="/m/x-480.jpg 480w, /m/x-960.jpg 960w">'
+                  '<img src="/m/y-150x150.png">')
+        body_b = '<img src="/m/y-300x200.png"><img src="/m/y.png">'
+        pages = spark.createDataFrame(
+            [("https://a.com/1.html", body_a),
+             ("https://a.com/2.html", body_b)],
+            "url string, body string")
+        got = {r["canonical_url"]: r
+               for r in fetch_plan(extract_image_refs(pages)).collect()}
+        # only the 960w srcset candidate (is_best) planned, not the 480w
+        assert set(got) == {"https://a.com/m/x-960.jpg",
+                            "https://a.com/m/y.png"}
+        y = got["https://a.com/m/y.png"]
+        assert y["fetch_url"] == "https://a.com/m/y.png"  # pristine wins
+        assert y["n_refs"] == 3 and y["n_urls"] == 3 and y["n_pages"] == 2
+
+    def test_single_aggregate_no_window(self, spark):
+        from xcrawl3r_spark.operators.images import (
+            extract_image_refs, fetch_plan)
+
+        pages = spark.createDataFrame(
+            [("https://a.com/1.html", '<img src="x.jpg">')],
+            "url string, body string")
+        plan = fetch_plan(extract_image_refs(pages)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan

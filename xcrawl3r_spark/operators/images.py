@@ -578,6 +578,33 @@ SIZE_QUERY_PARAMS = (
 )
 
 
+def canonical_image_url(
+    u, params: tuple[str, ...] = SIZE_QUERY_PARAMS,
+):
+    """Rendition-canonical form of an image URL as a native Column
+    expression: retina suffix stripped, -WxH size suffix stripped,
+    size-selection query params dropped (split/filter/rejoin — no UDF).
+    Shared by thumbnail_variants and fetch_plan."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(u, _RETINA_RE, r"$1$2"),
+        _SIZE_SUFFIX_RE, r"$1$2")
+    base = F.substring_index(stripped, "?", 1)
+    qstr = F.when(
+        stripped.contains("?"),
+        F.substring(stripped, F.length(base) + 2, F.lit(1 << 20)),
+    ).otherwise(F.lit(""))
+    kept_params = F.filter(
+        F.split(qstr, "&"),
+        lambda p: (p != "") & ~F.array_contains(
+            F.array(*[F.lit(k) for k in params]),
+            F.substring_index(p, "=", 1)),
+    )
+    return F.when(
+        F.size(kept_params) > 0,
+        F.concat(base, F.lit("?"), F.array_join(kept_params, "&")),
+    ).otherwise(base)
+
+
 def thumbnail_variants(
     urls: DataFrame,
     url_col: str = "url",
@@ -600,25 +627,7 @@ def thumbnail_variants(
 
     Output: (url, canonical_url, n_variants, is_kept)."""
     u = F.col(url_col)
-    stripped = F.regexp_replace(
-        F.regexp_replace(u, _RETINA_RE, r"$1$2"),
-        _SIZE_SUFFIX_RE, r"$1$2")
-    base = F.substring_index(stripped, "?", 1)
-    qstr = F.when(
-        stripped.contains("?"),
-        F.substring(stripped, F.length(base) + 2, F.lit(1 << 20)),
-    ).otherwise(F.lit(""))
-    kept_params = F.filter(
-        F.split(qstr, "&"),
-        lambda p: (p != "") & ~F.array_contains(
-            F.array(*[F.lit(k) for k in params]),
-            F.substring_index(p, "=", 1)),
-    )
-    canonical = F.when(
-        F.size(kept_params) > 0,
-        F.concat(base, F.lit("?"), F.array_join(kept_params, "&")),
-    ).otherwise(base)
-
+    canonical = canonical_image_url(u, params)
     w = Window.partitionBy("canonical_url")
     keeper = F.min(
         F.struct(
@@ -1022,4 +1031,81 @@ def caption_alignment_gate(
         "image_id",
         score.alias("clip_score"),
         (score >= threshold).alias("passes"),
+    )
+
+
+#: magic-byte hex prefixes, checked in order (first match wins); WEBP is
+#: special-cased (RIFF container: bytes 0-3 'RIFF', 8-11 'WEBP')
+IMAGE_MAGIC = (
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FF"),
+    ("gif", "474946383761"),
+    ("gif", "474946383961"),
+    ("bmp", "424D"),
+)
+
+
+def sniff_format(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Magic-byte format sniffing over the binary payload column — the
+    content-type-lies check an image crawl runs before trusting any
+    declared format (servers mislabel; a 'png' that is really HTML is
+    the classic poisoned row). Only the first 12 payload bytes are
+    hexed (`hex(substring(bytes, 1, 12))` — the scan never touches the
+    payload tail), then prefix-matched against the PNG/JPEG/GIF87a/
+    GIF89a/BMP magics and the RIFF....WEBP container split.
+
+    Pure map-side projection, zero shuffle, whole-stage codegen, no
+    UDF; NULL payloads sniff to NULL and fail the match like any
+    mislabeled row. Output: (image_id, fmt, sniffed_fmt, fmt_ok)."""
+    hexs = F.hex(F.substring(F.col(bytes_col), 1, 12))
+    sniffed = F.when(
+        hexs.startswith("52494646")
+        & (F.substring(hexs, 17, 8) == "57454250"),
+        "webp")
+    for name, magic in IMAGE_MAGIC:
+        sniffed = sniffed.when(hexs.startswith(magic), name)
+    sniffed = sniffed.otherwise(F.lit(None).cast("string"))
+    return images.select(
+        "image_id",
+        F.col(fmt_col).alias("fmt"),
+        sniffed.alias("sniffed_fmt"),
+        F.coalesce(sniffed == F.col(fmt_col), F.lit(False))
+        .alias("fmt_ok"),
+    )
+
+
+def fetch_plan(
+    refs: DataFrame,
+    params: tuple[str, ...] = SIZE_QUERY_PARAMS,
+) -> DataFrame:
+    """The crawl→fetch bridge composite: from extract_image_refs output,
+    the set of image GETs actually worth issuing — best-rendition refs
+    only (``is_best``), rendition-canonicalized so WordPress/-WxH/@2x/
+    resizer variants collapse to ONE planned fetch, with the pristine
+    member preferred as the URL to GET.
+
+    Unlike thumbnail_variants (per-URL audit rows via a window), the
+    plan is a grouped summary: ONE hash aggregate on canonical_url
+    (map-side partials; no window, no self-join) — at 10^10 refs this
+    is a single shuffle whose output is the (much smaller) distinct
+    fetch set. Keeper preference inside the agg:
+    ``coalesce(min(url where url == canonical), min(url))``.
+
+    Output: (canonical_url, fetch_url, n_refs, n_urls, n_pages)."""
+    u = F.col("img_url")
+    canon = refs.where("is_best").select(
+        "page_url", u.alias("url"),
+        canonical_image_url(u, params).alias("canonical_url"))
+    return canon.groupBy("canonical_url").agg(
+        F.coalesce(
+            F.min(F.when(F.col("url") == F.col("canonical_url"),
+                         F.col("url"))),
+            F.min("url")).alias("fetch_url"),
+        F.count("*").alias("n_refs"),
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("page_url").alias("n_pages"),
     )
