@@ -1148,6 +1148,48 @@ def q_image_fetch_plan(spark, sf_dir):
     return images.fetch_plan(images.extract_image_refs(_refs_pages(docs)))
 
 
+def q_image_vit_tokens(spark, sf_dir):
+    """ViT token-cost accounting over the shared dims table: integer
+    aspect-preserving fit-to-448 (no upscale), 14px ceil-div patch grid,
+    +1 CLS — all int64, map-side, zero shuffle; the DuckDB twin runs the
+    identical arithmetic."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.vit_patch_tokens(
+        _dims_images(docs), patch=14, max_side=448)
+
+
+def q_image_pack_shards(spark, sf_dir):
+    """WebDataset tar-layout packing over the shared dims table with a
+    deterministic synthetic payload size (w*h div 3 ~ compressed bytes):
+    exact 512-padded member arithmetic, seeded order per fmt, 4 MiB
+    shards; the DuckDB twin runs both windows identically."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = _dims_images(docs).withColumn(
+        "n_bytes", F.expr("(cast(w as bigint) * h) div 3"))
+    return images.pack_webdataset_shards(
+        imgs, shard_bytes=4 * 1024 * 1024, group="fmt")
+
+
+def q_image_cross_dups(spark, sf_dir):
+    """Cross-modal reuse audit over planted duplication structure:
+    phash groups of ~3 (doc_id div 3) x 7 boilerplate captions
+    (doc_id % 7) — the twin re-derives both hash aggregates with the
+    shared md5-based 60-bit caption hash."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.concat(F.lit("img-"), F.col("doc_id")).alias("image_id"),
+        md5_long(F.concat(F.lit("xp:"), F.expr("doc_id div 3")))
+        .alias("phash"),
+        F.concat(F.lit("cap-"), F.col("doc_id") % 7).alias("caption"))
+    return images.cross_modal_dups(imgs)
+
+
 def q_image_caption_gate(spark, sf_dir):
     """LAION-style image+caption admission gate over an input_hint-shaped
     table synthesized from documents (dims from doc_id, caption = text):
@@ -1361,9 +1403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 14 new r4 keys follow, and 29 r3-green stable keys are
-    # parked past the window (listed at the bottom) — ALL 29 must rotate
-    # back in-window for r5.
+    # first), the 16 new r4 keys follow (incl. the image block), and 42
+    # previously-driver-green stable keys are parked past the window
+    # (listed at the bottom, starting at a6_metrics_agg) — ALL 42 must
+    # rotate back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
         "stream_dedup_state": q_stream_dedup_state,
@@ -1407,6 +1450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_alignment": q_image_caption_alignment,
         "image_sniff_format": q_image_sniff_format,
         "image_fetch_plan": q_image_fetch_plan,
+        "image_vit_tokens": q_image_vit_tokens,
+        "image_pack_shards": q_image_pack_shards,
+        "image_cross_dups": q_image_cross_dups,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1416,13 +1462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_bloom_anti_join": q_d1_bloom_anti_join,
         "d1_cuckoo_anti_join": q_d1_cuckoo_anti_join,
         "a1_politeness_topk": q_a1_politeness_topk,
+        # -- parked past the 50-entry window for r4 (all driver-green in a
+        #    prior round, unchanged this round; MUST rotate back in-window
+        #    for r5; the boundary sits at a6_metrics_agg — position 50 —
+        #    after the late-r4 image-op inserts above) ---------------------
         "a6_metrics_agg": q_a6_metrics_agg,
         "e1_regex_extract": q_e1_regex_extract,
         "e5_seed_expansion": q_e5_seed_expansion,
-        # -- parked past the 50-entry window for r4 (all driver-green in r3,
-        #    unchanged this round; MUST rotate back in-window for r5; the
-        #    boundary sits at robots_decisions after the late-r4 image-op
-        #    inserts above) ------------------------------------------------
         "robots_decisions": q_robots_decisions,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2878,6 +2924,85 @@ def oracle_sql() -> dict[str, str]:
                      as n_captioned
             from base
             group by 1, 2
+        """,
+        # ViT token twin: identical int64 fit-to-448 + ceil-div grid
+        # (// == Spark div on bigint; no floats anywhere)
+        "image_vit_tokens": f"""
+            with base as ({_DIMS_TABLE_SQL}),
+            r as (
+              select image_id, w, h,
+                     cast(case when greatest(w, h) <= 448 then w
+                          else greatest(1, (cast(w as bigint) * 448) //
+                            greatest(cast(w as bigint),
+                                     cast(h as bigint))) end
+                       as bigint) as resized_w,
+                     cast(case when greatest(w, h) <= 448 then h
+                          else greatest(1, (cast(h as bigint) * 448) //
+                            greatest(cast(w as bigint),
+                                     cast(h as bigint))) end
+                       as bigint) as resized_h
+              from base)
+            select image_id, w, h, resized_w, resized_h,
+                   cast((resized_w + 13) // 14 as bigint) as grid_w,
+                   cast((resized_h + 13) // 14 as bigint) as grid_h,
+                   cast(((resized_w + 13) // 14) *
+                        ((resized_h + 13) // 14) + 1 as bigint)
+                     as vit_tokens
+            from r
+        """,
+        # cross-modal reuse twin: both hash aggregates over the same
+        # planted synthesis, shared md5-based 60-bit hashes
+        "image_cross_dups": f"""
+            with base as (
+              select {md5_long_sql(
+                  "concat('xp:', cast(doc_id // 3 as varchar))")} as phash,
+                     {md5_long_sql(
+                  "trim(concat('cap-', cast(doc_id % 7 as varchar)))")}
+                       as cap_h
+              from documents)
+            select 'image_reuse' as kind,
+                   cast(phash as varchar) as key,
+                   cast(count(*) as bigint) as n_pairs,
+                   cast(count(distinct cap_h) as bigint)
+                     as n_distinct_other
+            from base group by phash having count(*) > 1
+            union all
+            select 'caption_reuse', cast(cap_h as varchar),
+                   cast(count(*) as bigint),
+                   cast(count(distinct phash) as bigint)
+            from base group by cap_h having count(*) > 1
+        """,
+        # WebDataset pack twin: identical 512-padded tar member
+        # arithmetic + the same two windows (strlen == Spark
+        # octet_length on varchar — byte length, not characters)
+        "image_pack_shards": f"""
+            with base as ({_DIMS_TABLE_SQL}),
+            b as (
+              select image_id, fmt,
+                     cast(512 + ((cast(w as bigint) * h // 3 + 511)
+                                 // 512) * 512
+                        + 512 + ((strlen(coalesce(caption, '')) + 511)
+                                 // 512) * 512 as bigint) as sample_bytes,
+                     {seeded_sql("image_id", "wds")} as h
+              from base),
+            c as (
+              select image_id, fmt, sample_bytes, h,
+                     cast(sum(sample_bytes) over (partition by fmt
+                          order by h, image_id
+                          rows between unbounded preceding
+                            and current row)
+                        - sample_bytes as bigint) as start_offset
+              from b),
+            d as (
+              select *, cast(start_offset // {4 * 1024 * 1024} as bigint)
+                          as shard_id
+              from c)
+            select image_id, fmt, sample_bytes, start_offset, shard_id,
+                   cast(sum(sample_bytes) over (partition by fmt, shard_id
+                        order by h, image_id
+                        rows between unbounded preceding and current row)
+                      - sample_bytes as bigint) as tar_offset
+            from d
         """,
         # sniff twin: same synthesis (from_hex == Spark unhex), sniffing
         # over hex(blob) string prefixes (DuckDB substring is

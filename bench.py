@@ -112,6 +112,9 @@ HEADLINE = [
     "image_caption_alignment",
     "image_sniff_format",
     "image_fetch_plan",
+    "image_vit_tokens",
+    "image_pack_shards",
+    "image_cross_dups",
 ]
 
 

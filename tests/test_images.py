@@ -683,3 +683,87 @@ class TestFetchPlan:
         plan = fetch_plan(extract_image_refs(pages)) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
+
+
+class TestVitPatchTokens:
+    def test_hand_computed_grids(self, spark):
+        from xcrawl3r_spark.operators.images import vit_patch_tokens
+
+        df = spark.createDataFrame(
+            [("exact", 448, 448),     # fits: 32x32 grid + CLS = 1025
+             ("small", 100, 50),      # no upscale: grids 8x4 -> 33
+             ("wide", 1000, 500),     # fit: 448x224 -> 32x16 -> 513
+             ("tall", 500, 1000),     # fit: 224x448 -> 16x32 -> 513
+             ("sliver", 10000, 1)],   # min-1 guard: 448x1 -> 32x1 -> 33
+            "image_id string, w int, h int")
+        got = {r["image_id"]: r
+               for r in vit_patch_tokens(df, patch=14, max_side=448)
+               .collect()}
+        assert (got["exact"]["resized_w"], got["exact"]["vit_tokens"]) \
+            == (448, 1025)
+        assert (got["small"]["resized_w"], got["small"]["resized_h"],
+                got["small"]["vit_tokens"]) == (100, 50, 33)
+        assert (got["wide"]["resized_w"], got["wide"]["resized_h"],
+                got["wide"]["grid_w"], got["wide"]["grid_h"],
+                got["wide"]["vit_tokens"]) == (448, 224, 32, 16, 513)
+        assert (got["tall"]["resized_w"], got["tall"]["resized_h"],
+                got["tall"]["vit_tokens"]) == (224, 448, 513)
+        assert (got["sliver"]["resized_w"], got["sliver"]["resized_h"],
+                got["sliver"]["vit_tokens"]) == (448, 1, 33)
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import vit_patch_tokens
+
+        df = spark.createDataFrame(
+            [("a", 640, 480)], "image_id string, w int, h int")
+        plan = vit_patch_tokens(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestPackWebdatasetShards:
+    def test_tar_member_arithmetic_and_boundaries(self, spark):
+        from xcrawl3r_spark.operators.images import pack_webdataset_shards
+
+        # 100-byte payload -> 512 hdr + 512 padded = 1024; 2-byte caption
+        # -> another 1024; sample = 2048. NULL caption = headered empty
+        # member (512 hdr + 0) = 512 -> sample 1536.
+        rows = [(f"img-{i:02d}", "jpeg", 100, "ab") for i in range(6)]
+        rows.append(("img-null", "jpeg", 100, None))
+        df = spark.createDataFrame(
+            rows, "image_id string, fmt string, n_bytes int, caption string")
+        out = pack_webdataset_shards(df, shard_bytes=5000).collect()
+        by_id = {r["image_id"]: r for r in out}
+        assert all(r["sample_bytes"] == 2048 for r in out
+                   if r["image_id"] != "img-null")
+        assert by_id["img-null"]["sample_bytes"] == 1024 + 512
+
+        # invariants independent of the seeded order: offsets are the
+        # running pre-sample totals; shard = start div budget; tar_offset
+        # restarts per shard at the shard's first sample
+        ordered = sorted(out, key=lambda r: r["start_offset"])
+        run = 0
+        for r in ordered:
+            assert r["start_offset"] == run
+            assert r["shard_id"] == run // 5000
+            run += r["sample_bytes"]
+        for sid in {r["shard_id"] for r in out}:
+            members = sorted((r for r in out if r["shard_id"] == sid),
+                             key=lambda r: r["tar_offset"])
+            assert members[0]["tar_offset"] == 0
+            trun = 0
+            for r in members:
+                assert r["tar_offset"] == trun
+                trun += r["sample_bytes"]
+
+    def test_groups_pack_independently(self, spark):
+        from xcrawl3r_spark.operators.images import pack_webdataset_shards
+
+        df = spark.createDataFrame(
+            [("a", "png", 10, "x"), ("b", "jpeg", 10, "x"),
+             ("c", "png", 10, "x")],
+            "image_id string, fmt string, n_bytes int, caption string")
+        out = pack_webdataset_shards(df, shard_bytes=10**9).collect()
+        png = sorted(r["start_offset"] for r in out if r["fmt"] == "png")
+        assert png == [0, 2048]  # per-group running totals, not global
+        assert [r["start_offset"] for r in out if r["fmt"] == "jpeg"] == [0]

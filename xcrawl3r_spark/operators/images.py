@@ -1078,6 +1078,160 @@ def sniff_format(
     )
 
 
+def vit_patch_tokens(
+    images: DataFrame,
+    patch: int = 14,
+    max_side: int = 448,
+) -> DataFrame:
+    """Vision-transformer token-cost accounting per image — the budget
+    number a multimodal training pipeline needs before mixing images
+    into a token-metered batch (ViT patching per Dosovitskiy et al.
+    2020; variable-aspect patch budgeting per NaViT, Dehghani et al.
+    2023 — both public).
+
+    Resize policy, all int64 (cross-engine exact, no float rounding):
+    aspect-preserving DOWNSCALE so the longer side fits ``max_side``
+    (never upscale) — ``side' = max(1, side * max_side div long0)``;
+    the longer side lands exactly on max_side by construction. Token
+    grid is ceil-div: ``grid = (side' + patch - 1) div patch``;
+    ``vit_tokens = grid_w * grid_h + 1`` (the CLS token).
+
+    Pure map-side projection: zero shuffle, whole-stage codegen, no
+    UDF — at 10^10 images this rides the scan.
+
+    Output: (image_id, w, h, resized_w, resized_h, grid_w, grid_h,
+    vit_tokens)."""
+    p, m = int(patch), int(max_side)
+    long0 = F.greatest(F.col("w"), F.col("h")).cast("long")
+
+    def _fit(side):
+        scaled = F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(cast({side} as bigint) * {m}) div "
+                   "greatest(cast(w as bigint), cast(h as bigint))"))
+        return (F.when(long0 <= m, F.col(side).cast("long"))
+                .otherwise(scaled))
+
+    rw, rh = _fit("w"), _fit("h")
+    gw = F.expr(f"(resized_w + {p - 1}) div {p}")
+    gh = F.expr(f"(resized_h + {p - 1}) div {p}")
+    return (
+        images.select(
+            "image_id", "w", "h",
+            rw.alias("resized_w"), rh.alias("resized_h"))
+        .withColumn("grid_w", gw)
+        .withColumn("grid_h", gh)
+        .withColumn(
+            "vit_tokens",
+            (F.col("grid_w") * F.col("grid_h") + F.lit(1)).cast("long"))
+    )
+
+
+def pack_webdataset_shards(
+    images: DataFrame,
+    shard_bytes: int,
+    group: str = "fmt",
+    seed: str = "wds",
+) -> DataFrame:
+    """WebDataset-style tar shard layout for image+caption samples — the
+    final write step of an image-training pipeline (each shard is one
+    .tar a loader streams; format per the public webdataset spec:
+    consecutive members ``<key>.<fmt>`` + ``<key>.txt``).
+
+    Exact tar arithmetic, all int64: a member costs a 512-byte header
+    plus its payload padded up to a 512 boundary —
+    ``member(n) = 512 + ((n + 511) div 512) * 512`` — and a sample is
+    the image member plus the caption member (NULL caption = 0-byte
+    member, still headered). Samples take a deterministic seeded-hash
+    order within ``group``; ``shard_id = start_offset div shard_bytes``
+    on the running pre-sample total (samples never split — a shard
+    overruns by at most one sample, standard streaming bin packing);
+    ``tar_offset`` is the sample's byte position inside its own shard.
+
+    Scale posture: window 1 is ONE shuffle per group key (same shape as
+    curation.pack_shards); window 2 re-partitions by (group, shard_id)
+    — which is EXACTLY the repartition the shard writer needs next
+    (one task = one output tar), so at 10^10 samples the second
+    exchange is the write path's own shuffle, not overhead.
+
+    Output: (image_id, group, sample_bytes, start_offset, shard_id,
+    tar_offset)."""
+    from xcrawl3r_spark.functions.hashing import seeded
+
+    def _member(n):
+        return F.lit(512) + F.expr(f"(({n}) + 511) div 512") * 512
+
+    base = images.select(
+        "image_id", group,
+        (_member("cast(n_bytes as bigint)")
+         + _member("cast(octet_length(coalesce(caption, '')) as bigint)")
+         ).cast("long").alias("sample_bytes"),
+        seeded(F.col("image_id"), seed).alias("h"),
+    )
+    w1 = (Window.partitionBy(group).orderBy("h", "image_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = (
+        base.withColumn(
+            "start_offset",
+            (F.sum("sample_bytes").over(w1) - F.col("sample_bytes"))
+            .cast("long"))
+        .withColumn(
+            "shard_id",
+            F.expr(f"start_offset div {int(shard_bytes)}").cast("long"))
+    )
+    w2 = (Window.partitionBy(group, "shard_id").orderBy("h", "image_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        staged.withColumn(
+            "tar_offset",
+            (F.sum("sample_bytes").over(w2) - F.col("sample_bytes"))
+            .cast("long"))
+        .drop("h")
+    )
+
+
+def cross_modal_dups(images: DataFrame) -> DataFrame:
+    """Cross-modal reuse audit over (image_id, phash, caption) pairs —
+    the duplication structure a LAION-style corpus carries: the SAME
+    image (by perceptual hash) re-posted under many captions, and the
+    SAME caption (boilerplate alt-text) attached to many images. Both
+    inflate a trained model's effective epoch count on those samples,
+    so curation wants the group inventory before sampling.
+
+    Two hash aggregates over one input (different keys — two shuffles
+    is the floor), map-side partials, output filtered to dup groups
+    only (n_pairs > 1), so at 10^10 pairs the result is the small
+    reuse tail, not the corpus. Caption identity is md5-based 60-bit
+    over the trimmed caption (cross-engine exact, functions/hashing).
+
+    Output: (kind 'image_reuse'|'caption_reuse', key — the shared
+    phash / caption hash as string, n_pairs, n_distinct_other — how
+    many distinct captions / images share it)."""
+    from xcrawl3r_spark.functions.hashing import md5_long
+
+    cap_h = md5_long(F.trim(F.col("caption")))
+    base = images.select(
+        F.col("phash").cast("long").alias("phash"),
+        cap_h.alias("cap_h"))
+    img_reuse = (
+        base.groupBy("phash")
+        .agg(F.count("*").alias("n_pairs"),
+             F.countDistinct("cap_h").alias("n_distinct_other"))
+        .where(F.col("n_pairs") > 1)
+        .select(F.lit("image_reuse").alias("kind"),
+                F.col("phash").cast("string").alias("key"),
+                "n_pairs", "n_distinct_other"))
+    cap_reuse = (
+        base.groupBy("cap_h")
+        .agg(F.count("*").alias("n_pairs"),
+             F.countDistinct("phash").alias("n_distinct_other"))
+        .where(F.col("n_pairs") > 1)
+        .select(F.lit("caption_reuse").alias("kind"),
+                F.col("cap_h").cast("string").alias("key"),
+                "n_pairs", "n_distinct_other"))
+    return img_reuse.unionByName(cap_reuse)
+
+
 def fetch_plan(
     refs: DataFrame,
     params: tuple[str, ...] = SIZE_QUERY_PARAMS,
