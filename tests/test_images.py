@@ -767,3 +767,44 @@ class TestPackWebdatasetShards:
         png = sorted(r["start_offset"] for r in out if r["fmt"] == "png")
         assert png == [0, 2048]  # per-group running totals, not global
         assert [r["start_offset"] for r in out if r["fmt"] == "jpeg"] == [0]
+
+
+class TestCrossModalDups:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "image_id string, phash long, caption string")
+
+    def test_both_reuse_directions(self, spark):
+        from xcrawl3r_spark.operators.images import cross_modal_dups
+
+        # phash 1 posted under 2 distinct captions (3 rows); caption
+        # "boiler" attached to phashes 1 and 2; phash 3/caption "solo"
+        # unique -> excluded from both sides.
+        df = self._df(spark, [
+            ("a", 1, "boiler"), ("b", 1, "boiler"), ("c", 1, "other"),
+            ("d", 2, "boiler"), ("e", 3, "solo"),
+        ])
+        out = cross_modal_dups(df).collect()
+        img = {r["key"]: r for r in out if r["kind"] == "image_reuse"}
+        cap = {r["key"]: r for r in out if r["kind"] == "caption_reuse"}
+        assert set(img) == {"1"}
+        assert (img["1"]["n_pairs"], img["1"]["n_distinct_other"]) == (3, 2)
+        assert len(cap) == 1  # only "boiler" repeats
+        (k,) = cap
+        assert (cap[k]["n_pairs"], cap[k]["n_distinct_other"]) == (3, 2)
+
+    def test_caption_identity_is_trimmed(self, spark):
+        from xcrawl3r_spark.operators.images import cross_modal_dups
+
+        df = self._df(spark, [
+            ("a", 1, "  pad "), ("b", 2, "pad"),
+        ])
+        out = cross_modal_dups(df).collect()
+        assert [r["kind"] for r in out] == ["caption_reuse"]
+        assert out[0]["n_pairs"] == 2 and out[0]["n_distinct_other"] == 2
+
+    def test_no_dups_empty_output(self, spark):
+        from xcrawl3r_spark.operators.images import cross_modal_dups
+
+        df = self._df(spark, [("a", 1, "x"), ("b", 2, "y")])
+        assert cross_modal_dups(df).count() == 0
