@@ -920,6 +920,142 @@ _DIMS_TABLE_SQL = (
 )
 
 
+# Shared engine-neutral SQL fragments for the header-dims synthesis:
+# header-claimed dims diverge from the declared columns on %13 rows
+# (+16 px lie) and blow up to 60000x60000 on %17 rows (decode bomb);
+# %11 rows carry no payload. Payload layout cycles png/gif/bmp/jpeg by
+# doc_id % 4 with REAL container headers built via printf hex (both
+# engines' printf is C-style; Spark unhex == DuckDB from_hex).
+_HDR_W = "(48 + (doc_id % 23) * 64)"
+_HDR_H = "(48 + ((doc_id * 7) % 29) * 64)"
+_HDR_HW = (f"(case when doc_id % 17 = 0 then 60000 "
+           f"when doc_id % 13 = 0 then {_HDR_W} + 16 "
+           f"else {_HDR_W} end)")
+_HDR_HH = (f"(case when doc_id % 17 = 0 then 60000 "
+           f"else {_HDR_H} end)")
+
+
+def _le_hex_sql(v: str, nbytes: int) -> str:
+    """printf the int as fixed-width hex, then reverse the byte pairs
+    (little-endian container fields)."""
+    p = f"printf('%0{nbytes * 2}X', {v})"
+    parts = ", ".join(
+        f"substring({p}, {i * 2 + 1}, 2)" for i in reversed(range(nbytes)))
+    return f"concat({parts})"
+
+
+_HDR_PAYLOAD_HEX = (
+    "case doc_id % 4 "
+    "when 0 then concat('89504E470D0A1A0A0000000D49484452', "
+    f"printf('%08X', {_HDR_HW}), printf('%08X', {_HDR_HH}), '00') "
+    f"when 1 then concat('474946383961', {_le_hex_sql(_HDR_HW, 2)}, "
+    f"{_le_hex_sql(_HDR_HH, 2)}) "
+    "when 2 then concat('424D000000000000000000000000', '28000000', "
+    f"{_le_hex_sql(_HDR_HW, 4)}, {_le_hex_sql(_HDR_HH, 4)}) "
+    "else 'FFD8FFE000104A464946' end")
+
+_HDR_FMT = ("case doc_id % 4 when 0 then 'png' when 1 then 'gif' "
+            "when 2 then 'bmp' else 'jpeg' end")
+
+
+def _header_images(docs):
+    """(image_id, fmt, w, h, bytes) with real PNG/GIF/BMP/JPEG header
+    bytes and planted lies/bombs/missing payloads (fragments above)."""
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"{_HDR_FMT} as fmt",
+        f"cast({_HDR_W} as int) as w",
+        f"cast({_HDR_H} as int) as h",
+        f"case when doc_id % 11 = 0 then null "
+        f"else unhex({_HDR_PAYLOAD_HEX}) end as bytes",
+    )
+
+
+#: DuckDB twin of _header_images (identical fragments, from_hex)
+_HDR_TABLE_SQL = (
+    f"select concat('img-', doc_id) as image_id, {_HDR_FMT} as fmt, "
+    f"cast({_HDR_W} as int) as w, cast({_HDR_H} as int) as h, "
+    f"case when doc_id % 11 = 0 then null "
+    f"else from_hex({_HDR_PAYLOAD_HEX}) end as bytes from documents"
+)
+
+
+def _duck_be_sql(pos: int, n: int) -> str:
+    """DuckDB big-endian header-int parse over the hexed payload
+    (DuckDB can't substring a BLOB, so the twin hexes the whole
+    <=26-byte payload into ``hx`` and slices the string)."""
+    return f"(('0x' || substring(hx, {(pos - 1) * 2 + 1}, {n * 2}))::bigint)"
+
+
+def _duck_le_sql(pos: int, n: int) -> str:
+    parts = ", ".join(
+        f"substring(hx, {(pos - 1 + i) * 2 + 1}, 2)"
+        for i in reversed(range(n)))
+    return f"(('0x' || concat({parts}))::bigint)"
+
+
+#: DuckDB twin of operators/images.py parse_header_dims over _HDR_TABLE
+_DUCK_PNG_OK = ("(n >= 24 and substring(hx, 1, 16) = '89504E470D0A1A0A' "
+                "and substring(hx, 25, 8) = '49484452')")
+_DUCK_GIF_OK = ("(n >= 10 and substring(hx, 1, 12) "
+                "in ('474946383761', '474946383961'))")
+_DUCK_BMP_OK = "(n >= 26 and substring(hx, 1, 4) = '424D')"
+_DUCK_BMP_H = (f"abs(case when {_duck_le_sql(23, 4)} >= 2147483648 "
+               f"then {_duck_le_sql(23, 4)} - 4294967296 "
+               f"else {_duck_le_sql(23, 4)} end)")
+_DUCK_HDR_PARSE_SQL = f"""
+    with base as ({_HDR_TABLE_SQL}),
+    hxt as (
+      select image_id, fmt, w, h, bytes, hex(bytes) as hx,
+             octet_length(bytes) as n
+      from base)
+    select image_id, fmt, w, h, bytes,
+           case when {_DUCK_PNG_OK} then 'png'
+                when {_DUCK_GIF_OK} then 'gif'
+                when {_DUCK_BMP_OK} then 'bmp' end as header_fmt,
+           cast(case when {_DUCK_PNG_OK} then {_duck_be_sql(17, 4)}
+                when {_DUCK_GIF_OK} then {_duck_le_sql(7, 2)}
+                when {_DUCK_BMP_OK} then {_duck_le_sql(19, 4)} end
+             as bigint) as header_w,
+           cast(case when {_DUCK_PNG_OK} then {_duck_be_sql(21, 4)}
+                when {_DUCK_GIF_OK} then {_duck_le_sql(9, 2)}
+                when {_DUCK_BMP_OK} then {_DUCK_BMP_H} end
+             as bigint) as header_h
+    from hxt
+"""
+
+
+def q_image_header_dims(spark, sf_dir):
+    """Container-header dims parse (PNG/GIF/BMP fixed offsets, JPEG ->
+    NULL) over payloads synthesized with real header bytes; the DuckDB
+    twin re-parses the identical blobs from hex strings."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    # transport rule (CLAUDE.md): nullable bigints degrade to float64
+    # NaN in the gate's pandas fetch — coalesce to -1 for the compare
+    # (dims are positive; the operator itself keeps NULLs)
+    return images.parse_header_dims(_header_images(docs)).selectExpr(
+        "image_id", "header_fmt",
+        "coalesce(header_w, -1) as header_w",
+        "coalesce(header_h, -1) as header_h")
+
+
+def q_image_header_gate(spark, sf_dir):
+    """Metadata-lies + decode-bomb gate over the same synthesis: %13
+    rows lie by +16 px, %17 rows claim 60000x60000 (bomb outranks
+    mismatch), %11 rows have no payload, jpeg rows are unverifiable."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    # same -1 coalesce as q_image_header_dims (nullable-bigint transport)
+    return images.header_dims_gate(
+        _header_images(docs), max_pixels=1 << 28).selectExpr(
+        "image_id", "fmt", "w", "h", "header_fmt",
+        "coalesce(header_w, -1) as header_w",
+        "coalesce(header_h, -1) as header_h", "verdict")
+
+
 def q_image_ar_buckets(spark, sf_dir):
     """SDXL-style aspect-ratio bucket assignment: integer fixed-point
     symmetric-ratio argmin over the 25-bucket default list, native
@@ -1403,10 +1539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 16 new r4 keys follow (incl. the image block), and 42
+    # first), the 18 new r4 keys follow (incl. the image block), and 44
     # previously-driver-green stable keys are parked past the window
-    # (listed at the bottom, starting at a6_metrics_agg) — ALL 42 must
-    # rotate back in-window for r5.
+    # (listed at the bottom, starting at d1_cuckoo_anti_join) — ALL 44
+    # must rotate back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
         "stream_dedup_state": q_stream_dedup_state,
@@ -1453,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_vit_tokens": q_image_vit_tokens,
         "image_pack_shards": q_image_pack_shards,
         "image_cross_dups": q_image_cross_dups,
+        "image_header_dims": q_image_header_dims,
+        "image_header_gate": q_image_header_gate,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
@@ -1460,12 +1598,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
         "d1_bloom_anti_join": q_d1_bloom_anti_join,
-        "d1_cuckoo_anti_join": q_d1_cuckoo_anti_join,
-        "a1_politeness_topk": q_a1_politeness_topk,
         # -- parked past the 50-entry window for r4 (all driver-green in a
         #    prior round, unchanged this round; MUST rotate back in-window
-        #    for r5; the boundary sits at a6_metrics_agg — position 50 —
-        #    after the late-r4 image-op inserts above) ---------------------
+        #    for r5; the boundary sits at d1_cuckoo_anti_join — position
+        #    50 — after the late-r4 image-op inserts above) ----------------
+        "d1_cuckoo_anti_join": q_d1_cuckoo_anti_join,
+        "a1_politeness_topk": q_a1_politeness_topk,
         "a6_metrics_agg": q_a6_metrics_agg,
         "e1_regex_extract": q_e1_regex_extract,
         "e5_seed_expansion": q_e5_seed_expansion,
@@ -3003,6 +3141,29 @@ def oracle_sql() -> dict[str, str]:
                         rows between unbounded preceding and current row)
                       - sample_bytes as bigint) as tar_offset
             from d
+        """,
+        # header-dims twin: re-parse the identical synthesized blobs
+        # (hex-string slicing + '0x' casts vs Spark conv; same offsets)
+        "image_header_dims": f"""
+            select image_id, header_fmt,
+                   coalesce(header_w, -1) as header_w,
+                   coalesce(header_h, -1) as header_h
+            from ({_DUCK_HDR_PARSE_SQL})
+        """,
+        # gate twin: the same parse plus the five-way verdict with
+        # identical precedence (no_payload > unparsed > bomb >
+        # dims_mismatch > ok)
+        "image_header_gate": f"""
+            select image_id, fmt, w, h, header_fmt,
+                   coalesce(header_w, -1) as header_w,
+                   coalesce(header_h, -1) as header_h,
+                   case when bytes is null then 'no_payload'
+                        when header_fmt is null then 'unparsed'
+                        when header_w * header_h > {1 << 28} then 'bomb'
+                        when header_w != w or header_h != h
+                          then 'dims_mismatch'
+                        else 'ok' end as verdict
+            from ({_DUCK_HDR_PARSE_SQL})
         """,
         # sniff twin: same synthesis (from_hex == Spark unhex), sniffing
         # over hex(blob) string prefixes (DuckDB substring is

@@ -115,6 +115,7 @@ HEADLINE = [
     "image_vit_tokens",
     "image_pack_shards",
     "image_cross_dups",
+    "image_header_gate",
 ]
 
 

@@ -769,6 +769,82 @@ class TestPackWebdatasetShards:
         assert [r["start_offset"] for r in out if r["fmt"] == "jpeg"] == [0]
 
 
+def _png_hdr(w, h):
+    return bytes.fromhex(
+        "89504E470D0A1A0A" + "0000000D" + "49484452"
+        + f"{w:08X}" + f"{h:08X}" + "00")
+
+
+def _gif_hdr(w, h):
+    return bytes.fromhex(
+        "474946383961"
+        + f"{w & 0xFF:02X}{(w >> 8) & 0xFF:02X}"
+        + f"{h & 0xFF:02X}{(h >> 8) & 0xFF:02X}")
+
+
+def _bmp_hdr(w, h):
+    le32 = lambda v: (v & 0xFFFFFFFF).to_bytes(4, "little")
+    return (b"BM" + b"\x00" * 12 + le32(40) + le32(w) + le32(h))
+
+
+class TestParseHeaderDims:
+    def test_all_three_layouts(self, spark):
+        from xcrawl3r_spark.operators.images import parse_header_dims
+
+        df = spark.createDataFrame(
+            [("png", _png_hdr(300, 200)),
+             ("gif", _gif_hdr(640, 480)),
+             ("bmp", _bmp_hdr(1920, 1080)),
+             ("bmp-topdown", _bmp_hdr(1920, -1080)),  # signed height
+             ("jpeg", bytes.fromhex("FFD8FFE000104A464946")),
+             ("png-truncated", _png_hdr(300, 200)[:20]),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: r
+               for r in parse_header_dims(df).collect()}
+        assert (got["png"]["header_fmt"], got["png"]["header_w"],
+                got["png"]["header_h"]) == ("png", 300, 200)
+        assert (got["gif"]["header_fmt"], got["gif"]["header_w"],
+                got["gif"]["header_h"]) == ("gif", 640, 480)
+        assert (got["bmp"]["header_w"], got["bmp"]["header_h"]) \
+            == (1920, 1080)
+        assert (got["bmp-topdown"]["header_w"],
+                got["bmp-topdown"]["header_h"]) == (1920, 1080)
+        for k in ("jpeg", "png-truncated", "nulls"):
+            assert got[k]["header_fmt"] is None
+            assert got[k]["header_w"] is None
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import parse_header_dims
+
+        df = spark.createDataFrame(
+            [("a", _png_hdr(1, 1))], "image_id string, bytes binary")
+        plan = parse_header_dims(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestHeaderDimsGate:
+    def test_verdict_precedence(self, spark):
+        from xcrawl3r_spark.operators.images import header_dims_gate
+
+        df = spark.createDataFrame(
+            [("ok", "png", 300, 200, _png_hdr(300, 200)),
+             ("lie", "gif", 640, 480, _gif_hdr(800, 480)),
+             # bomb wins over the (also true) mismatch
+             ("bomb", "png", 300, 200, _png_hdr(60000, 60000)),
+             ("jpeg", "jpeg", 10, 10,
+              bytes.fromhex("FFD8FFE000104A464946")),
+             ("gone", "png", 10, 10, None)],
+            "image_id string, fmt string, w int, h int, bytes binary")
+        got = {r["image_id"]: r["verdict"]
+               for r in header_dims_gate(df, max_pixels=1 << 28)
+               .collect()}
+        assert got == {"ok": "ok", "lie": "dims_mismatch",
+                       "bomb": "bomb", "jpeg": "unparsed",
+                       "gone": "no_payload"}
+
+
 class TestCrossModalDups:
     def _df(self, spark, rows):
         return spark.createDataFrame(

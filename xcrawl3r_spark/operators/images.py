@@ -1078,6 +1078,124 @@ def sniff_format(
     )
 
 
+#: PNG signature + the IHDR chunk tag that must follow it (hex).
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+_PNG_IHDR_HEX = "49484452"
+
+
+def _hex_be(col: str, byte_pos: int, n: int) -> str:
+    """SQL for the unsigned big-endian int at 1-based ``byte_pos`` of a
+    hex-string column (2 hex chars per byte)."""
+    return (f"cast(conv(substring({col}, {(byte_pos - 1) * 2 + 1}, "
+            f"{n * 2}), 16, 10) as bigint)")
+
+
+def _hex_le(col: str, byte_pos: int, n: int) -> str:
+    """Same but little-endian: the ``n`` byte pairs reversed before the
+    base-16 parse."""
+    parts = ", ".join(
+        f"substring({col}, {(byte_pos - 1 + i) * 2 + 1}, 2)"
+        for i in reversed(range(n)))
+    return f"cast(conv(concat({parts}), 16, 10) as bigint)"
+
+
+def parse_header_dims(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Width/height straight from the payload's container header, no
+    decode — the cheap truth source an image crawl checks declared dims
+    against before spending decode cycles (all three layouts are public
+    file-format specs):
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are
+      big-endian uint32 at bytes 17-24;
+    - GIF87a/89a: logical-screen width/height, little-endian uint16 at
+      bytes 7-10;
+    - BMP ('BM' + BITMAPINFOHEADER, the common case): width at bytes
+      19-22, height at 23-26, little-endian int32 — height is SIGNED
+      (negative = top-down row order) so it decodes two's-complement
+      then abs.
+
+    JPEG/WEBP need a segment walk, not a fixed offset — they parse to
+    NULL here (``header_fmt`` NULL), as do NULL/short payloads.
+
+    Only the first 26 payload bytes are hexed; pure map-side
+    projection, zero shuffle, no UDF — at 10^10 images this rides the
+    scan. Appends (header_fmt, header_w, header_h) to the input
+    columns."""
+    b = bytes_col
+    hx = "_hx"
+    png_ok = (f"(octet_length({b}) >= 24 "
+              f"and substring({hx}, 1, 16) = '{_PNG_SIG_HEX}' "
+              f"and substring({hx}, 25, 8) = '{_PNG_IHDR_HEX}')")
+    gif_ok = (f"(octet_length({b}) >= 10 and substring({hx}, 1, 12) "
+              "in ('474946383761', '474946383961'))")
+    bmp_ok = (f"(octet_length({b}) >= 26 "
+              f"and substring({hx}, 1, 4) = '424D')")
+    bmp_h_raw = _hex_le(hx, 23, 4)
+    bmp_h = (f"abs(case when {bmp_h_raw} >= 2147483648 "
+             f"then {bmp_h_raw} - 4294967296 else {bmp_h_raw} end)")
+    return (
+        images.withColumn(
+            hx, F.hex(F.substring(F.col(b), 1, 26)))
+        .withColumn(
+            "header_fmt",
+            F.expr(f"case when {png_ok} then 'png' "
+                   f"when {gif_ok} then 'gif' "
+                   f"when {bmp_ok} then 'bmp' end"))
+        .withColumn(
+            "header_w",
+            F.expr(f"case when {png_ok} then {_hex_be(hx, 17, 4)} "
+                   f"when {gif_ok} then {_hex_le(hx, 7, 2)} "
+                   f"when {bmp_ok} then {_hex_le(hx, 19, 4)} end"))
+        .withColumn(
+            "header_h",
+            F.expr(f"case when {png_ok} then {_hex_be(hx, 21, 4)} "
+                   f"when {gif_ok} then {_hex_le(hx, 9, 2)} "
+                   f"when {bmp_ok} then {bmp_h} end"))
+        .drop(hx)
+    )
+
+
+def header_dims_gate(
+    images: DataFrame,
+    max_pixels: int = 1 << 28,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Metadata-lies + decompression-bomb gate: compare the declared
+    (w, h) columns against the container-header dims parsed by
+    :func:`parse_header_dims` and emit one verdict per row, precedence
+    first-match:
+
+    - ``no_payload`` — NULL bytes (nothing to check);
+    - ``unparsed`` — no fixed-offset header (JPEG/WEBP/garbage), dims
+      unverifiable without a decode;
+    - ``bomb`` — header pixel count exceeds ``max_pixels`` (the
+      classic tiny-file/huge-canvas decode bomb: allocate-before-
+      decode makes this the check that MUST precede any decode);
+    - ``dims_mismatch`` — header dims disagree with the declared
+      columns (stale or lying metadata);
+    - ``ok`` — header confirms the declaration.
+
+    Same zero-shuffle map-side posture as the parse. Output:
+    (image_id, fmt, w, h, header_fmt, header_w, header_h, verdict)."""
+    parsed = parse_header_dims(images, bytes_col=bytes_col)
+    verdict = (
+        F.when(F.col(bytes_col).isNull(), "no_payload")
+        .when(F.col("header_fmt").isNull(), "unparsed")
+        .when(F.col("header_w") * F.col("header_h") > int(max_pixels),
+              "bomb")
+        .when((F.col("header_w") != F.col("w").cast("long"))
+              | (F.col("header_h") != F.col("h").cast("long")),
+              "dims_mismatch")
+        .otherwise("ok"))
+    return parsed.select(
+        "image_id", "fmt", "w", "h",
+        "header_fmt", "header_w", "header_h",
+        verdict.alias("verdict"))
+
+
 def vit_patch_tokens(
     images: DataFrame,
     patch: int = 14,
