@@ -1025,6 +1025,88 @@ _DUCK_HDR_PARSE_SQL = f"""
 """
 
 
+# JPEG synthesis: SOI + a doc_id-dependent APPn/DQT prefix, then a SOF0
+# (or SOF2 on %6 rows) carrying the _HDR dims; %5==3 rows never reach a
+# SOF, %5==4 rows aren't JPEG at all, %11 rows have no payload. APP1's
+# length varies by doc_id so the walk's hops are data-dependent.
+_JPG_APP1_LEN = "(20 + (doc_id % 5) * 3)"
+_JPG_SOFMK = "(case when doc_id % 6 = 0 then 'FFC2' else 'FFC0' end)"
+# NB: each repeat('00', n) unit is ONE byte (2 hex chars); segment
+# lengths must match their declared len fields or the walk derails.
+_JPG_APP0 = "'FFE000104A46494600', repeat('00', 9)"  # len 0x10 = 16
+_JPG_APP1 = (f"'FFE1', printf('%04X', {_JPG_APP1_LEN}), "
+             f"repeat('00', {_JPG_APP1_LEN} - 2)")
+_JPG_SOF = (f"{_JPG_SOFMK}, '001108', printf('%04X', {_HDR_H}), "
+            f"printf('%04X', {_HDR_W}), repeat('00', 10)")  # len 0x11
+_JPG_PAYLOAD_HEX = (
+    "case doc_id % 5 "
+    f"when 0 then concat('FFD8', {_JPG_APP0}, {_JPG_SOF}) "
+    f"when 1 then concat('FFD8', {_JPG_APP0}, {_JPG_APP1}, {_JPG_SOF}) "
+    f"when 2 then concat('FFD8', {_JPG_APP0}, {_JPG_APP1}, "
+    f"'FFDB0008', repeat('00', 6), {_JPG_SOF}) "
+    f"when 3 then concat('FFD8', {_JPG_APP0}, {_JPG_APP1}) "
+    "else '89504E470D0A1A0A' end")
+
+
+def _jpeg_images(docs):
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"case when doc_id % 11 = 0 then null "
+        f"else unhex({_JPG_PAYLOAD_HEX}) end as bytes",
+    )
+
+
+#: DuckDB twin of _jpeg_images
+_JPG_TABLE_SQL = (
+    f"select concat('img-', doc_id) as image_id, "
+    f"case when doc_id % 11 = 0 then null "
+    f"else from_hex({_JPG_PAYLOAD_HEX}) end as bytes from documents"
+)
+
+
+def _duck_jpeg_walk_sql(table_sql: str, steps: int = 8) -> str:
+    """DuckDB twin of operators/images.py jpeg_sof_dims: the SAME
+    jpeg_walk_step_sql snippets (single source of truth for the walk),
+    chained as CTEs instead of withColumns, '0x'-cast instead of conv."""
+    from xcrawl3r_spark.operators.images import jpeg_walk_step_sql
+
+    def d(x):
+        return f"(('0x' || {x})::bigint)"
+
+    ctes = [
+        f"base as ({table_sql})",
+        "s0 as (select image_id, hex(bytes) as hx, "
+        "case when length(hex(bytes)) >= 4 "
+        "and substring(hex(bytes), 1, 4) = 'FFD8' then 3 end as p0, "
+        "cast(null as bigint) as jw, cast(null as bigint) as jh "
+        "from base)",
+    ]
+    for i in range(steps):
+        s = jpeg_walk_step_sql(f"p{i}", d)
+        ctes.append(
+            f"s{i + 1} as (select image_id, hx, "
+            f"coalesce(jw, case when {s['sof']} then {s['w']} end) as jw, "
+            f"coalesce(jh, case when {s['sof']} then {s['h']} end) as jh, "
+            f"cast({s['next']} as bigint) as p{i + 1} from s{i})")
+    return ("with " + ", ".join(ctes)
+            + f" select image_id, coalesce(jw, -1) as jpeg_w, "
+              f"coalesce(jh, -1) as jpeg_h from s{steps}")
+
+
+def q_image_jpeg_dims(spark, sf_dir):
+    """JPEG SOF dims via the bounded marker-segment walk over synthetic
+    JPEGs with data-dependent APP1 lengths; progressive SOF2 rows, a
+    never-SOF class, non-JPEG payloads and NULLs all parse to -1 (the
+    nullable-bigint transport coalesce)."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.jpeg_sof_dims(_jpeg_images(docs)).selectExpr(
+        "image_id",
+        "coalesce(jpeg_w, -1) as jpeg_w",
+        "coalesce(jpeg_h, -1) as jpeg_h")
+
+
 def q_image_header_dims(spark, sf_dir):
     """Container-header dims parse (PNG/GIF/BMP fixed offsets, JPEG ->
     NULL) over payloads synthesized with real header bytes; the DuckDB
@@ -1539,9 +1621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 18 new r4 keys follow (incl. the image block), and 44
+    # first), the 19 new r4 keys follow (incl. the image block), and 45
     # previously-driver-green stable keys are parked past the window
-    # (listed at the bottom, starting at d1_cuckoo_anti_join) — ALL 44
+    # (listed at the bottom, starting at d1_bloom_anti_join) — ALL 45
     # must rotate back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
@@ -1591,17 +1673,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_cross_dups": q_image_cross_dups,
         "image_header_dims": q_image_header_dims,
         "image_header_gate": q_image_header_gate,
+        "image_jpeg_dims": q_image_jpeg_dims,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
         "mm_image_features": q_mm_image_features,
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
-        "d1_bloom_anti_join": q_d1_bloom_anti_join,
         # -- parked past the 50-entry window for r4 (all driver-green in a
         #    prior round, unchanged this round; MUST rotate back in-window
-        #    for r5; the boundary sits at d1_cuckoo_anti_join — position
+        #    for r5; the boundary sits at d1_bloom_anti_join — position
         #    50 — after the late-r4 image-op inserts above) ----------------
+        "d1_bloom_anti_join": q_d1_bloom_anti_join,
         "d1_cuckoo_anti_join": q_d1_cuckoo_anti_join,
         "a1_politeness_topk": q_a1_politeness_topk,
         "a6_metrics_agg": q_a6_metrics_agg,
@@ -3142,6 +3225,9 @@ def oracle_sql() -> dict[str, str]:
                       - sample_bytes as bigint) as tar_offset
             from d
         """,
+        # JPEG walk twin: the SAME step snippets as the operator,
+        # CTE-chained (see _duck_jpeg_walk_sql)
+        "image_jpeg_dims": _duck_jpeg_walk_sql(_JPG_TABLE_SQL),
         # header-dims twin: re-parse the identical synthesized blobs
         # (hex-string slicing + '0x' casts vs Spark conv; same offsets)
         "image_header_dims": f"""

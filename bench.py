@@ -116,6 +116,7 @@ HEADLINE = [
     "image_pack_shards",
     "image_cross_dups",
     "image_header_gate",
+    "image_jpeg_dims",
 ]
 
 

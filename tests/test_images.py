@@ -845,6 +845,75 @@ class TestHeaderDimsGate:
                        "gone": "no_payload"}
 
 
+def _jseg(marker, payload):
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+        + payload
+
+
+def _jsof(w, h, marker=0xC0):
+    return _jseg(marker, bytes([8]) + h.to_bytes(2, "big")
+                 + w.to_bytes(2, "big") + b"\x00" * 10)
+
+
+_JFIF = _jseg(0xE0, b"JFIF\x00" + b"\x00" * 9)
+_JEXIF = _jseg(0xE1, b"Exif\x00\x00" + b"\x00" * 40)
+_JDQT = _jseg(0xDB, b"\x00" * 6)
+_JDHT = _jseg(0xC4, b"\x00" * 5)  # C4 = huffman table, NOT a SOF
+
+
+class TestJpegSofDims:
+    def test_walks_to_sof(self, spark):
+        from xcrawl3r_spark.operators.images import jpeg_sof_dims
+
+        soi = b"\xFF\xD8"
+        df = spark.createDataFrame(
+            [("plain", soi + _JFIF + _jsof(1920, 1080)),
+             ("exif-progressive",
+              soi + _JFIF + _JEXIF + _JDQT + _jsof(640, 480, 0xC2)),
+             # DHT's C4 marker must be hopped over, not read as SOF
+             ("dht-first", soi + _JFIF + _JDHT + _jsof(100, 200)),
+             ("no-sof", soi + _JFIF + _JDQT),
+             ("not-jpeg", bytes.fromhex("89504E470D0A1A0A")),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["jpeg_w"], r["jpeg_h"])
+               for r in jpeg_sof_dims(df).collect()}
+        assert got["plain"] == (1920, 1080)
+        assert got["exif-progressive"] == (640, 480)
+        assert got["dht-first"] == (100, 200)
+        for k in ("no-sof", "not-jpeg", "nulls"):
+            assert got[k] == (None, None)
+
+    def test_budget_and_window_bounds(self, spark):
+        from xcrawl3r_spark.operators.images import jpeg_sof_dims
+
+        deep = (b"\xFF\xD8" + _JFIF + _JEXIF + _JDQT + _JDQT
+                + _jsof(12, 34))
+        df = spark.createDataFrame(
+            [("deep", deep)], "image_id string, bytes binary")
+        # the SOF is the 5th segment examined: budget 5 reaches it
+        # (4 hops + 1 examination), budget 4 stops one short
+        assert jpeg_sof_dims(df, max_segments=5).collect()[0]["jpeg_w"] \
+            == 12
+        assert jpeg_sof_dims(df, max_segments=4).collect()[0]["jpeg_w"] \
+            is None
+        # a scan window that cuts before the SOF parses NULL, no error
+        assert jpeg_sof_dims(df, scan_bytes=20).collect()[0]["jpeg_w"] \
+            is None
+
+    def test_zero_shuffle_and_passthrough(self, spark):
+        from xcrawl3r_spark.operators.images import jpeg_sof_dims
+
+        df = spark.createDataFrame(
+            [("a", "jpeg", b"\xFF\xD8" + _JFIF + _jsof(2, 3))],
+            "image_id string, fmt string, bytes binary")
+        out = jpeg_sof_dims(df)
+        assert set(out.columns) == {"image_id", "fmt", "bytes",
+                                    "jpeg_w", "jpeg_h"}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestCrossModalDups:
     def _df(self, spark, rows):
         return spark.createDataFrame(

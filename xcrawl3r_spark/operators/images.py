@@ -1196,6 +1196,92 @@ def header_dims_gate(
         verdict.alias("verdict"))
 
 
+def spark_hex2int(x: str) -> str:
+    """Spark SQL hex-string -> bigint (conv is uppercase-safe)."""
+    return f"cast(conv({x}, 16, 10) as bigint)"
+
+
+def jpeg_walk_step_sql(p: str, hex2int=spark_hex2int,
+                       hx: str = "hx") -> dict:
+    """One step of the JPEG marker-segment walk as engine-neutral SQL
+    over a hex-string column ``hx`` (segment grammar per ITU-T T.81:
+    ``FF <marker> <len BE16> <payload of len-2>``; the SOF markers
+    C0-CF minus C4/C8/CC carry ``precision(1) height(2) width(2)``
+    right after the length field).
+
+    ``p`` is the column/expression holding the 1-based byte position
+    of the segment's FF byte. Returns the snippets a caller chains —
+    Spark via per-step withColumn, DuckDB via per-step CTE — so the
+    expression stays LINEAR in steps (inlining p recursively would
+    blow up exponentially). Every hex2int is guarded by the length
+    checks, so a walk that runs past the hexed window parses to NULL
+    instead of erroring ('0x' || '' casts throw in DuckDB)."""
+    at = (lambda off, n:
+          f"substring({hx}, cast(2 * {p} - 1 + {off} as int), {n})")
+    mk = at(2, 2)
+    valid = (f"({p} is not null and 2 * {p} + 6 <= length({hx}) "
+             f"and {at(0, 2)} = 'FF')")
+    sof = (f"({valid} and 2 * {p} + 16 <= length({hx}) "
+           f"and {mk} >= 'C0' and {mk} <= 'CF' "
+           f"and {mk} not in ('C4', 'C8', 'CC'))")
+    return {
+        "sof": sof,
+        "h": hex2int(at(10, 4)),
+        "w": hex2int(at(14, 4)),
+        "next": (f"case when {valid} and not {sof} "
+                 f"then {p} + 2 + {hex2int(at(4, 4))} end"),
+    }
+
+
+def jpeg_sof_dims(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    scan_bytes: int = 1024,
+    max_segments: int = 8,
+) -> DataFrame:
+    """JPEG width/height without a decode — the segment walk
+    :func:`parse_header_dims` can't do with fixed offsets: start after
+    SOI (FFD8), hop ``pos += 2 + len`` across APPn/DQT/COM segments,
+    stop at the first SOF marker and read the BE16 dims beside it.
+
+    The walk is UNROLLED ``max_segments`` times as chained column
+    expressions (no UDF, no loop at runtime — whole-stage codegen
+    sees a flat projection), and only the first ``scan_bytes`` payload
+    bytes are hexed, so at 10^10 images the cost is one bounded
+    map-side pass. A SOF deeper than the window or the segment budget
+    parses to NULL — the declared-coverage semantic a crawl gate
+    wants, not a guess. Non-JPEG and NULL payloads are NULL.
+
+    Appends (jpeg_w, jpeg_h) to the input columns."""
+    hx = "_jpx_hx"  # working column; prefixed to dodge user columns
+    out = (
+        images.withColumn(
+            hx, F.hex(F.substring(F.col(bytes_col), 1, int(scan_bytes))))
+        .withColumn(
+            "_jp0",
+            F.expr(f"case when length({hx}) >= 4 "
+                   f"and substring({hx}, 1, 4) = 'FFD8' "
+                   "then cast(3 as bigint) end"))
+        .withColumn("jpeg_w", F.lit(None).cast("long"))
+        .withColumn("jpeg_h", F.lit(None).cast("long"))
+    )
+    for i in range(int(max_segments)):
+        s = jpeg_walk_step_sql(f"_jp{i}", hx=hx)
+        out = (
+            out.withColumn(
+                "jpeg_w",
+                F.expr(f"coalesce(jpeg_w, case when {s['sof']} "
+                       f"then {s['w']} end)"))
+            .withColumn(
+                "jpeg_h",
+                F.expr(f"coalesce(jpeg_h, case when {s['sof']} "
+                       f"then {s['h']} end)"))
+            .withColumn(f"_jp{i + 1}", F.expr(s["next"]))
+        )
+    return out.drop(
+        hx, *[f"_jp{i}" for i in range(int(max_segments) + 1)])
+
+
 def vit_patch_tokens(
     images: DataFrame,
     patch: int = 14,
