@@ -1093,6 +1093,19 @@ def _duck_jpeg_walk_sql(table_sql: str, steps: int = 8) -> str:
               f"coalesce(jh, -1) as jpeg_h from s{steps}")
 
 
+def q_image_fetch_waves(spark, sf_dir):
+    """Politeness-scheduled image GET waves (budget 3/host/iteration)
+    over the crawl->fetch plan composite; the DuckDB twin wraps the
+    fetch-plan twin in the same demand-ordered host window (regexp
+    netloc == try_parse_url HOST here: no ports/userinfo in the
+    synthesis)."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = images.fetch_plan(images.extract_image_refs(_refs_pages(docs)))
+    return images.schedule_fetch_waves(plan, host_budget=3)
+
+
 def q_image_jpeg_dims(spark, sf_dir):
     """JPEG SOF dims via the bounded marker-segment walk over synthetic
     JPEGs with data-dependent APP1 lengths; progressive SOF2 rows, a
@@ -1621,9 +1634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 19 new r4 keys follow (incl. the image block), and 45
+    # first), the 20 new r4 keys follow (incl. the image block), and 46
     # previously-driver-green stable keys are parked past the window
-    # (listed at the bottom, starting at d1_bloom_anti_join) — ALL 45
+    # (listed at the bottom, starting at mm_frame_sample) — ALL 46
     # must rotate back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
@@ -1674,16 +1687,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_dims": q_image_header_dims,
         "image_header_gate": q_image_header_gate,
         "image_jpeg_dims": q_image_jpeg_dims,
+        "image_fetch_waves": q_image_fetch_waves,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
         "mm_image_features": q_mm_image_features,
         "mm_resize": q_mm_resize,
-        "mm_frame_sample": q_mm_frame_sample,
         # -- parked past the 50-entry window for r4 (all driver-green in a
         #    prior round, unchanged this round; MUST rotate back in-window
-        #    for r5; the boundary sits at d1_bloom_anti_join — position
-        #    50 — after the late-r4 image-op inserts above) ----------------
+        #    for r5; the boundary sits at mm_frame_sample — position 50 —
+        #    after the late-r4 image-op inserts above) ---------------------
+        "mm_frame_sample": q_mm_frame_sample,
         "d1_bloom_anti_join": q_d1_bloom_anti_join,
         "d1_cuckoo_anti_join": q_d1_cuckoo_anti_join,
         "a1_politeness_topk": q_a1_politeness_topk,
@@ -3794,5 +3808,25 @@ def oracle_sql() -> dict[str, str]:
                cast(count(distinct page_url) as bigint) as n_pages
         from canon
         group by canonical_url
+    """
+    # fetch-waves twin: the plan twin wrapped in the demand-ordered
+    # per-host politeness window (regexp netloc mirrors try_parse_url
+    # HOST — the synthesized URLs carry no ports or userinfo)
+    d["image_fetch_waves"] = f"""
+        with plan as ({d["image_fetch_plan"]}),
+        h as (
+          select canonical_url, fetch_url, n_refs,
+                 lower(regexp_extract(fetch_url,
+                       '^[a-z]+://([^/]+)', 1)) as host
+          from plan),
+        r as (
+          select host, canonical_url, fetch_url, n_refs,
+                 cast(row_number() over (partition by host
+                      order by n_refs desc, fetch_url) as bigint)
+                   as rank_in_host
+          from h)
+        select host, canonical_url, fetch_url, n_refs, rank_in_host,
+               cast((rank_in_host - 1) // 3 as bigint) as wave
+        from r
     """
     return d

@@ -117,6 +117,7 @@ HEADLINE = [
     "image_cross_dups",
     "image_header_gate",
     "image_jpeg_dims",
+    "image_fetch_waves",
 ]
 
 

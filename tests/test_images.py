@@ -845,6 +845,39 @@ class TestHeaderDimsGate:
                        "gone": "no_payload"}
 
 
+class TestScheduleFetchWaves:
+    def test_budget_waves_and_demand_order(self, spark):
+        from xcrawl3r_spark.operators.images import schedule_fetch_waves
+
+        rows = [(f"https://a.test/i{i}.jpg", f"https://a.test/i{i}.jpg",
+                 10 - i) for i in range(5)]  # demand-descending on a.test
+        rows += [("https://b.test/x.png", "https://b.test/x.png", 1),
+                 ("not a url", "not a url", 9)]
+        df = spark.createDataFrame(
+            rows, "canonical_url string, fetch_url string, n_refs long")
+        out = schedule_fetch_waves(df, host_budget=2).collect()
+        a = sorted((r for r in out if r["host"] == "a.test"),
+                   key=lambda r: r["rank_in_host"])
+        # highest-demand first; budget 2 per wave -> waves 0,0,1,1,2
+        assert [r["n_refs"] for r in a] == [10, 9, 8, 7, 6]
+        assert [r["wave"] for r in a] == [0, 0, 1, 1, 2]
+        b = [r for r in out if r["host"] == "b.test"]
+        assert (b[0]["rank_in_host"], b[0]["wave"]) == (1, 0)
+        # unparseable URL lands in the NULL-host bucket, still scheduled
+        nul = [r for r in out if r["host"] is None]
+        assert len(nul) == 1 and nul[0]["wave"] == 0
+
+    def test_single_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import schedule_fetch_waves
+
+        df = spark.createDataFrame(
+            [("https://a.test/1", "https://a.test/1", 1)],
+            "canonical_url string, fetch_url string, n_refs long")
+        plan = schedule_fetch_waves(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange") <= 1
+
+
 def _jseg(marker, payload):
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
         + payload

@@ -1196,6 +1196,47 @@ def header_dims_gate(
         verdict.alias("verdict"))
 
 
+def schedule_fetch_waves(
+    plan: DataFrame,
+    host_budget: int = 5,
+    url_col: str = "fetch_url",
+) -> DataFrame:
+    """Politeness-scheduled GET waves over the distinct image fetch set
+    (:func:`fetch_plan` output) — the crawl×image bridge: within each
+    host, order by demand (``n_refs`` desc, then URL for determinism)
+    and release at most ``host_budget`` GETs per crawl iteration —
+    ``wave = (rank - 1) div budget`` — mirroring the frontier's A1
+    per-host politeness window (reference default parallelism-per-host,
+    internal/configuration/configuration.go:108).
+
+    ONE shuffle (the host window). The rank can't use WindowGroupLimit
+    (every row gets a wave; there's no top-k cut), so a hot CDN host
+    serializes inside its partition — that skew IS the politeness
+    semantic (a host's queue is sequential by definition); cross-host
+    parallelism is what scales, and the wave column is exactly the
+    iteration key the fetch loop then partitions on.
+
+    Host is the lowercased netloc (try_parse_url HOST — no port, no
+    userinfo); rows whose URL has no parseable host share the NULL
+    bucket. Output: (host, canonical_url, fetch_url, n_refs,
+    rank_in_host, wave)."""
+    from xcrawl3r_spark.functions.urls import host_col
+
+    w = Window.partitionBy("host").orderBy(F.desc("n_refs"), url_col)
+    return (
+        plan.withColumn("host", host_col(F.col(url_col)))
+        .withColumn(
+            "rank_in_host",
+            F.row_number().over(w).cast("long"))
+        .withColumn(
+            "wave",
+            F.expr(f"(rank_in_host - 1) div {int(host_budget)}")
+            .cast("long"))
+        .select("host", "canonical_url", url_col, "n_refs",
+                "rank_in_host", "wave")
+    )
+
+
 def spark_hex2int(x: str) -> str:
     """Spark SQL hex-string -> bigint (conv is uppercase-safe)."""
     return f"cast(conv({x}, 16, 10) as bigint)"
