@@ -1093,6 +1093,131 @@ def _duck_jpeg_walk_sql(table_sql: str, steps: int = 8) -> str:
               f"coalesce(jh, -1) as jpeg_h from s{steps}")
 
 
+# EXIF synthesis: real APP1/TIFF bytes, endianness by doc_id % 2
+# (II/MM), orientation 1 + doc_id % 8 planted at IFD slot doc_id % 3;
+# %7 rows carry no orientation tag, %13 rows no APP1 at all, %11 rows
+# no payload. Constant hex is Python-precomputed per endian; only the
+# orientation value byte is a runtime printf.
+def _exif_tiff_hex_sql(le: bool) -> str:
+    if le:
+        u16 = lambda v: f"{v & 0xFF:02X}{(v >> 8) & 0xFF:02X}"
+        u32 = lambda v: "".join(
+            f"{(v >> (8 * i)) & 0xFF:02X}" for i in range(4))
+        ori_val = "printf('%02X', 1 + doc_id % 8), '000000'"
+    else:
+        u16 = lambda v: f"{(v >> 8) & 0xFF:02X}{v & 0xFF:02X}"
+        u32 = lambda v: f"{v:08X}"
+        ori_val = "'00', printf('%02X', 1 + doc_id % 8), '0000'"
+    entry = lambda tag, typ, cnt, val: u16(tag) + u16(typ) + u32(cnt) + val
+    make = entry(0x010F, 2, 4, "41424344")
+    xres = entry(0x011A, 3, 1, u16(72) + "0000")
+    no_ori = entry(0x0131, 2, 4, "736F6674")  # Software tag instead
+    ori_pre = u16(0x0112) + u16(3) + u32(1)
+    ori = (f"(case when doc_id % 7 = 0 then '{no_ori}' "
+           f"else concat('{ori_pre}', {ori_val}) end)")
+    ents = (f"(case doc_id % 3 when 0 then concat({ori}, '{make}{xres}') "
+            f"when 1 then concat('{make}', {ori}, '{xres}') "
+            f"else concat('{make}{xres}', {ori}) end)")
+    hdr = ("4949" if le else "4D4D") + u16(42) + u32(8)
+    return f"concat('{hdr}{u16(3)}', {ents}, '{u32(0)}')"
+
+
+# TIFF block is 50 bytes -> APP1 payload 56 -> len field 58 = 0x003A
+_EXIF_PAYLOAD_HEX = (
+    "concat('FFD8', 'FFE000104A46494600', repeat('00', 9), "
+    "case when doc_id % 4 = 1 then 'FFFE00040000' else '' end, "
+    "case when doc_id % 13 = 0 then '' else concat("
+    "'FFE1003A457869660000', "
+    f"case when doc_id % 2 = 0 then {_exif_tiff_hex_sql(True)} "
+    f"else {_exif_tiff_hex_sql(False)} end) end, "
+    f"'FFC0001108', printf('%04X', {_HDR_H}), printf('%04X', {_HDR_W}), "
+    "repeat('00', 10))")
+
+
+def _exif_images(docs):
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"case when doc_id % 11 = 0 then null "
+        f"else unhex({_EXIF_PAYLOAD_HEX}) end as bytes",
+    )
+
+
+#: DuckDB twin of _exif_images
+_EXIF_TABLE_SQL = (
+    f"select concat('img-', doc_id) as image_id, "
+    f"case when doc_id % 11 = 0 then null "
+    f"else from_hex({_EXIF_PAYLOAD_HEX}) end as bytes from documents"
+)
+
+
+def _duck_exif_sql(table_sql: str, steps: int = 6,
+                   entries: int = 12) -> str:
+    """DuckDB twin of operators/images.py exif_orientation: the SAME
+    segment-walk / bound / endian-conditional-read snippets, CTE-chained
+    with '0x' casts."""
+    from xcrawl3r_spark.operators.images import (
+        exif_bound_sql, exif_seg_step_sql, exif_u16_sql, exif_u32_sql)
+
+    def d(x):
+        return f"(('0x' || {x})::bigint)"
+
+    u16 = lambda pos: exif_u16_sql(pos, "endmark", d)
+    u32 = lambda pos: exif_u32_sql(pos, "endmark", d)
+    ctes = [
+        f"base as ({table_sql})",
+        "s0 as (select image_id, hex(bytes) as hx, "
+        "case when length(hex(bytes)) >= 4 "
+        "and substring(hex(bytes), 1, 4) = 'FFD8' then 3 end as p0, "
+        "cast(null as bigint) as tiff from base)",
+    ]
+    for i in range(steps):
+        s = exif_seg_step_sql(f"p{i}", d)
+        ctes.append(
+            f"s{i + 1} as (select image_id, hx, "
+            f"coalesce(tiff, case when {s['is_exif']} "
+            f"then cast({s['tiff']} as bigint) end) as tiff, "
+            f"cast({s['next']} as bigint) as p{i + 1} from s{i})")
+    ctes.append(
+        f"e as (select image_id, hx, tiff, "
+        f"case when {exif_bound_sql('tiff', 4)} "
+        "and substring(hx, cast(2 * tiff - 1 as int), 4) "
+        "in ('4949', '4D4D') "
+        "then substring(hx, cast(2 * tiff - 1 as int), 4) end "
+        f"as endmark from s{steps})")
+    ctes.append(
+        f"f as (select image_id, hx, endmark, "
+        f"cast(case when {u16('tiff + 2')} = 42 "
+        f"then tiff + {u32('tiff + 4')} end as bigint) as ifd from e)")
+    ctes.append(
+        f"g as (select image_id, hx, endmark, ifd, "
+        f"cast({u16('ifd')} as bigint) as n from f)")
+    ori = "cast(null as bigint)"
+    for j in range(entries):
+        entry = f"(ifd + {2 + 12 * j})"
+        ori = (f"coalesce({ori}, case when n is not null and {j} < n "
+               f"and {u16(entry)} = 274 "
+               f"then {u16(f'({entry} + 8)')} end)")
+    return ("with " + ", ".join(ctes)
+            + f" select image_id, coalesce({ori}, -1) as exif_orientation,"
+              f" case when {ori} is null then -1 "
+              f"when {ori} >= 5 then 1 else 0 end as needs_transpose "
+              "from g")
+
+
+def q_image_exif_orientation(spark, sf_dir):
+    """EXIF orientation from raw APP1/TIFF bytes over both byte orders
+    and shuffled IFD slots; -1 encodes 'absent' for both the value and
+    the transpose flag (nullable-bigint/boolean transport)."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.exif_orientation(_exif_images(docs)).selectExpr(
+        "image_id",
+        "coalesce(exif_orientation, -1) as exif_orientation",
+        "case when needs_transpose is null then -1 "
+        "when needs_transpose then 1 else 0 end as needs_transpose")
+
+
 def q_image_fetch_waves(spark, sf_dir):
     """Politeness-scheduled image GET waves (budget 3/host/iteration)
     over the crawl->fetch plan composite; the DuckDB twin wraps the
@@ -1634,10 +1759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 20 new r4 keys follow (incl. the image block), and 46
+    # first), the 21 new r4 keys follow (incl. the image block), and 47
     # previously-driver-green stable keys are parked past the window
-    # (listed at the bottom, starting at mm_frame_sample) — ALL 46
-    # must rotate back in-window for r5.
+    # (listed at the bottom, starting at mm_resize) — ALL 47 must
+    # rotate back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
         "stream_dedup_state": q_stream_dedup_state,
@@ -1688,15 +1813,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_gate": q_image_header_gate,
         "image_jpeg_dims": q_image_jpeg_dims,
         "image_fetch_waves": q_image_fetch_waves,
+        "image_exif_orientation": q_image_exif_orientation,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
         "mm_image_features": q_mm_image_features,
-        "mm_resize": q_mm_resize,
         # -- parked past the 50-entry window for r4 (all driver-green in a
         #    prior round, unchanged this round; MUST rotate back in-window
-        #    for r5; the boundary sits at mm_frame_sample — position 50 —
+        #    for r5; the boundary sits at mm_resize — position 50 —
         #    after the late-r4 image-op inserts above) ---------------------
+        "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
         "d1_bloom_anti_join": q_d1_bloom_anti_join,
         "d1_cuckoo_anti_join": q_d1_cuckoo_anti_join,
@@ -3242,6 +3368,9 @@ def oracle_sql() -> dict[str, str]:
         # JPEG walk twin: the SAME step snippets as the operator,
         # CTE-chained (see _duck_jpeg_walk_sql)
         "image_jpeg_dims": _duck_jpeg_walk_sql(_JPG_TABLE_SQL),
+        # EXIF twin: same snippets (segment walk + endian-conditional
+        # TIFF reads), CTE-chained (see _duck_exif_sql)
+        "image_exif_orientation": _duck_exif_sql(_EXIF_TABLE_SQL),
         # header-dims twin: re-parse the identical synthesized blobs
         # (hex-string slicing + '0x' casts vs Spark conv; same offsets)
         "image_header_dims": f"""

@@ -118,6 +118,7 @@ HEADLINE = [
     "image_header_gate",
     "image_jpeg_dims",
     "image_fetch_waves",
+    "image_exif_orientation",
 ]
 
 

@@ -947,6 +947,72 @@ class TestJpegSofDims:
         assert "Exchange" not in plan
 
 
+def _tiff_block(le, orientation=6, ori_slot=1, include_ori=True,
+                magic=42):
+    import struct
+    fmt = "<" if le else ">"
+    u16 = lambda v: struct.pack(fmt + "H", v)
+    u32 = lambda v: struct.pack(fmt + "I", v)
+    entry = lambda tag, typ, cnt, val4: u16(tag) + u16(typ) + u32(cnt) + val4
+    ents = [entry(0x010F, 2, 4, b"ABCD"),            # Make
+            entry(0x011A, 3, 1, u16(72) + b"\x00\x00")]  # XResolution
+    ori = (entry(0x0112, 3, 1, u16(orientation) + b"\x00\x00")
+           if include_ori else entry(0x0131, 2, 4, b"soft"))
+    ents.insert(ori_slot, ori)
+    ifd = u16(len(ents)) + b"".join(ents) + u32(0)
+    return (b"II" if le else b"MM") + u16(magic) + u32(8) + ifd
+
+
+def _exif_jpeg(tiff, pre=b""):
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xFF\xE1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    return b"\xFF\xD8" + _JFIF + pre + app1 + _jsof(10, 20)
+
+
+class TestExifOrientation:
+    def test_both_endians_and_slots(self, spark):
+        from xcrawl3r_spark.operators.images import exif_orientation
+
+        df = spark.createDataFrame(
+            [("ii-first", _exif_jpeg(_tiff_block(True, 6, ori_slot=0))),
+             ("mm-last", _exif_jpeg(_tiff_block(False, 8, ori_slot=2))),
+             ("ii-upright", _exif_jpeg(_tiff_block(True, 1))),
+             ("com-before-app1",
+              _exif_jpeg(_tiff_block(False, 3),
+                         pre=b"\xFF\xFE\x00\x04\x00\x00")),
+             ("no-ori-tag",
+              _exif_jpeg(_tiff_block(True, include_ori=False))),
+             ("bad-tiff-magic",
+              _exif_jpeg(_tiff_block(True, 6, magic=43))),
+             ("no-app1", b"\xFF\xD8" + _JFIF + _jsof(10, 20)),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["exif_orientation"],
+                               r["needs_transpose"])
+               for r in exif_orientation(df).collect()}
+        assert got["ii-first"] == (6, True)
+        assert got["mm-last"] == (8, True)
+        assert got["ii-upright"] == (1, False)
+        assert got["com-before-app1"] == (3, False)
+        for k in ("no-ori-tag", "bad-tiff-magic", "no-app1", "nulls"):
+            assert got[k] == (None, None)
+
+    def test_entry_budget_and_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import exif_orientation
+
+        jp = _exif_jpeg(_tiff_block(True, 6, ori_slot=2))
+        df = spark.createDataFrame(
+            [("a", jp)], "image_id string, bytes binary")
+        # orientation is the 3rd entry: budget 3 finds it, 2 does not
+        assert exif_orientation(df, max_entries=3).collect()[0][
+            "exif_orientation"] == 6
+        assert exif_orientation(df, max_entries=2).collect()[0][
+            "exif_orientation"] is None
+        plan = exif_orientation(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestCrossModalDups:
     def _df(self, spark, rows):
         return spark.createDataFrame(

@@ -1323,6 +1323,145 @@ def jpeg_sof_dims(
         hx, *[f"_jp{i}" for i in range(int(max_segments) + 1)])
 
 
+_EXIF_MAGIC_HEX = "457869660000"  # 'Exif\0\0'
+
+
+def exif_seg_step_sql(p: str, hex2int=spark_hex2int,
+                      hx: str = "hx") -> dict:
+    """One step of the APP1-hunting segment walk (same T.81 grammar as
+    :func:`jpeg_walk_step_sql`, different stop predicate: marker E1
+    whose payload opens with 'Exif\\0\\0'). ``tiff`` is the 1-based
+    byte position of the TIFF header ('II'/'MM') inside that
+    segment — payload byte p+4 is 'E', so TIFF starts at p+10."""
+    at = (lambda off, n:
+          f"substring({hx}, cast(2 * {p} - 1 + {off} as int), {n})")
+    valid = (f"({p} is not null and 2 * {p} + 6 <= length({hx}) "
+             f"and {at(0, 2)} = 'FF')")
+    is_exif = (f"({valid} and 2 * {p} + 20 <= length({hx}) "
+               f"and {at(2, 2)} = 'E1' "
+               f"and {at(8, 12)} = '{_EXIF_MAGIC_HEX}')")
+    return {
+        "is_exif": is_exif,
+        "tiff": f"{p} + 10",
+        "next": (f"case when {valid} and not {is_exif} "
+                 f"then {p} + 2 + {hex2int(at(4, 4))} end"),
+    }
+
+
+def exif_bound_sql(pos: str, nbytes: int, hx: str = "hx") -> str:
+    """True iff ``nbytes`` starting at 1-based byte ``pos`` lie inside
+    the hexed window — every TIFF read is wrapped in this so an
+    out-of-window offset parses NULL instead of erroring."""
+    return (f"(({pos}) is not null "
+            f"and 2 * (({pos}) + {nbytes} - 1) <= length({hx}))")
+
+
+def exif_u16_sql(pos: str, endian: str, hex2int=spark_hex2int,
+                 hx: str = "hx") -> str:
+    """Endian-conditional uint16 at byte ``pos`` (``endian`` is the
+    column holding '4949' for Intel little-endian / '4D4D' for
+    Motorola big-endian, straight from the TIFF header)."""
+    lo = f"substring({hx}, cast(2 * ({pos}) - 1 as int), 2)"
+    hi = f"substring({hx}, cast(2 * ({pos}) + 1 as int), 2)"
+    le = hex2int(f"concat({hi}, {lo})")
+    be = hex2int(f"concat({lo}, {hi})")
+    return (f"(case when not {exif_bound_sql(pos, 2, hx)} then null "
+            f"when {endian} = '4949' then {le} else {be} end)")
+
+
+def exif_u32_sql(pos: str, endian: str, hex2int=spark_hex2int,
+                 hx: str = "hx") -> str:
+    parts = [f"substring({hx}, cast(2 * ({pos}) - 1 + {2 * i} as int), 2)"
+             for i in range(4)]
+    le = hex2int(f"concat({', '.join(reversed(parts))})")
+    be = hex2int(f"concat({', '.join(parts)})")
+    return (f"(case when not {exif_bound_sql(pos, 4, hx)} then null "
+            f"when {endian} = '4949' then {le} else {be} end)")
+
+
+def exif_orientation(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    scan_bytes: int = 2048,
+    max_segments: int = 6,
+    max_entries: int = 12,
+) -> DataFrame:
+    """EXIF orientation (tag 0x0112, values 1-8) straight from the
+    bytes, no decode — the flag that says whether stored pixel rows
+    are rotated/mirrored relative to display orientation; a training
+    pipeline that ignores it feeds transposed images to the model.
+    Layout per the public EXIF/TIFF 6.0 specs: APP1 segment →
+    'Exif\\0\\0' → TIFF header (byte order, magic 42, IFD0 offset) →
+    IFD0 entry scan (12-byte entries: tag, type, count, value;
+    SHORT values sit left-justified in the 4-byte value field).
+
+    Both walks are UNROLLED (``max_segments`` marker hops, then
+    ``max_entries`` IFD entries) as flat guarded column expressions —
+    no UDF, whole-stage codegen, zero shuffle; both byte orders
+    ('II'/'MM') handled by endian-conditional reads. Anything absent,
+    truncated, or past a budget parses to NULL.
+
+    Appends (exif_orientation, needs_transpose) to the input —
+    needs_transpose is true for orientations 5-8 (the four values
+    that swap width and height on display)."""
+    hx = "_exf_hx"
+    out = (
+        images.withColumn(
+            hx, F.hex(F.substring(F.col(bytes_col), 1, int(scan_bytes))))
+        .withColumn(
+            "_exf0",
+            F.expr(f"case when length({hx}) >= 4 "
+                   f"and substring({hx}, 1, 4) = 'FFD8' "
+                   "then cast(3 as bigint) end"))
+        .withColumn("_exf_tiff", F.lit(None).cast("long"))
+    )
+    for i in range(int(max_segments)):
+        s = exif_seg_step_sql(f"_exf{i}", hx=hx)
+        out = (
+            out.withColumn(
+                "_exf_tiff",
+                F.expr(f"coalesce(_exf_tiff, case when {s['is_exif']} "
+                       f"then cast({s['tiff']} as bigint) end)"))
+            .withColumn(f"_exf{i + 1}",
+                        F.expr(f"cast({s['next']} as bigint)"))
+        )
+    end = "_exf_end"
+    u16 = lambda pos: exif_u16_sql(pos, end, hx=hx)
+    u32 = lambda pos: exif_u32_sql(pos, end, hx=hx)
+    out = (
+        out.withColumn(
+            end,
+            F.expr(f"case when {exif_bound_sql('_exf_tiff', 4, hx)} "
+                   f"and substring({hx}, cast(2 * _exf_tiff - 1 as int),"
+                   " 4) in ('4949', '4D4D') "
+                   f"then substring({hx}, "
+                   "cast(2 * _exf_tiff - 1 as int), 4) end"))
+        .withColumn(
+            "_exf_ifd",
+            F.expr(f"case when {u16('_exf_tiff + 2')} = 42 "
+                   f"then _exf_tiff + {u32('_exf_tiff + 4')} end")
+            .cast("long"))
+        .withColumn("_exf_n", F.expr(u16("_exf_ifd")).cast("long"))
+        .withColumn("exif_orientation", F.lit(None).cast("long"))
+    )
+    for j in range(int(max_entries)):
+        entry = f"(_exf_ifd + {2 + 12 * j})"
+        out = out.withColumn(
+            "exif_orientation",
+            F.expr(f"coalesce(exif_orientation, "
+                   f"case when _exf_n is not null and {j} < _exf_n "
+                   f"and {u16(entry)} = 274 "
+                   f"then {u16(f'({entry} + 8)')} end)"))
+    return (
+        out.withColumn(
+            "needs_transpose",
+            F.expr("case when exif_orientation is null then null "
+                   "else exif_orientation >= 5 end"))
+        .drop(hx, end, "_exf_tiff", "_exf_ifd", "_exf_n",
+              *[f"_exf{i}" for i in range(int(max_segments) + 1)])
+    )
+
+
 def vit_patch_tokens(
     images: DataFrame,
     patch: int = 14,
