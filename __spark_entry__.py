@@ -1218,6 +1218,23 @@ def q_image_exif_orientation(spark, sf_dir):
         "when needs_transpose then 1 else 0 end as needs_transpose")
 
 
+def q_image_display_dims(spark, sf_dir):
+    """Display-space dims (SOF pixel grid, w/h swapped when EXIF says
+    transposed) over the EXIF synthesis — its payloads carry BOTH a
+    real SOF and a real APP1; the twin joins the two walk twins on
+    image_id (both row-wise over the same table)."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.display_dims(_exif_images(docs)).selectExpr(
+        "image_id",
+        "coalesce(jpeg_w, -1) as jpeg_w",
+        "coalesce(jpeg_h, -1) as jpeg_h",
+        "coalesce(exif_orientation, -1) as exif_orientation",
+        "coalesce(display_w, -1) as display_w",
+        "coalesce(display_h, -1) as display_h")
+
+
 def q_image_fetch_waves(spark, sf_dir):
     """Politeness-scheduled image GET waves (budget 3/host/iteration)
     over the crawl->fetch plan composite; the DuckDB twin wraps the
@@ -1759,10 +1776,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 21 new r4 keys follow (incl. the image block), and 47
+    # first), the 22 new r4 keys follow (incl. the image block), and 48
     # previously-driver-green stable keys are parked past the window
-    # (listed at the bottom, starting at mm_resize) — ALL 47 must
-    # rotate back in-window for r5.
+    # (listed at the bottom, starting at mm_image_features) — ALL 48
+    # must rotate back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
         "stream_dedup_state": q_stream_dedup_state,
@@ -1814,14 +1831,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_jpeg_dims": q_image_jpeg_dims,
         "image_fetch_waves": q_image_fetch_waves,
         "image_exif_orientation": q_image_exif_orientation,
+        "image_display_dims": q_image_display_dims,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
-        "mm_image_features": q_mm_image_features,
         # -- parked past the 50-entry window for r4 (all driver-green in a
         #    prior round, unchanged this round; MUST rotate back in-window
-        #    for r5; the boundary sits at mm_resize — position 50 —
-        #    after the late-r4 image-op inserts above) ---------------------
+        #    for r5; the boundary sits at mm_image_features — position 50
+        #    — after the late-r4 image-op inserts above) -------------------
+        "mm_image_features": q_mm_image_features,
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
         "d1_bloom_anti_join": q_d1_bloom_anti_join,
@@ -3371,6 +3389,19 @@ def oracle_sql() -> dict[str, str]:
         # EXIF twin: same snippets (segment walk + endian-conditional
         # TIFF reads), CTE-chained (see _duck_exif_sql)
         "image_exif_orientation": _duck_exif_sql(_EXIF_TABLE_SQL),
+        # display-dims twin: the two walk twins joined on image_id
+        # (both row-wise over the same synthesized table); the swap
+        # uses the twin's -1-encoded transpose flag
+        "image_display_dims": f"""
+            with j as ({_duck_jpeg_walk_sql(_EXIF_TABLE_SQL)}),
+            x as ({_duck_exif_sql(_EXIF_TABLE_SQL)})
+            select j.image_id, j.jpeg_w, j.jpeg_h, x.exif_orientation,
+                   case when x.needs_transpose = 1 then j.jpeg_h
+                        else j.jpeg_w end as display_w,
+                   case when x.needs_transpose = 1 then j.jpeg_w
+                        else j.jpeg_h end as display_h
+            from j join x using (image_id)
+        """,
         # header-dims twin: re-parse the identical synthesized blobs
         # (hex-string slicing + '0x' casts vs Spark conv; same offsets)
         "image_header_dims": f"""

@@ -119,6 +119,7 @@ HEADLINE = [
     "image_jpeg_dims",
     "image_fetch_waves",
     "image_exif_orientation",
+    "image_display_dims",
 ]
 
 

@@ -1013,6 +1013,35 @@ class TestExifOrientation:
         assert "Exchange" not in plan
 
 
+class TestDisplayDims:
+    def test_transpose_swaps(self, spark):
+        from xcrawl3r_spark.operators.images import display_dims
+
+        df = spark.createDataFrame(
+            # _jsof stores 10 wide x 20 tall
+            [("rot90", _exif_jpeg(_tiff_block(True, 6))),
+             ("upright", _exif_jpeg(_tiff_block(True, 1))),
+             ("no-exif", b"\xFF\xD8" + _JFIF + _jsof(10, 20)),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["display_w"], r["display_h"])
+               for r in display_dims(df).collect()}
+        assert got["rot90"] == (20, 10)          # swapped
+        assert got["upright"] == (10, 20)
+        assert got["no-exif"] == (10, 20)        # absent EXIF = upright
+        assert got["nulls"] == (None, None)
+
+    def test_composite_stays_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import display_dims
+
+        df = spark.createDataFrame(
+            [("a", _exif_jpeg(_tiff_block(True, 6)))],
+            "image_id string, bytes binary")
+        plan = display_dims(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestCrossModalDups:
     def _df(self, spark, rows):
         return spark.createDataFrame(

@@ -1462,6 +1462,38 @@ def exif_orientation(
     )
 
 
+def display_dims(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Display-space dims from raw JPEG bytes: compose
+    :func:`jpeg_sof_dims` (stored pixel grid) with
+    :func:`exif_orientation` (rotation flag) and swap width/height
+    when the orientation says the stored rows are transposed (5-8).
+    This is THE number an AR-bucketing / resize stage must use — SDXL
+    bucketing on stored dims puts every portrait phone photo (stored
+    landscape + orientation 6) in the wrong bucket.
+
+    Both parses are row-wise over the same payload, so the composite
+    is still one zero-shuffle map-side projection. An image with dims
+    but no EXIF keeps its stored dims (orientation absent = upright
+    by convention); no dims at all stays NULL.
+
+    Appends (jpeg_w, jpeg_h, exif_orientation, needs_transpose,
+    display_w, display_h)."""
+    out = exif_orientation(
+        jpeg_sof_dims(images, bytes_col=bytes_col), bytes_col=bytes_col)
+    swap = F.coalesce(F.col("needs_transpose"), F.lit(False))
+    return (
+        out.withColumn(
+            "display_w",
+            F.when(swap, F.col("jpeg_h")).otherwise(F.col("jpeg_w")))
+        .withColumn(
+            "display_h",
+            F.when(swap, F.col("jpeg_w")).otherwise(F.col("jpeg_h")))
+    )
+
+
 def vit_patch_tokens(
     images: DataFrame,
     patch: int = 14,
