@@ -3391,10 +3391,13 @@ def oracle_sql() -> dict[str, str]:
         "image_exif_orientation": _duck_exif_sql(_EXIF_TABLE_SQL),
         # display-dims twin: the two walk twins joined on image_id
         # (both row-wise over the same synthesized table); the swap
-        # uses the twin's -1-encoded transpose flag
+        # uses the twin's -1-encoded transpose flag. Budgets match
+        # display_dims' codegen-safe defaults (6 JPEG hops, 4 EXIF
+        # hops, 8 entries) — the synthesis keeps the SOF, APP1 and
+        # orientation tag well inside all three.
         "image_display_dims": f"""
-            with j as ({_duck_jpeg_walk_sql(_EXIF_TABLE_SQL)}),
-            x as ({_duck_exif_sql(_EXIF_TABLE_SQL)})
+            with j as ({_duck_jpeg_walk_sql(_EXIF_TABLE_SQL, steps=6)}),
+            x as ({_duck_exif_sql(_EXIF_TABLE_SQL, steps=4, entries=8)})
             select j.image_id, j.jpeg_w, j.jpeg_h, x.exif_orientation,
                    case when x.needs_transpose = 1 then j.jpeg_h
                         else j.jpeg_w end as display_w,

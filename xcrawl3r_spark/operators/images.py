@@ -1465,6 +1465,9 @@ def exif_orientation(
 def display_dims(
     images: DataFrame,
     bytes_col: str = "bytes",
+    jpeg_segments: int = 6,
+    exif_segments: int = 4,
+    exif_entries: int = 8,
 ) -> DataFrame:
     """Display-space dims from raw JPEG bytes: compose
     :func:`jpeg_sof_dims` (stored pixel grid) with
@@ -1479,10 +1482,25 @@ def display_dims(
     but no EXIF keeps its stored dims (orientation absent = upright
     by convention); no dims at all stays NULL.
 
+    The composite runs with REDUCED budgets (6 JPEG hops, 4 EXIF
+    hops, 8 IFD entries) by default: the fully-fused stage at both
+    walks' standalone budgets (8 + 6/12) generates a projection method
+    past janino's 64 KB whole-stage-codegen limit and Spark silently
+    drops the stage to interpreted execution (measured via noop-write
+    + 'disabled for plan' log scan; 6/4/8 compiles even with an extra
+    upstream projection fused in). Little is lost: the EXIF APP1 is
+    the FIRST segment after SOI by spec convention, tags ascend so
+    0x0112 Orientation sits within the first few entries, and a SOF
+    deeper than 6 segments is rare — raise the budgets only where the
+    corpus proves otherwise, and expect that stage to run interpreted.
+
     Appends (jpeg_w, jpeg_h, exif_orientation, needs_transpose,
     display_w, display_h)."""
     out = exif_orientation(
-        jpeg_sof_dims(images, bytes_col=bytes_col), bytes_col=bytes_col)
+        jpeg_sof_dims(images, bytes_col=bytes_col,
+                      max_segments=jpeg_segments),
+        bytes_col=bytes_col, max_segments=exif_segments,
+        max_entries=exif_entries)
     swap = F.coalesce(F.col("needs_transpose"), F.lit(False))
     return (
         out.withColumn(
