@@ -944,18 +944,32 @@ def _le_hex_sql(v: str, nbytes: int) -> str:
     return f"concat({parts})"
 
 
+_HDR_RIFF = "'52494646', '64000000', '57454250'"
 _HDR_PAYLOAD_HEX = (
-    "case doc_id % 4 "
+    "case doc_id % 7 "
     "when 0 then concat('89504E470D0A1A0A0000000D49484452', "
     f"printf('%08X', {_HDR_HW}), printf('%08X', {_HDR_HH}), '00') "
     f"when 1 then concat('474946383961', {_le_hex_sql(_HDR_HW, 2)}, "
     f"{_le_hex_sql(_HDR_HH, 2)}) "
     "when 2 then concat('424D000000000000000000000000', '28000000', "
     f"{_le_hex_sql(_HDR_HW, 4)}, {_le_hex_sql(_HDR_HH, 4)}) "
+    # webp-vp8: 14-bit dims — the 60000x60000 bomb rows WRAP to
+    # 11216 (60000 % 16384) identically on both engines and land as
+    # dims_mismatch instead of bomb (a real VP8 can't claim >16383)
+    f"when 3 then concat({_HDR_RIFF}, '56503820', '64000000', "
+    f"'000000', '9D012A', {_le_hex_sql(f'({_HDR_HW} % 16384)', 2)}, "
+    f"{_le_hex_sql(f'({_HDR_HH} % 16384)', 2)}) "
+    f"when 4 then concat({_HDR_RIFF}, '5650384C', '19000000', '2F', "
+    f"{_le_hex_sql(f'(({_HDR_HW} - 1) % 16384 + (({_HDR_HH} - 1) % 16384) * 16384)', 4)}, "
+    "'0000000000') "
+    f"when 5 then concat({_HDR_RIFF}, '56503858', '0A000000', "
+    f"'00000000', {_le_hex_sql(f'({_HDR_HW} - 1)', 3)}, "
+    f"{_le_hex_sql(f'({_HDR_HH} - 1)', 3)}) "
     "else 'FFD8FFE000104A464946' end")
 
-_HDR_FMT = ("case doc_id % 4 when 0 then 'png' when 1 then 'gif' "
-            "when 2 then 'bmp' else 'jpeg' end")
+_HDR_FMT = ("case doc_id % 7 when 0 then 'png' when 1 then 'gif' "
+            "when 2 then 'bmp' when 3 then 'webp' when 4 then 'webp' "
+            "when 5 then 'webp' else 'jpeg' end")
 
 
 def _header_images(docs):
@@ -1003,6 +1017,13 @@ _DUCK_BMP_OK = "(n >= 26 and substring(hx, 1, 4) = '424D')"
 _DUCK_BMP_H = (f"abs(case when {_duck_le_sql(23, 4)} >= 2147483648 "
                f"then {_duck_le_sql(23, 4)} - 4294967296 "
                f"else {_duck_le_sql(23, 4)} end)")
+_DUCK_RIFF = ("(n >= 30 and substring(hx, 1, 8) = '52494646' "
+              "and substring(hx, 17, 8) = '57454250')")
+_DUCK_VP8_OK = (f"({_DUCK_RIFF} and substring(hx, 25, 8) = '56503820' "
+                "and substring(hx, 47, 6) = '9D012A')")
+_DUCK_VP8L_OK = (f"({_DUCK_RIFF} and substring(hx, 25, 8) = '5650384C' "
+                 "and substring(hx, 41, 2) = '2F')")
+_DUCK_VP8X_OK = f"({_DUCK_RIFF} and substring(hx, 25, 8) = '56503858')"
 _DUCK_HDR_PARSE_SQL = f"""
     with base as ({_HDR_TABLE_SQL}),
     hxt as (
@@ -1012,14 +1033,24 @@ _DUCK_HDR_PARSE_SQL = f"""
     select image_id, fmt, w, h, bytes,
            case when {_DUCK_PNG_OK} then 'png'
                 when {_DUCK_GIF_OK} then 'gif'
-                when {_DUCK_BMP_OK} then 'bmp' end as header_fmt,
+                when {_DUCK_BMP_OK} then 'bmp'
+                when {_DUCK_VP8_OK} or {_DUCK_VP8L_OK}
+                  or {_DUCK_VP8X_OK} then 'webp' end as header_fmt,
            cast(case when {_DUCK_PNG_OK} then {_duck_be_sql(17, 4)}
                 when {_DUCK_GIF_OK} then {_duck_le_sql(7, 2)}
-                when {_DUCK_BMP_OK} then {_duck_le_sql(19, 4)} end
+                when {_DUCK_BMP_OK} then {_duck_le_sql(19, 4)}
+                when {_DUCK_VP8_OK} then {_duck_le_sql(27, 2)} % 16384
+                when {_DUCK_VP8L_OK} then
+                  {_duck_le_sql(22, 4)} % 16384 + 1
+                when {_DUCK_VP8X_OK} then {_duck_le_sql(25, 3)} + 1 end
              as bigint) as header_w,
            cast(case when {_DUCK_PNG_OK} then {_duck_be_sql(21, 4)}
                 when {_DUCK_GIF_OK} then {_duck_le_sql(9, 2)}
-                when {_DUCK_BMP_OK} then {_DUCK_BMP_H} end
+                when {_DUCK_BMP_OK} then {_DUCK_BMP_H}
+                when {_DUCK_VP8_OK} then {_duck_le_sql(29, 2)} % 16384
+                when {_DUCK_VP8L_OK} then
+                  ({_duck_le_sql(22, 4)} // 16384) % 16384 + 1
+                when {_DUCK_VP8X_OK} then {_duck_le_sql(28, 3)} + 1 end
              as bigint) as header_h
     from hxt
 """

@@ -787,7 +787,54 @@ def _bmp_hdr(w, h):
     return (b"BM" + b"\x00" * 12 + le32(40) + le32(w) + le32(h))
 
 
+def _webp(chunk_hex):
+    body = bytes.fromhex(chunk_hex)
+    out = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+    return out + b"\x00" * max(0, 30 - len(out))  # pad to the window
+
+
+def _webp_vp8(w, h, scale_bits=0):
+    le16 = lambda v: (v & 0xFFFF).to_bytes(2, "little").hex()
+    return _webp("56503820" + "64000000" + "000000" + "9D012A"
+                 + le16(w | (scale_bits << 14)) + le16(h))
+
+
+def _webp_vp8l(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    return _webp("5650384C" + "19000000" + "2F"
+                 + bits.to_bytes(4, "little").hex())
+
+
+def _webp_vp8x(w, h):
+    le24 = lambda v: v.to_bytes(3, "little").hex()
+    return _webp("56503858" + "0A000000" + "00" + "000000"
+                 + le24(w - 1) + le24(h - 1))
+
+
 class TestParseHeaderDims:
+    def test_webp_all_three_codecs(self, spark):
+        from xcrawl3r_spark.operators.images import parse_header_dims
+
+        df = spark.createDataFrame(
+            # scale_bits must be masked off the VP8 14-bit dims
+            [("vp8", _webp_vp8(640, 480, scale_bits=1)),
+             ("vp8l", _webp_vp8l(1, 16384)),   # extremes of the packing
+             ("vp8x", _webp_vp8x(10000, 5000)),
+             ("vp8-bad-sync", _webp("56503820" + "64000000"
+                                    + "000000" + "9D012B"
+                                    + "8002" + "E001")),
+             ("riff-not-webp",
+              b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"\x00" * 18)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["header_fmt"], r["header_w"],
+                               r["header_h"])
+               for r in parse_header_dims(df).collect()}
+        assert got["vp8"] == ("webp", 640, 480)
+        assert got["vp8l"] == ("webp", 1, 16384)
+        assert got["vp8x"] == ("webp", 10000, 5000)
+        assert got["vp8-bad-sync"] == (None, None, None)
+        assert got["riff-not-webp"] == (None, None, None)
+
     def test_all_three_layouts(self, spark):
         from xcrawl3r_spark.operators.images import parse_header_dims
 

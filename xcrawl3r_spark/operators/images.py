@@ -1105,7 +1105,7 @@ def parse_header_dims(
 ) -> DataFrame:
     """Width/height straight from the payload's container header, no
     decode — the cheap truth source an image crawl checks declared dims
-    against before spending decode cycles (all three layouts are public
+    against before spending decode cycles (all layouts are public
     file-format specs):
 
     - PNG: 8-byte signature, then the IHDR chunk — width/height are
@@ -1115,12 +1115,15 @@ def parse_header_dims(
     - BMP ('BM' + BITMAPINFOHEADER, the common case): width at bytes
       19-22, height at 23-26, little-endian int32 — height is SIGNED
       (negative = top-down row order) so it decodes two's-complement
-      then abs.
+      then abs;
+    - WEBP: RIFF container, all three first-chunk codecs — VP8 lossy
+      (sync-checked 14-bit LE dims), VP8L lossless (packed
+      (w-1)|(h-1)<<14 LE32), VP8X extended (LE24 canvas-1).
 
-    JPEG/WEBP need a segment walk, not a fixed offset — they parse to
-    NULL here (``header_fmt`` NULL), as do NULL/short payloads.
+    JPEG needs a marker walk, not a fixed offset — it parses to NULL
+    here (use :func:`jpeg_sof_dims`), as do NULL/short payloads.
 
-    Only the first 26 payload bytes are hexed; pure map-side
+    Only the first 30 payload bytes are hexed; pure map-side
     projection, zero shuffle, no UDF — at 10^10 images this rides the
     scan. Appends (header_fmt, header_w, header_h) to the input
     columns."""
@@ -1136,24 +1139,50 @@ def parse_header_dims(
     bmp_h_raw = _hex_le(hx, 23, 4)
     bmp_h = (f"abs(case when {bmp_h_raw} >= 2147483648 "
              f"then {bmp_h_raw} - 4294967296 else {bmp_h_raw} end)")
+    # WEBP (RIFF....WEBP + first chunk), per the public container and
+    # VP8/VP8L/VP8X bitstream specs. All three codecs covered:
+    # - VP8  (lossy): sync 9D 01 2A at payload+3, then two LE16s whose
+    #   low 14 bits are the dims (% 16384 == & 0x3FFF);
+    # - VP8L (lossless): 0x2F sig, then a packed LE32 carrying
+    #   (w-1) | (h-1)<<14 — decoded with % / div (engine-neutral);
+    # - VP8X (extended): LE24 canvas_w-1 / canvas_h-1.
+    riff = (f"(octet_length({b}) >= 30 "
+            f"and substring({hx}, 1, 8) = '52494646' "
+            f"and substring({hx}, 17, 8) = '57454250')")
+    cc = f"substring({hx}, 25, 8)"
+    vp8_ok = (f"({riff} and {cc} = '56503820' "
+              f"and substring({hx}, 47, 6) = '9D012A')")
+    vp8l_ok = (f"({riff} and {cc} = '5650384C' "
+               f"and substring({hx}, 41, 2) = '2F')")
+    vp8x_ok = f"({riff} and {cc} = '56503858')"
+    vp8l_bits = _hex_le(hx, 22, 4)
     return (
         images.withColumn(
-            hx, F.hex(F.substring(F.col(b), 1, 26)))
+            hx, F.hex(F.substring(F.col(b), 1, 30)))
         .withColumn(
             "header_fmt",
             F.expr(f"case when {png_ok} then 'png' "
                    f"when {gif_ok} then 'gif' "
-                   f"when {bmp_ok} then 'bmp' end"))
+                   f"when {bmp_ok} then 'bmp' "
+                   f"when {vp8_ok} or {vp8l_ok} or {vp8x_ok} "
+                   "then 'webp' end"))
         .withColumn(
             "header_w",
             F.expr(f"case when {png_ok} then {_hex_be(hx, 17, 4)} "
                    f"when {gif_ok} then {_hex_le(hx, 7, 2)} "
-                   f"when {bmp_ok} then {_hex_le(hx, 19, 4)} end"))
+                   f"when {bmp_ok} then {_hex_le(hx, 19, 4)} "
+                   f"when {vp8_ok} then {_hex_le(hx, 27, 2)} % 16384 "
+                   f"when {vp8l_ok} then {vp8l_bits} % 16384 + 1 "
+                   f"when {vp8x_ok} then {_hex_le(hx, 25, 3)} + 1 end"))
         .withColumn(
             "header_h",
             F.expr(f"case when {png_ok} then {_hex_be(hx, 21, 4)} "
                    f"when {gif_ok} then {_hex_le(hx, 9, 2)} "
-                   f"when {bmp_ok} then {bmp_h} end"))
+                   f"when {bmp_ok} then {bmp_h} "
+                   f"when {vp8_ok} then {_hex_le(hx, 29, 2)} % 16384 "
+                   f"when {vp8l_ok} then "
+                   f"({vp8l_bits} div 16384) % 16384 + 1 "
+                   f"when {vp8x_ok} then {_hex_le(hx, 28, 3)} + 1 end"))
         .drop(hx)
     )
 
