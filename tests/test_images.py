@@ -1089,6 +1089,90 @@ class TestDisplayDims:
         assert "Exchange" not in plan
 
 
+class TestByteParserFuzz:
+    """Seeded-random round-trips: payloads built INDEPENDENTLY with
+    Python struct/int.to_bytes (not the SQL synthesis) must parse back
+    to exactly the dims/orientation they encode — one Spark run per
+    parser family over a few hundred cases."""
+
+    def test_header_dims_roundtrip(self, spark):
+        from xcrawl3r_spark.operators.images import parse_header_dims
+
+        rng = np.random.default_rng(42)
+        cases, expect = [], {}
+        # pinned extremes land on png/gif/bmp (i % 7 = 0,1,2) — the
+        # formats whose fields hold 16-bit+ values; webp rows stay in
+        # the random range, which fits every format's field width
+        pinned = [(1, 1), (16383, 16383), (65535, 1)]
+        for i in range(160):
+            w, h = (pinned[i] if i < len(pinned) else
+                    (int(rng.integers(1, 16384)),
+                     int(rng.integers(1, 16384))))
+            k = i % 7
+            if k == 0:
+                b, f = _png_hdr(w, h), "png"
+            elif k == 1:
+                b, f = _gif_hdr(w, h), "gif"
+            elif k == 2:
+                b, f = _bmp_hdr(w, h if i % 2 else -h), "bmp"
+            elif k == 3:
+                b, f = _webp_vp8(w, h, scale_bits=i % 4), "webp"
+            elif k == 4:
+                b, f = _webp_vp8l(w, h), "webp"
+            elif k == 5:
+                b, f = _webp_vp8x(w, h), "webp"
+            else:
+                # garbage: first byte 0x00 matches no magic
+                b = b"\x00" + bytes(rng.integers(0, 256, 29,
+                                                 dtype=np.uint8))
+                f, w, h = None, None, None
+            cid = f"c{i}"
+            cases.append((cid, b))
+            expect[cid] = (f, w, h)
+        df = spark.createDataFrame(cases, "image_id string, bytes binary")
+        for r in parse_header_dims(df).collect():
+            assert (r["header_fmt"], r["header_w"], r["header_h"]) \
+                == expect[r["image_id"]], r["image_id"]
+
+    def test_jpeg_and_exif_roundtrip(self, spark):
+        from xcrawl3r_spark.operators.images import (
+            exif_orientation, jpeg_sof_dims)
+
+        rng = np.random.default_rng(7)
+        fillers = [lambda n: _jseg(0xE0, b"JFIF\x00" + b"\x00" * n),
+                   lambda n: _jseg(0xDB, b"\x00" * n),
+                   lambda n: _jseg(0xFE, b"\x00" * n),
+                   lambda n: _jseg(0xC4, b"\x00" * n)]
+        cases, expect = [], {}
+        for i in range(120):
+            w = int(rng.integers(1, 65536))
+            h = int(rng.integers(1, 65536))
+            ori = int(rng.integers(1, 9))
+            le = bool(rng.integers(0, 2))
+            slot = int(rng.integers(0, 3))
+            n_fill = int(rng.integers(0, 4))
+            body = b"\xFF\xD8"
+            # EXIF APP1 within the first 2 segments (spec convention)
+            body += fillers[0](int(rng.integers(0, 40)))
+            tiff = _tiff_block(le, ori, ori_slot=slot)
+            payload = b"Exif\x00\x00" + tiff
+            body += (b"\xFF\xE1" + (len(payload) + 2).to_bytes(2, "big")
+                     + payload)
+            for _ in range(n_fill):
+                body += fillers[int(rng.integers(1, 4))](
+                    int(rng.integers(0, 50)))
+            marker = [0xC0, 0xC1, 0xC2][int(rng.integers(0, 3))]
+            body += _jsof(w, h, marker)
+            cid = f"j{i}"
+            cases.append((cid, body))
+            expect[cid] = (w, h, ori)
+        df = spark.createDataFrame(cases, "image_id string, bytes binary")
+        out = exif_orientation(jpeg_sof_dims(df))
+        for r in out.collect():
+            assert (r["jpeg_w"], r["jpeg_h"], r["exif_orientation"]) \
+                == expect[r["image_id"]], r["image_id"]
+
+
 class TestCrossModalDups:
     def _df(self, spark, rows):
         return spark.createDataFrame(
