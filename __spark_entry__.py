@@ -1266,6 +1266,105 @@ def q_image_display_dims(spark, sf_dir):
         "coalesce(display_h, -1) as display_h")
 
 
+# PNG chunk-scan synthesis: real chunk grammar (CRCs are zeros — the
+# walk never validates them), %4==1 rows carry iCCP, %3!=0 rows pHYs
+# with doc_id-dependent density, %5==0 rows the APNG acTL, %13 rows
+# aren't PNG, %11 rows have no payload.
+_PNG_IHDR_FULL = ("'89504E470D0A1A0A', '0000000D49484452', "
+                  f"printf('%08X', {_HDR_W}), printf('%08X', {_HDR_H}), "
+                  "'0806000000', '00000000'")
+_PNG_SYNTH_HEX = (
+    f"concat({_PNG_IHDR_FULL}, "
+    "case when doc_id % 4 = 1 then "
+    "concat('0000000569434350', '6963630000', '00000000') else '' end, "
+    "case when doc_id % 3 != 0 then concat('0000000970485973', "
+    "printf('%08X', 2835 + doc_id % 100), "
+    "printf('%08X', 2835 + (doc_id * 3) % 100), '01', '00000000') "
+    "else '' end, "
+    "case when doc_id % 5 = 0 then concat('000000086163544C', "
+    "printf('%08X', 2 + doc_id % 30), '00000000', '00000000') "
+    "else '' end, "
+    "'0000000449444154', '00000000', '00000000')")
+_PNG_SCAN_PAYLOAD_HEX = (
+    f"case when doc_id % 13 = 0 then 'FFD8FFE000104A464946' "
+    f"else {_PNG_SYNTH_HEX} end")
+
+
+def _png_scan_images(docs):
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"case when doc_id % 11 = 0 then null "
+        f"else unhex({_PNG_SCAN_PAYLOAD_HEX}) end as bytes",
+    )
+
+
+#: DuckDB twin of _png_scan_images
+_PNG_SCAN_TABLE_SQL = (
+    f"select concat('img-', doc_id) as image_id, "
+    f"case when doc_id % 11 = 0 then null "
+    f"else from_hex({_PNG_SCAN_PAYLOAD_HEX}) end as bytes from documents"
+)
+
+
+def _duck_png_scan_sql(table_sql: str, chunks: int = 6) -> str:
+    """DuckDB twin of operators/images.py png_chunk_scan: the SAME
+    chunk-step snippets, CTE-chained with '0x' casts."""
+    from xcrawl3r_spark.operators.images import png_chunk_step_sql
+
+    def d(x):
+        return f"(('0x' || {x})::bigint)"
+
+    ctes = [
+        f"base as ({table_sql})",
+        "s0 as (select image_id, hex(bytes) as hx, "
+        "case when length(hex(bytes)) >= 16 and "
+        "substring(hex(bytes), 1, 16) = '89504E470D0A1A0A' "
+        "then 9 end as p0, "
+        "cast(null as bigint) as px, cast(null as bigint) as py, "
+        "cast(null as bigint) as pu, cast(null as bigint) as af, "
+        "false as icc from base)",
+    ]
+    for i in range(chunks):
+        s = png_chunk_step_sql(f"p{i}", d)
+        ctes.append(
+            f"s{i + 1} as (select image_id, hx, "
+            f"coalesce(px, case when {s['is_phys']} "
+            f"then {s['phys_x']} end) as px, "
+            f"coalesce(py, case when {s['is_phys']} "
+            f"then {s['phys_y']} end) as py, "
+            f"coalesce(pu, case when {s['is_phys']} "
+            f"then {s['phys_unit']} end) as pu, "
+            f"coalesce(af, case when {s['is_actl']} "
+            f"then {s['actl_frames']} end) as af, "
+            f"icc or coalesce({s['is_iccp']}, false) as icc, "
+            f"cast({s['next']} as bigint) as p{i + 1}, p0 from s{i})")
+    return ("with " + ", ".join(ctes)
+            + " select image_id, coalesce(px, -1) as phys_x_ppu, "
+              "coalesce(py, -1) as phys_y_ppu, "
+              "coalesce(pu, -1) as phys_unit, "
+              "coalesce(af, -1) as apng_frames, "
+              "case when p0 is null then -1 "
+              "when icc then 1 else 0 end as has_icc "
+              f"from s{chunks}")
+
+
+def q_image_png_scan(spark, sf_dir):
+    """PNG chunk-walk curation signals (pHYs density, APNG animation,
+    ICC presence) over real-grammar synthesized chunks; -1 encodes
+    absent (nullable transport), has_icc is -1/0/1."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.png_chunk_scan(_png_scan_images(docs)).selectExpr(
+        "image_id",
+        "coalesce(phys_x_ppu, -1) as phys_x_ppu",
+        "coalesce(phys_y_ppu, -1) as phys_y_ppu",
+        "coalesce(phys_unit, -1) as phys_unit",
+        "coalesce(apng_frames, -1) as apng_frames",
+        "case when has_icc is null then -1 "
+        "when has_icc then 1 else 0 end as has_icc")
+
+
 def q_image_fetch_waves(spark, sf_dir):
     """Politeness-scheduled image GET waves (budget 3/host/iteration)
     over the crawl->fetch plan composite; the DuckDB twin wraps the
@@ -1807,9 +1906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 22 new r4 keys follow (incl. the image block), and 48
+    # first), the 23 new r4 keys follow (incl. the image block), and 49
     # previously-driver-green stable keys are parked past the window
-    # (listed at the bottom, starting at mm_image_features) — ALL 48
+    # (listed at the bottom, starting at e7_image_verify) — ALL 49
     # must rotate back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
@@ -1863,13 +1962,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_fetch_waves": q_image_fetch_waves,
         "image_exif_orientation": q_image_exif_orientation,
         "image_display_dims": q_image_display_dims,
+        "image_png_scan": q_image_png_scan,
         # -- r3-green keys kept in-window this round -----------------------
         "dedup_substring_spans": q_dedup_substring_spans,
-        "e7_image_verify": q_e7_image_verify,
         # -- parked past the 50-entry window for r4 (all driver-green in a
         #    prior round, unchanged this round; MUST rotate back in-window
-        #    for r5; the boundary sits at mm_image_features — position 50
-        #    — after the late-r4 image-op inserts above) -------------------
+        #    for r5; the boundary sits at e7_image_verify — position 50 —
+        #    after the late-r4 image-op inserts above) ---------------------
+        "e7_image_verify": q_e7_image_verify,
         "mm_image_features": q_mm_image_features,
         "mm_resize": q_mm_resize,
         "mm_frame_sample": q_mm_frame_sample,
@@ -3420,6 +3520,9 @@ def oracle_sql() -> dict[str, str]:
         # EXIF twin: same snippets (segment walk + endian-conditional
         # TIFF reads), CTE-chained (see _duck_exif_sql)
         "image_exif_orientation": _duck_exif_sql(_EXIF_TABLE_SQL),
+        # PNG chunk-scan twin: same step snippets (see
+        # _duck_png_scan_sql)
+        "image_png_scan": _duck_png_scan_sql(_PNG_SCAN_TABLE_SQL),
         # display-dims twin: the two walk twins joined on image_id
         # (both row-wise over the same synthesized table); the swap
         # uses the twin's -1-encoded transpose flag. Budgets match

@@ -120,6 +120,7 @@ HEADLINE = [
     "image_fetch_waves",
     "image_exif_orientation",
     "image_display_dims",
+    "image_png_scan",
 ]
 
 

@@ -1089,6 +1089,77 @@ class TestDisplayDims:
         assert "Exchange" not in plan
 
 
+def _png_chunk(typ, data):
+    import zlib
+    return (len(data).to_bytes(4, "big") + typ
+            + data + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+
+def _png_file(*chunks, ihdr_dims=(8, 8)):
+    w, h = ihdr_dims
+    ihdr = _png_chunk(
+        b"IHDR", w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 0]))
+    idat = _png_chunk(b"IDAT", b"\x00" * 4)
+    return (bytes.fromhex("89504E470D0A1A0A") + ihdr
+            + b"".join(chunks) + idat)
+
+
+_PHYS = _png_chunk(b"pHYs", (2835).to_bytes(4, "big")
+                   + (5670).to_bytes(4, "big") + b"\x01")
+_ACTL = _png_chunk(b"acTL", (24).to_bytes(4, "big")
+                   + (0).to_bytes(4, "big"))
+_ICCP = _png_chunk(b"iCCP", b"icc\x00\x00" + b"\x00" * 6)
+
+
+class TestPngChunkScan:
+    def test_signals(self, spark):
+        from xcrawl3r_spark.operators.images import png_chunk_scan
+
+        df = spark.createDataFrame(
+            [("phys", _png_file(_PHYS)),
+             ("apng-icc", _png_file(_ICCP, _ACTL)),
+             ("plain", _png_file()),
+             ("all", _png_file(_ICCP, _PHYS, _ACTL)),
+             ("not-png", b"\xFF\xD8" + _JFIF),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: r for r in png_chunk_scan(df).collect()}
+        assert (got["phys"]["phys_x_ppu"], got["phys"]["phys_y_ppu"],
+                got["phys"]["phys_unit"]) == (2835, 5670, 1)
+        assert got["phys"]["apng_frames"] is None
+        assert got["phys"]["has_icc"] is False
+        assert (got["apng-icc"]["apng_frames"],
+                got["apng-icc"]["has_icc"]) == (24, True)
+        assert (got["plain"]["phys_x_ppu"], got["plain"]["apng_frames"],
+                got["plain"]["has_icc"]) == (None, None, False)
+        assert (got["all"]["phys_x_ppu"], got["all"]["apng_frames"],
+                got["all"]["has_icc"]) == (2835, 24, True)
+        for k in ("not-png", "nulls"):
+            assert (got[k]["phys_x_ppu"], got[k]["apng_frames"],
+                    got[k]["has_icc"]) == (None, None, None)
+
+    def test_walk_stops_at_idat(self, spark):
+        from xcrawl3r_spark.operators.images import png_chunk_scan
+
+        # pHYs placed AFTER IDAT (spec-invalid) must not be found —
+        # the walk stops at the first IDAT
+        body = _png_file() + _PHYS
+        df = spark.createDataFrame(
+            [("late", body)], "image_id string, bytes binary")
+        out = png_chunk_scan(df).collect()[0]
+        assert out["phys_x_ppu"] is None
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import png_chunk_scan
+
+        df = spark.createDataFrame(
+            [("a", _png_file(_PHYS))], "image_id string, bytes binary")
+        plan = png_chunk_scan(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestByteParserFuzz:
     """Seeded-random round-trips: payloads built INDEPENDENTLY with
     Python struct/int.to_bytes (not the SQL synthesis) must parse back

@@ -1541,6 +1541,111 @@ def display_dims(
     )
 
 
+def png_chunk_step_sql(p: str, hex2int=spark_hex2int,
+                       hx: str = "hx") -> dict:
+    """One step of the PNG chunk walk as engine-neutral SQL over a
+    hex-string column (chunk grammar per the PNG spec: ``length BE32 +
+    type(4) + data + CRC32`` → hop = 12 + length). Returns the
+    snippets for the three curation signals: pHYs (physical pixel
+    density: x/y pixels-per-unit BE32 + unit byte), acTL (the APNG
+    animation control chunk: frame count BE32 — its presence IS the
+    animated flag), and iCCP presence. All reads are length-guarded
+    like the EXIF walk (see :func:`exif_bound_sql`)."""
+    at = (lambda off, n:
+          f"substring({hx}, cast(2 * {p} - 1 + {off} as int), {n})")
+    valid = f"({exif_bound_sql(p, 8, hx)})"
+    typ = at(8, 8)  # chunk type, bytes p+4..p+7
+    return {
+        "valid": valid,
+        "is_phys": f"({valid} and {typ} = '70485973' "
+                   f"and {exif_bound_sql(p, 17, hx)})",
+        "is_actl": f"({valid} and {typ} = '6163544C' "
+                   f"and {exif_bound_sql(p, 12, hx)})",
+        "is_iccp": f"({valid} and {typ} = '69434350')",
+        "is_idat": f"({valid} and {typ} = '49444154')",
+        "phys_x": hex2int(at(16, 8)),
+        "phys_y": hex2int(at(24, 8)),
+        "phys_unit": hex2int(at(32, 2)),
+        "actl_frames": hex2int(at(16, 8)),
+        "next": (f"case when {valid} and not ({valid} "
+                 f"and {typ} = '49444154') "
+                 f"then {p} + 12 + {hex2int(at(0, 8))} end"),
+    }
+
+
+def png_chunk_scan(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    scan_bytes: int = 512,
+    max_chunks: int = 6,
+) -> DataFrame:
+    """PNG metadata curation signals without a decode, via the chunk
+    walk (every ancillary chunk that matters sits BEFORE the first
+    IDAT by spec, so the walk stops there):
+
+    - ``phys_x_ppu/phys_y_ppu/phys_unit`` — the pHYs physical density
+      (unit 1 = per metre; 2835 ppm ≈ 72 DPI): screenshots and print
+      scans separate on this;
+    - ``apng_frames`` — acTL frame count; non-NULL means ANIMATED
+      (APNG), which an image-training pipeline excludes or
+      frame-samples rather than feeding as a still;
+    - ``has_icc`` — iCCP profile presence (color-managed source).
+
+    Unrolled ``max_chunks`` hops over the first ``scan_bytes`` bytes,
+    guarded, zero shuffle, no UDF — same posture as the JPEG/EXIF
+    walks; signals deeper than the window or budget read NULL/false.
+
+    Appends (phys_x_ppu, phys_y_ppu, phys_unit, apng_frames,
+    has_icc)."""
+    hx = "_pngx_hx"
+    out = (
+        images.withColumn(
+            hx, F.hex(F.substring(F.col(bytes_col), 1, int(scan_bytes))))
+        .withColumn(
+            "_png0",
+            F.expr(f"case when length({hx}) >= 16 "
+                   f"and substring({hx}, 1, 16) = '{_PNG_SIG_HEX}' "
+                   "then cast(9 as bigint) end"))
+        .withColumn("phys_x_ppu", F.lit(None).cast("long"))
+        .withColumn("phys_y_ppu", F.lit(None).cast("long"))
+        .withColumn("phys_unit", F.lit(None).cast("long"))
+        .withColumn("apng_frames", F.lit(None).cast("long"))
+        .withColumn("_png_icc", F.lit(False))
+    )
+    for i in range(int(max_chunks)):
+        s = png_chunk_step_sql(f"_png{i}", hx=hx)
+        out = (
+            out.withColumn(
+                "phys_x_ppu",
+                F.expr(f"coalesce(phys_x_ppu, case when {s['is_phys']} "
+                       f"then {s['phys_x']} end)"))
+            .withColumn(
+                "phys_y_ppu",
+                F.expr(f"coalesce(phys_y_ppu, case when {s['is_phys']} "
+                       f"then {s['phys_y']} end)"))
+            .withColumn(
+                "phys_unit",
+                F.expr(f"coalesce(phys_unit, case when {s['is_phys']} "
+                       f"then {s['phys_unit']} end)"))
+            .withColumn(
+                "apng_frames",
+                F.expr(f"coalesce(apng_frames, case when {s['is_actl']} "
+                       f"then {s['actl_frames']} end)"))
+            .withColumn(
+                "_png_icc",
+                F.expr(f"_png_icc or coalesce({s['is_iccp']}, false)"))
+            .withColumn(f"_png{i + 1}",
+                        F.expr(f"cast({s['next']} as bigint)"))
+        )
+    return (
+        out.withColumn(
+            "has_icc",
+            F.expr("case when _png0 is not null then _png_icc end"))
+        .drop(hx, "_png_icc",
+              *[f"_png{i}" for i in range(int(max_chunks) + 1)])
+    )
+
+
 def vit_patch_tokens(
     images: DataFrame,
     patch: int = 14,
