@@ -1365,6 +1365,79 @@ def q_image_png_scan(spark, sf_dir):
         "when has_icc then 1 else 0 end as has_icc")
 
 
+# GIF anim-probe synthesis: GIF89a + screen descriptor; %2==0 rows
+# carry a global color table sized by doc_id % 3 (6/12/24 bytes, the
+# packed-byte exponent), %3!=0 rows lead with the loop extension
+# (ANIMEXTS flavor on %5 rows), the rest are static; %13 non-GIF,
+# %11 NULL.
+_GIF_SIZES = "case doc_id % 3 when 0 then 6 when 1 then 12 else 24 end"
+_GIF_APP = ("case when doc_id % 5 = 0 then '414E494D45585453312E30' "
+            "else '4E45545343415045322E30' end")
+_GIF_SYNTH_HEX = (
+    f"concat('474946383961', {_le_hex_sql(_HDR_W, 2)}, "
+    f"{_le_hex_sql(_HDR_H, 2)}, "
+    "case when doc_id % 2 = 0 then printf('%02X', 128 + doc_id % 3) "
+    "else '00' end, '0000', "
+    f"case when doc_id % 2 = 0 then repeat('00', {_GIF_SIZES}) "
+    "else '' end, "
+    f"case when doc_id % 3 != 0 then concat('21FF0B', {_GIF_APP}, "
+    f"'0301', {_le_hex_sql('(doc_id % 300)', 2)}, '00') else '' end, "
+    f"'2C00000000', {_le_hex_sql(_HDR_W, 2)}, {_le_hex_sql(_HDR_H, 2)}, "
+    "'00')")
+_GIF_PROBE_PAYLOAD_HEX = (
+    f"case when doc_id % 13 = 0 then '89504E470D0A1A0A' "
+    f"else {_GIF_SYNTH_HEX} end")
+
+
+def _gif_probe_images(docs):
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"case when doc_id % 11 = 0 then null "
+        f"else unhex({_GIF_PROBE_PAYLOAD_HEX}) end as bytes",
+    )
+
+
+#: DuckDB twin of _gif_probe_images
+_GIF_PROBE_TABLE_SQL = (
+    f"select concat('img-', doc_id) as image_id, "
+    f"case when doc_id % 11 = 0 then null "
+    f"else from_hex({_GIF_PROBE_PAYLOAD_HEX}) end as bytes from documents"
+)
+
+
+def _duck_gif_probe_sql(table_sql: str) -> str:
+    """DuckDB twin of operators/images.py gif_anim_probe — the SAME
+    gif_anim_sql snippets over hex(bytes), '0x' casts."""
+    from xcrawl3r_spark.operators.images import gif_anim_sql
+
+    s = gif_anim_sql(lambda x: f"(('0x' || {x})::bigint)")
+    return f"""
+        with base as ({table_sql}),
+        h as (select image_id, hex(bytes) as hx from base)
+        select image_id,
+               case when {s["is_gif"]} then
+                 (case when {s["animated"]} then 1 else 0 end)
+               else -1 end as gif_animated,
+               cast(case when {s["animated"]} then {s["loop"]}
+                    else -1 end as bigint) as gif_loop_count
+        from h
+    """
+
+
+def q_image_gif_anim(spark, sf_dir):
+    """Animated-GIF probe (loop-extension check behind the color-table
+    offset) over real-grammar synthesized GIFs; -1 encodes non-GIF/NULL
+    for the flag and absent for the loop count."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.gif_anim_probe(_gif_probe_images(docs)).selectExpr(
+        "image_id",
+        "case when gif_animated is null then -1 "
+        "when gif_animated then 1 else 0 end as gif_animated",
+        "coalesce(gif_loop_count, -1) as gif_loop_count")
+
+
 def q_image_fetch_waves(spark, sf_dir):
     """Politeness-scheduled image GET waves (budget 3/host/iteration)
     over the crawl->fetch plan composite; the DuckDB twin wraps the
@@ -1906,10 +1979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 23 new r4 keys follow (incl. the image block), and 49
+    # first), the 24 new r4 keys follow (incl. the image block), and 50
     # previously-driver-green stable keys are parked past the window
-    # (listed at the bottom, starting at e7_image_verify) — ALL 49
-    # must rotate back in-window for r5.
+    # (listed at the bottom, starting at dedup_substring_spans) — ALL
+    # 50 must rotate back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
         "stream_dedup_state": q_stream_dedup_state,
@@ -1963,12 +2036,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exif_orientation": q_image_exif_orientation,
         "image_display_dims": q_image_display_dims,
         "image_png_scan": q_image_png_scan,
-        # -- r3-green keys kept in-window this round -----------------------
-        "dedup_substring_spans": q_dedup_substring_spans,
+        "image_gif_anim": q_image_gif_anim,
         # -- parked past the 50-entry window for r4 (all driver-green in a
         #    prior round, unchanged this round; MUST rotate back in-window
-        #    for r5; the boundary sits at e7_image_verify — position 50 —
-        #    after the late-r4 image-op inserts above) ---------------------
+        #    for r5; the boundary sits at dedup_substring_spans — position
+        #    50 — after the late-r4 image-op inserts above) ----------------
+        "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
         "mm_image_features": q_mm_image_features,
         "mm_resize": q_mm_resize,
@@ -3523,6 +3596,8 @@ def oracle_sql() -> dict[str, str]:
         # PNG chunk-scan twin: same step snippets (see
         # _duck_png_scan_sql)
         "image_png_scan": _duck_png_scan_sql(_PNG_SCAN_TABLE_SQL),
+        # GIF anim-probe twin: same gif_anim_sql snippets
+        "image_gif_anim": _duck_gif_probe_sql(_GIF_PROBE_TABLE_SQL),
         # display-dims twin: the two walk twins joined on image_id
         # (both row-wise over the same synthesized table); the swap
         # uses the twin's -1-encoded transpose flag. Budgets match

@@ -121,6 +121,7 @@ HEADLINE = [
     "image_exif_orientation",
     "image_display_dims",
     "image_png_scan",
+    "image_gif_anim",
 ]
 
 

@@ -1160,6 +1160,59 @@ class TestPngChunkScan:
         assert "Exchange" not in plan
 
 
+def _gif_file(w=10, h=10, gct_n=None, anim=None, app=b"NETSCAPE2.0"):
+    le16 = lambda v: v.to_bytes(2, "little")
+    packed = 0
+    body = b""
+    if gct_n is not None:
+        packed = 0x80 | gct_n
+        body += b"\x00" * (3 * 2 ** (gct_n + 1))
+    head = (b"GIF89a" + le16(w) + le16(h) + bytes([packed]) + b"\x00\x00"
+            + body)
+    if anim is not None:
+        head += (b"\x21\xFF\x0B" + app + b"\x03\x01" + le16(anim)
+                 + b"\x00")
+    # an image descriptor stub so static files still have a block
+    head += b"\x2C" + le16(0) * 2 + le16(w) + le16(h) + b"\x00"
+    return head
+
+
+class TestGifAnimProbe:
+    def test_detection_and_loop_count(self, spark):
+        from xcrawl3r_spark.operators.images import gif_anim_probe
+
+        df = spark.createDataFrame(
+            [("anim-nogct", _gif_file(anim=7)),
+             ("anim-gct0", _gif_file(gct_n=0, anim=0)),     # 6-byte GCT
+             ("anim-gct7", _gif_file(gct_n=7, anim=65535)),  # 768-byte
+             ("animexts", _gif_file(gct_n=2, anim=3,
+                                    app=b"ANIMEXTS1.0")),
+             ("static", _gif_file()),
+             ("static-gct", _gif_file(gct_n=4)),
+             ("not-gif", b"\x89PNG\r\n\x1a\n" + b"\x00" * 20),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["gif_animated"], r["gif_loop_count"])
+               for r in gif_anim_probe(df).collect()}
+        assert got["anim-nogct"] == (True, 7)
+        assert got["anim-gct0"] == (True, 0)
+        assert got["anim-gct7"] == (True, 65535)
+        assert got["animexts"] == (True, 3)
+        assert got["static"] == (False, None)
+        assert got["static-gct"] == (False, None)
+        assert got["not-gif"] == (None, None)
+        assert got["nulls"] == (None, None)
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import gif_anim_probe
+
+        df = spark.createDataFrame(
+            [("a", _gif_file(anim=1))], "image_id string, bytes binary")
+        plan = gif_anim_probe(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestByteParserFuzz:
     """Seeded-random round-trips: payloads built INDEPENDENTLY with
     Python struct/int.to_bytes (not the SQL synthesis) must parse back

@@ -1646,6 +1646,72 @@ def png_chunk_scan(
     )
 
 
+def gif_anim_sql(hex2int=spark_hex2int, hx: str = "hx") -> dict:
+    """Engine-neutral SQL for the GIF animation probe. Layout per the
+    GIF89a spec: 6-byte signature + logical screen descriptor; the
+    packed byte at offset 10 carries the global-color-table flag
+    (bit 7) and size exponent (bits 0-2, table = 3 * 2^(n+1) bytes —
+    resolved with a constant case, no engine-specific shifts). The
+    first block after the table is, in every animated GIF in the
+    wild, the application extension ``21 FF 0B`` + 'NETSCAPE2.0' (or
+    the older 'ANIMEXTS1.0') whose sub-block holds the LE16 loop
+    count — its presence IS the animation flag."""
+    pk = hex2int(f"substring({hx}, 21, 2)")
+    sizes = ("case " + " ".join(
+        f"when {pk} % 8 = {n} then {3 * 2 ** (n + 1)}"
+        for n in range(8)) + " end")
+    p = f"(case when {pk} >= 128 then 14 + ({sizes}) else 14 end)"
+    at = (lambda off, n:
+          f"substring({hx}, cast(2 * {p} - 1 + {off} as int), {n})")
+    is_gif = (f"(length({hx}) >= 26 and substring({hx}, 1, 12) "
+              "in ('474946383761', '474946383961'))")
+    anim = (f"({is_gif} and {exif_bound_sql(p, 19, hx)} "
+            f"and {at(0, 6)} = '21FF0B' and {at(6, 22)} in "
+            "('4E45545343415045322E30', '414E494D45585453312E30'))")
+    return {
+        "is_gif": is_gif,
+        "animated": anim,
+        "loop": hex2int(f"concat({at(34, 2)}, {at(32, 2)})"),
+    }
+
+
+def gif_anim_probe(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    scan_bytes: int = 1024,
+) -> DataFrame:
+    """Animated-GIF detection without a decode — the exclusion signal
+    an image-training pipeline needs before treating a GIF as a still
+    (an animated GIF decoded naively yields only its first frame,
+    silently training on thumbnails of animations).
+
+    One conditional offset (header + optional global color table —
+    the table size comes from the packed-byte exponent), then a
+    single block check for the NETSCAPE2.0/ANIMEXTS1.0 application
+    extension and its LE16 loop count (0 = loop forever). No walk is
+    needed: the loop extension leads the block stream in real
+    animated GIFs; a GIF whose first block is a frame descriptor
+    probes ``false`` (still image, by this pipeline's definition).
+
+    Zero shuffle, no UDF, first ``scan_bytes`` bytes only. Appends
+    (gif_animated — NULL for non-GIF payloads, gif_loop_count — only
+    for animated rows)."""
+    hx = "_gifx_hx"
+    s = gif_anim_sql(hx=hx)
+    return (
+        images.withColumn(
+            hx, F.hex(F.substring(F.col(bytes_col), 1, int(scan_bytes))))
+        .withColumn(
+            "gif_animated",
+            F.expr(f"case when {s['is_gif']} then {s['animated']} end"))
+        .withColumn(
+            "gif_loop_count",
+            F.expr(f"case when {s['animated']} then {s['loop']} end")
+            .cast("long"))
+        .drop(hx)
+    )
+
+
 def vit_patch_tokens(
     images: DataFrame,
     patch: int = 14,
