@@ -948,7 +948,9 @@ _HDR_RIFF = "'52494646', '64000000', '57454250'"
 _HDR_PAYLOAD_HEX = (
     "case doc_id % 7 "
     "when 0 then concat('89504E470D0A1A0A0000000D49484452', "
-    f"printf('%08X', {_HDR_HW}), printf('%08X', {_HDR_HH}), '00') "
+    f"printf('%08X', {_HDR_HW}), printf('%08X', {_HDR_HH}), '08', "
+    "case doc_id % 4 when 0 then '00' when 1 then '02' "
+    "when 2 then '03' else '06' end, '000000') "
     f"when 1 then concat('474946383961', {_le_hex_sql(_HDR_HW, 2)}, "
     f"{_le_hex_sql(_HDR_HH, 2)}) "
     "when 2 then concat('424D000000000000000000000000', '28000000', "
@@ -1024,13 +1026,17 @@ _DUCK_VP8_OK = (f"({_DUCK_RIFF} and substring(hx, 25, 8) = '56503820' "
 _DUCK_VP8L_OK = (f"({_DUCK_RIFF} and substring(hx, 25, 8) = '5650384C' "
                  "and substring(hx, 41, 2) = '2F')")
 _DUCK_VP8X_OK = f"({_DUCK_RIFF} and substring(hx, 25, 8) = '56503858')"
-_DUCK_HDR_PARSE_SQL = f"""
-    with base as ({_HDR_TABLE_SQL}),
+def _duck_hdr_parse(table_sql: str,
+                    cols: str = "image_id, fmt, w, h, bytes") -> str:
+    """parse_header_dims' DuckDB twin over any base table, passing
+    ``cols`` through beside hx/n and the parsed header columns."""
+    return f"""
+    with base as ({table_sql}),
     hxt as (
-      select image_id, fmt, w, h, bytes, hex(bytes) as hx,
+      select {cols}, hex(bytes) as hx,
              octet_length(bytes) as n
       from base)
-    select image_id, fmt, w, h, bytes,
+    select {cols}, hx,
            case when {_DUCK_PNG_OK} then 'png'
                 when {_DUCK_GIF_OK} then 'gif'
                 when {_DUCK_BMP_OK} then 'bmp'
@@ -1051,9 +1057,76 @@ _DUCK_HDR_PARSE_SQL = f"""
                 when {_DUCK_VP8L_OK} then
                   ({_duck_le_sql(22, 4)} // 16384) % 16384 + 1
                 when {_DUCK_VP8X_OK} then {_duck_le_sql(28, 3)} + 1 end
-             as bigint) as header_h
+             as bigint) as header_h,
+           cast(case when {_DUCK_PNG_OK} and n >= 25
+                then {_duck_be_sql(25, 1)} end as bigint)
+             as png_bit_depth,
+           cast(case when {_DUCK_PNG_OK} and n >= 26
+                then {_duck_be_sql(26, 1)} end as bigint)
+             as png_color_type
     from hxt
 """
+
+
+_DUCK_HDR_PARSE_SQL = _duck_hdr_parse(_HDR_TABLE_SQL)
+
+
+# Admission synthesis: the header payloads plus a declared-format lie
+# on %29 rows (declared 'gif' whatever the bytes say) and caption
+# pathologies (%19 blank, %23 NULL)
+_ADM_FMT = f"case when doc_id % 29 = 0 then 'gif' else ({_HDR_FMT}) end"
+_ADM_CAPTION = ("case when doc_id % 19 = 0 then '  ' "
+                "when doc_id % 23 = 0 then null else text end")
+
+
+def _admission_images(docs):
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"{_ADM_FMT} as fmt",
+        f"cast({_HDR_W} as int) as w",
+        f"cast({_HDR_H} as int) as h",
+        f"{_ADM_CAPTION} as caption",
+        f"case when doc_id % 11 = 0 then null "
+        f"else unhex({_HDR_PAYLOAD_HEX}) end as bytes",
+    )
+
+
+#: DuckDB twin of _admission_images
+_ADM_TABLE_SQL = (
+    f"select concat('img-', doc_id) as image_id, {_ADM_FMT} as fmt, "
+    f"cast({_HDR_W} as int) as w, cast({_HDR_H} as int) as h, "
+    f"{_ADM_CAPTION} as caption, "
+    f"case when doc_id % 11 = 0 then null "
+    f"else from_hex({_HDR_PAYLOAD_HEX}) end as bytes from documents"
+)
+
+#: sniff twin expression over hx — webp's RIFF split first, then the
+#: IMAGE_MAGIC prefix order (png, jpeg, gif87a/89a, bmp)
+_DUCK_SNIFF = """
+    case when substring(hx, 1, 8) = '52494646'
+              and substring(hx, 17, 8) = '57454250' then 'webp'
+         when substring(hx, 1, 16) = '89504E470D0A1A0A' then 'png'
+         when substring(hx, 1, 6) = 'FFD8FF' then 'jpeg'
+         when substring(hx, 1, 12)
+              in ('474946383761', '474946383961') then 'gif'
+         when substring(hx, 1, 4) = '424D' then 'bmp' end
+"""
+
+
+def q_image_admission(spark, sf_dir):
+    """The end-to-end admission verdict (sniff + header parse + bomb +
+    dims + caption checks, one zero-shuffle stage) over the header
+    synthesis extended with format lies and caption pathologies; the
+    twin composes the parse twin, the sniff case, and the identical
+    verdict chain."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.admission_gate(
+        _admission_images(docs), min_side=100).selectExpr(
+        "image_id", "fmt", "sniffed_fmt",
+        "coalesce(header_w, -1) as header_w",
+        "coalesce(header_h, -1) as header_h", "verdict")
 
 
 # JPEG synthesis: SOI + a doc_id-dependent APPn/DQT prefix, then a SOF0
@@ -1478,7 +1551,9 @@ def q_image_header_dims(spark, sf_dir):
     return images.parse_header_dims(_header_images(docs)).selectExpr(
         "image_id", "header_fmt",
         "coalesce(header_w, -1) as header_w",
-        "coalesce(header_h, -1) as header_h")
+        "coalesce(header_h, -1) as header_h",
+        "coalesce(png_bit_depth, -1) as png_bit_depth",
+        "coalesce(png_color_type, -1) as png_color_type")
 
 
 def q_image_header_gate(spark, sf_dir):
@@ -1979,10 +2054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 24 new r4 keys follow (incl. the image block), and 50
+    # first), the 25 new r4 keys follow (incl. the image block), and 51
     # previously-driver-green stable keys are parked past the window
-    # (listed at the bottom, starting at dedup_substring_spans) — ALL
-    # 50 must rotate back in-window for r5.
+    # (listed at the bottom, starting at sim_cosine_topk) — ALL 51 must
+    # rotate back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
         "stream_dedup_state": q_stream_dedup_state,
@@ -1991,8 +2066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_dangling": q_graph_pagerank_dangling,
         "graph_host_rank": q_graph_host_rank,
         "graph_components": q_graph_components,
-        # -- unswept in r3 (driver-green r2 or declared rows-only) ---------
-        "sim_cosine_topk": q_sim_cosine_topk,
+        # -- unswept in r3 (driver-green r2 or declared rows-only;
+        #    sim_cosine_topk — r2-green — is parked below to make room
+        #    for image_admission) ------------------------------------------
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_full_probe": q_sim_ivf_full_probe,
@@ -2037,10 +2113,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_display_dims": q_image_display_dims,
         "image_png_scan": q_image_png_scan,
         "image_gif_anim": q_image_gif_anim,
+        "image_admission": q_image_admission,
         # -- parked past the 50-entry window for r4 (all driver-green in a
         #    prior round, unchanged this round; MUST rotate back in-window
-        #    for r5; the boundary sits at dedup_substring_spans — position
-        #    50 — after the late-r4 image-op inserts above) ----------------
+        #    for r5; the boundary sits at sim_cosine_topk — position 50 —
+        #    after the late-r4 image-op inserts above) ---------------------
+        "sim_cosine_topk": q_sim_cosine_topk,
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
         "mm_image_features": q_mm_image_features,
@@ -3598,6 +3676,34 @@ def oracle_sql() -> dict[str, str]:
         "image_png_scan": _duck_png_scan_sql(_PNG_SCAN_TABLE_SQL),
         # GIF anim-probe twin: same gif_anim_sql snippets
         "image_gif_anim": _duck_gif_probe_sql(_GIF_PROBE_TABLE_SQL),
+        # admission twin: the parse twin over the admission synthesis
+        # + the sniff case + the identical verdict chain
+        "image_admission": f"""
+            with p as ({_duck_hdr_parse(
+                _ADM_TABLE_SQL,
+                cols="image_id, fmt, w, h, caption, bytes")})
+            select image_id, fmt, {_DUCK_SNIFF} as sniffed_fmt,
+                   coalesce(header_w, -1) as header_w,
+                   coalesce(header_h, -1) as header_h,
+                   case when bytes is null then 'no_payload'
+                        when ({_DUCK_SNIFF}) is null
+                             or ({_DUCK_SNIFF}) != fmt
+                          then 'format_lie'
+                        when header_fmt is not null
+                             and header_w * header_h > {1 << 28}
+                          then 'bomb'
+                        when header_fmt is not null
+                             and (header_w != w or header_h != h)
+                          then 'dims_mismatch'
+                        when least(coalesce(header_w, w),
+                                   coalesce(header_h, h)) < 100
+                          then 'too_small'
+                        when caption is null
+                             or length(trim(caption)) < 5
+                          then 'no_caption'
+                        else 'admit' end as verdict
+            from p
+        """,
         # display-dims twin: the two walk twins joined on image_id
         # (both row-wise over the same synthesized table); the swap
         # uses the twin's -1-encoded transpose flag. Budgets match
@@ -3619,7 +3725,9 @@ def oracle_sql() -> dict[str, str]:
         "image_header_dims": f"""
             select image_id, header_fmt,
                    coalesce(header_w, -1) as header_w,
-                   coalesce(header_h, -1) as header_h
+                   coalesce(header_h, -1) as header_h,
+                   coalesce(png_bit_depth, -1) as png_bit_depth,
+                   coalesce(png_color_type, -1) as png_color_type
             from ({_DUCK_HDR_PARSE_SQL})
         """,
         # gate twin: the same parse plus the five-way verdict with

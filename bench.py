@@ -122,6 +122,7 @@ HEADLINE = [
     "image_display_dims",
     "image_png_scan",
     "image_gif_anim",
+    "image_admission",
 ]
 
 

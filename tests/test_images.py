@@ -835,6 +835,21 @@ class TestParseHeaderDims:
         assert got["vp8-bad-sync"] == (None, None, None)
         assert got["riff-not-webp"] == (None, None, None)
 
+    def test_png_depth_and_color_type(self, spark):
+        from xcrawl3r_spark.operators.images import parse_header_dims
+
+        df = spark.createDataFrame(
+            [("full", _png_file(ihdr_dims=(4, 4))),   # depth 8, color 6
+             # _png_hdr is 25 bytes: depth byte present (0), color cut
+             ("truncated-ihdr", _png_hdr(4, 4)),
+             ("gif", _gif_hdr(4, 4))],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["png_bit_depth"], r["png_color_type"])
+               for r in parse_header_dims(df).collect()}
+        assert got["full"] == (8, 6)
+        assert got["truncated-ihdr"] == (0, None)
+        assert got["gif"] == (None, None)
+
     def test_all_three_layouts(self, spark):
         from xcrawl3r_spark.operators.images import parse_header_dims
 
@@ -1209,6 +1224,50 @@ class TestGifAnimProbe:
         df = spark.createDataFrame(
             [("a", _gif_file(anim=1))], "image_id string, bytes binary")
         plan = gif_anim_probe(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestAdmissionGate:
+    def test_verdict_chain(self, spark):
+        from xcrawl3r_spark.operators.images import admission_gate
+
+        jfif = bytes.fromhex("FFD8FFE000104A464946") + b"\x00" * 20
+        rows = [
+            ("admit", "png", 300, 200, "a cat photo", _png_hdr(300, 200)),
+            ("gone", "png", 300, 200, "a cat photo", None),
+            ("lie", "png", 300, 200, "a cat photo", jfif),
+            ("poison", "png", 300, 200, "ok caption", b"<html>oops"),
+            # bomb also mismatches the declared dims: bomb wins
+            ("bomb", "png", 300, 200, "ok caption",
+             _png_hdr(60000, 60000)),
+            ("drift", "png", 640, 480, "ok caption", _png_hdr(300, 200)),
+            ("icon", "png", 32, 32, "ok caption", _png_hdr(32, 32)),
+            ("blank-cap", "png", 300, 200, "   ", _png_hdr(300, 200)),
+            # jpeg: header unparseable here -> declared dims carry the
+            # too_small check, caption fine -> admit
+            ("jpeg-admit", "jpeg", 300, 200, "fine caption", jfif),
+        ]
+        df = spark.createDataFrame(
+            rows, "image_id string, fmt string, w int, h int, "
+                  "caption string, bytes binary")
+        got = {r["image_id"]: r["verdict"]
+               for r in admission_gate(df, min_side=64).collect()}
+        assert got == {
+            "admit": "admit", "gone": "no_payload", "lie": "format_lie",
+            "poison": "format_lie", "bomb": "bomb",
+            "drift": "dims_mismatch", "icon": "too_small",
+            "blank-cap": "no_caption", "jpeg-admit": "admit",
+        }
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import admission_gate
+
+        df = spark.createDataFrame(
+            [("a", "png", 8, 8, "caption!", _png_hdr(8, 8))],
+            "image_id string, fmt string, w int, h int, "
+            "caption string, bytes binary")
+        plan = admission_gate(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
 

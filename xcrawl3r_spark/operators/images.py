@@ -21,7 +21,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark import TaskContext
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from xcrawl3r_spark.functions.imagecodec import (
@@ -1045,6 +1045,20 @@ IMAGE_MAGIC = (
 )
 
 
+def sniff_col(bytes_col: str = "bytes") -> Column:
+    """The magic-byte sniff as a reusable Column (see
+    :func:`sniff_format` for semantics) — WEBP's RIFF container split
+    first, then the IMAGE_MAGIC prefixes in order."""
+    hexs = F.hex(F.substring(F.col(bytes_col), 1, 12))
+    sniffed = F.when(
+        hexs.startswith("52494646")
+        & (F.substring(hexs, 17, 8) == "57454250"),
+        "webp")
+    for name, magic in IMAGE_MAGIC:
+        sniffed = sniffed.when(hexs.startswith(magic), name)
+    return sniffed.otherwise(F.lit(None).cast("string"))
+
+
 def sniff_format(
     images: DataFrame,
     bytes_col: str = "bytes",
@@ -1061,14 +1075,7 @@ def sniff_format(
     Pure map-side projection, zero shuffle, whole-stage codegen, no
     UDF; NULL payloads sniff to NULL and fail the match like any
     mislabeled row. Output: (image_id, fmt, sniffed_fmt, fmt_ok)."""
-    hexs = F.hex(F.substring(F.col(bytes_col), 1, 12))
-    sniffed = F.when(
-        hexs.startswith("52494646")
-        & (F.substring(hexs, 17, 8) == "57454250"),
-        "webp")
-    for name, magic in IMAGE_MAGIC:
-        sniffed = sniffed.when(hexs.startswith(magic), name)
-    sniffed = sniffed.otherwise(F.lit(None).cast("string"))
+    sniffed = sniff_col(bytes_col)
     return images.select(
         "image_id",
         F.col(fmt_col).alias("fmt"),
@@ -1125,8 +1132,10 @@ def parse_header_dims(
 
     Only the first 30 payload bytes are hexed; pure map-side
     projection, zero shuffle, no UDF — at 10^10 images this rides the
-    scan. Appends (header_fmt, header_w, header_h) to the input
-    columns."""
+    scan. Appends (header_fmt, header_w, header_h, png_bit_depth,
+    png_color_type) to the input columns — the last two are the IHDR
+    bytes right after the dims (color type 3 = palette, the
+    icon/clipart curation signal; PNG-only, NULL elsewhere)."""
     b = bytes_col
     hx = "_hx"
     png_ok = (f"(octet_length({b}) >= 24 "
@@ -1183,6 +1192,17 @@ def parse_header_dims(
                    f"when {vp8l_ok} then "
                    f"({vp8l_bits} div 16384) % 16384 + 1 "
                    f"when {vp8x_ok} then {_hex_le(hx, 28, 3)} + 1 end"))
+        # IHDR bytes 25-26: bit depth + color type (0 gray, 2 truecolor,
+        # 3 PALETTE — the icon/clipart curation signal, 4/6 + alpha);
+        # PNG-only, NULL elsewhere
+        .withColumn(
+            "png_bit_depth",
+            F.expr(f"case when {png_ok} and octet_length({b}) >= 25 "
+                   f"then {_hex_be(hx, 25, 1)} end"))
+        .withColumn(
+            "png_color_type",
+            F.expr(f"case when {png_ok} and octet_length({b}) >= 26 "
+                   f"then {_hex_be(hx, 26, 1)} end"))
         .drop(hx)
     )
 
@@ -1710,6 +1730,64 @@ def gif_anim_probe(
             .cast("long"))
         .drop(hx)
     )
+
+
+def admission_gate(
+    images: DataFrame,
+    max_pixels: int = 1 << 28,
+    min_side: int = 64,
+    caption_min_chars: int = 5,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """The end-to-end row-admission verdict for a LAION-style
+    image+caption crawl — the single gate the ingest pipeline runs on
+    every fetched row before it spends a decode, chaining the
+    byte-level checks this module provides. First-match precedence:
+
+    - ``no_payload`` — nothing fetched;
+    - ``format_lie`` — the magic-byte sniff disagrees with the
+      declared format (or matches nothing: the poisoned-row case);
+    - ``bomb`` — header pixel count over ``max_pixels`` (checked
+      before any decode would allocate);
+    - ``dims_mismatch`` — container header contradicts the declared
+      dims;
+    - ``too_small`` — shortest side (header dims when parseable,
+      declared otherwise) under ``min_side`` (icons, trackers,
+      spacers);
+    - ``no_caption`` — NULL or sub-``caption_min_chars`` trimmed
+      caption (nothing to align against);
+    - ``admit``.
+
+    Composite of :func:`sniff_col` + :func:`parse_header_dims` plus
+    one verdict projection — still a single zero-shuffle map-side
+    stage over the first 30 payload bytes; at 10^10 rows the gate
+    rides the scan and the decode fleet only ever sees admits.
+
+    Output: (image_id, fmt, sniffed_fmt, header_w, header_h,
+    verdict)."""
+    parsed = parse_header_dims(images, bytes_col=bytes_col) \
+        .withColumn("sniffed_fmt", sniff_col(bytes_col))
+    w_eff = F.coalesce(F.col("header_w"), F.col("w").cast("long"))
+    h_eff = F.coalesce(F.col("header_h"), F.col("h").cast("long"))
+    verdict = (
+        F.when(F.col(bytes_col).isNull(), "no_payload")
+        .when(F.col("sniffed_fmt").isNull()
+              | (F.col("sniffed_fmt") != F.col("fmt")), "format_lie")
+        .when(F.col("header_fmt").isNotNull()
+              & (F.col("header_w") * F.col("header_h")
+                 > int(max_pixels)), "bomb")
+        .when(F.col("header_fmt").isNotNull()
+              & ((F.col("header_w") != F.col("w").cast("long"))
+                 | (F.col("header_h") != F.col("h").cast("long"))),
+              "dims_mismatch")
+        .when(F.least(w_eff, h_eff) < int(min_side), "too_small")
+        .when(F.col("caption").isNull()
+              | (F.length(F.trim(F.col("caption")))
+                 < int(caption_min_chars)), "no_caption")
+        .otherwise("admit"))
+    return parsed.select(
+        "image_id", "fmt", "sniffed_fmt", "header_w", "header_h",
+        verdict.alias("verdict"))
 
 
 def vit_patch_tokens(
