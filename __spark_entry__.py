@@ -1129,6 +1129,18 @@ def q_image_admission(spark, sf_dir):
         "coalesce(header_h, -1) as header_h", "verdict")
 
 
+def q_image_funnel(spark, sf_dir):
+    """Ingest-funnel metrics (per verdict x sniffed format) over the
+    admission gate; min/max header width envelope with -1 for groups
+    where nothing parsed (the twin nullif-unwraps its own -1
+    transport before the min/max)."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.admission_funnel(
+        images.admission_gate(_admission_images(docs), min_side=100))
+
+
 # JPEG synthesis: SOI + a doc_id-dependent APPn/DQT prefix, then a SOF0
 # (or SOF2 on %6 rows) carrying the _HDR dims; %5==3 rows never reach a
 # SOF, %5==4 rows aren't JPEG at all, %11 rows have no payload. APP1's
@@ -2054,9 +2066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
     # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 25 new r4 keys follow (incl. the image block), and 51
+    # first), the 26 new r4 keys follow (incl. the image block), and 52
     # previously-driver-green stable keys are parked past the window
-    # (listed at the bottom, starting at sim_cosine_topk) — ALL 51 must
+    # (listed at the bottom, starting at sim_cosine_topk) — ALL 52 must
     # rotate back in-window for r5.
     return {
         # -- never driver-verified before r4 -------------------------------
@@ -2067,9 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_rank": q_graph_host_rank,
         "graph_components": q_graph_components,
         # -- unswept in r3 (driver-green r2 or declared rows-only;
-        #    sim_cosine_topk — r2-green — is parked below to make room
-        #    for image_admission) ------------------------------------------
-        "sim_lsh_topk": q_sim_lsh_topk,
+        #    r2-green sim_cosine_topk / sim_lsh_topk are parked below to
+        #    make room for image_admission / image_funnel) -----------------
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_full_probe": q_sim_ivf_full_probe,
         "sim_near_dup": q_sim_near_dup,
@@ -2114,11 +2125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_png_scan": q_image_png_scan,
         "image_gif_anim": q_image_gif_anim,
         "image_admission": q_image_admission,
+        "image_funnel": q_image_funnel,
         # -- parked past the 50-entry window for r4 (all driver-green in a
         #    prior round, unchanged this round; MUST rotate back in-window
         #    for r5; the boundary sits at sim_cosine_topk — position 50 —
         #    after the late-r4 image-op inserts above) ---------------------
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
         "mm_image_features": q_mm_image_features,
@@ -4308,5 +4321,19 @@ def oracle_sql() -> dict[str, str]:
         select host, canonical_url, fetch_url, n_refs, rank_in_host,
                cast((rank_in_host - 1) // 3 as bigint) as wave
         from r
+    """
+    # funnel twin: the admission twin aggregated; nullif unwraps the
+    # -1 transport so min/max see real NULLs like Spark does
+    d["image_funnel"] = f"""
+        with g as ({d["image_admission"]})
+        select verdict,
+               coalesce(sniffed_fmt, 'none') as sniffed_fmt,
+               cast(count(*) as bigint) as n_rows,
+               cast(count(distinct fmt) as bigint) as n_declared_fmts,
+               cast(coalesce(min(nullif(header_w, -1)), -1)
+                    as bigint) as min_header_w,
+               cast(coalesce(max(nullif(header_w, -1)), -1)
+                    as bigint) as max_header_w
+        from g group by 1, 2
     """
     return d

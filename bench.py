@@ -123,6 +123,7 @@ HEADLINE = [
     "image_png_scan",
     "image_gif_anim",
     "image_admission",
+    "image_funnel",
 ]
 
 

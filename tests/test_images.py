@@ -1272,6 +1272,28 @@ class TestAdmissionGate:
         assert "Exchange" not in plan
 
 
+class TestAdmissionFunnel:
+    def test_groups_and_dim_envelope(self, spark):
+        from xcrawl3r_spark.operators.images import admission_funnel
+
+        df = spark.createDataFrame(
+            [("a", "png", "png", 100, 80, "admit"),
+             ("b", "webp", "png", 300, 200, "admit"),
+             ("c", "png", None, None, None, "format_lie"),
+             ("d", "jpeg", "jpeg", None, None, "admit")],
+            "image_id string, fmt string, sniffed_fmt string, "
+            "header_w long, header_h long, verdict string")
+        got = {(r["verdict"], r["sniffed_fmt"]): r
+               for r in admission_funnel(df).collect()}
+        png_admit = got[("admit", "png")]
+        assert (png_admit["n_rows"], png_admit["n_declared_fmts"],
+                png_admit["min_header_w"], png_admit["max_header_w"]) \
+            == (2, 2, 100, 300)
+        assert got[("format_lie", "none")]["n_rows"] == 1
+        # group with no parsed header: envelope is the -1 sentinel
+        assert got[("admit", "jpeg")]["min_header_w"] == -1
+
+
 class TestByteParserFuzz:
     """Seeded-random round-trips: payloads built INDEPENDENTLY with
     Python struct/int.to_bytes (not the SQL synthesis) must parse back

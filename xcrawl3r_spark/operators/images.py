@@ -1790,6 +1790,31 @@ def admission_gate(
         verdict.alias("verdict"))
 
 
+def admission_funnel(gated: DataFrame) -> DataFrame:
+    """Ingest-funnel observability over :func:`admission_gate` output —
+    the per-iteration metrics a crawl operator watches: how many rows
+    each verdict ate, per sniffed format, and the dims envelope of
+    what survived the parse. ONE hash aggregate with map-side
+    partials; the output is |verdicts| x |formats| rows (tens), so at
+    10^10 inputs this is a full-reduction metrics query, not a table.
+
+    Output: (verdict, sniffed_fmt — 'none' for unsniffable, n_rows,
+    n_declared_fmts, min_header_w, max_header_w; the dim bounds are
+    -1 where no row in the group parsed a header)."""
+    return (
+        gated.groupBy(
+            "verdict",
+            F.coalesce(F.col("sniffed_fmt"), F.lit("none"))
+            .alias("sniffed_fmt"))
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("fmt").alias("n_declared_fmts"),
+             F.coalesce(F.min("header_w"), F.lit(-1).cast("long"))
+             .alias("min_header_w"),
+             F.coalesce(F.max("header_w"), F.lit(-1).cast("long"))
+             .alias("max_header_w"))
+    )
+
+
 def vit_patch_tokens(
     images: DataFrame,
     patch: int = 14,
