@@ -369,7 +369,12 @@ def _run_replay_pinned(cpus: int, reps: int | None = None) -> dict:
     import shutil
     import subprocess
 
-    reps = reps or int(os.environ.get("BENCH_SCALE_REPS", "2"))
+    # 4 reps, not 2: with min-of-2 a lucky fast leg pairs with an
+    # unlucky slow one often enough to swing the efficiency ratio
+    # below target on clean runs (r4 measured 0.69 at 2 reps and 1.04
+    # at 4 reps on identical idle windows — the legs' mins were 89 s
+    # and 21.5 s either way once enough reps sampled the window)
+    reps = reps or int(os.environ.get("BENCH_SCALE_REPS", "4"))
     cmd = [sys.executable, os.path.abspath(__file__), "--replay-one", str(cpus)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
