@@ -2065,83 +2065,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (>= position 50) so everything gets periodic driver coverage;
     #   * rotate each round — no key may sit past position 49 two rounds
     #     running.
-    # r4 rotation: positions 0-14 are r3's unswept tail (6 never-verified
-    # first), the 26 new r4 keys follow (incl. the image block), and 52
-    # previously-driver-green stable keys are parked past the window
-    # (listed at the bottom, starting at sim_cosine_topk) — ALL 52 must
-    # rotate back in-window for r5.
+    # r5 rotation (the r4 window was positions 0-14 = r3's unswept tail +
+    # 37 new r4 keys; all 50 drew green driver rows in CORRECTNESS_r04):
+    # the window now holds the two-rounds-stale pair sim_cosine_topk /
+    # sim_lsh_topk at positions 0-1 plus 48 of the 50 other keys parked
+    # in r4 — i.e. every r5 window slot goes to a parked key, per the
+    # r4 verdict's rotation criterion. Exactly 2 parked keys spill to r6:
+    # mm_image_features and mm_resize, chosen because both are declared
+    # ROWS_ONLY (the driver gives them only the weak rows>0 check either
+    # way) and both are mirror-verified on r5 code via
+    # tools/oracle_check.py. TWO-ROUND SCHEDULE — the r6 window MUST open
+    # with, in order: mm_image_features, mm_resize (spilled here),
+    # audio_features + mm_frame_sample is IN the r5 window below (changed
+    # r5: real WAV/GIF parses + new oracles) but audio_features (changed
+    # r5 the same way) was r4-swept and parks this round — it goes next,
+    # followed by image_gif_anim / image_header_gate / image_admission /
+    # image_funnel (semantics touched r5 per ADVICE), e1_regex_extract if
+    # changed again, any new r5 keys, then rotate the remaining r4-swept
+    # keys. That closes the arithmetic: 2 + 1 + 4 + new(<=5) leaves >=38
+    # slots for the 45 remaining r5-parked keys, and nothing reaches two
+    # consecutive unswept rounds afterwards.
     return {
-        # -- never driver-verified before r4 -------------------------------
-        "stream_dedup_state": q_stream_dedup_state,
-        "corpus_curate": q_corpus_curate,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_pagerank_dangling": q_graph_pagerank_dangling,
-        "graph_host_rank": q_graph_host_rank,
-        "graph_components": q_graph_components,
-        # -- unswept in r3 (driver-green r2 or declared rows-only;
-        #    r2-green sim_cosine_topk / sim_lsh_topk are parked below to
-        #    make room for image_admission / image_funnel) -----------------
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_ivf_full_probe": q_sim_ivf_full_probe,
-        "sim_near_dup": q_sim_near_dup,
-        "audio_features": q_audio_features,
-        "stream_windowed_metrics": q_stream_windowed_metrics,
-        "stream_sessionize": q_stream_sessionize,
-        "corpus_clean": q_corpus_clean,
-        # -- NEW in r4 -----------------------------------------------------
-        "dedup_substring_removed": q_dedup_substring_removed,
-        "curate_mixture": q_curate_mixture,
-        "pages_to_documents": q_pages_to_documents,
-        "corpus_stats": q_corpus_stats,
-        "sim_dedup_clusters": q_sim_dedup_clusters,
-        "curate_mixture_epochs": q_curate_mixture_epochs,
-        "text_winnow_pairs": q_text_winnow_pairs,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "corpus_token_quantiles": q_corpus_token_quantiles,
-        "text_token_topk": q_text_token_topk,
-        "text_winnow_spans": q_text_winnow_spans,
-        "image_phash_near_dup": q_image_phash_near_dup,
-        "image_caption_gate": q_image_caption_gate,
-        "image_phash_clusters": q_image_phash_clusters,
-        "image_ar_buckets": q_image_ar_buckets,
-        "image_resolution_tiers": q_image_resolution_tiers,
-        "image_thumbnail_variants": q_image_thumbnail_variants,
-        "image_corpus_curate": q_image_corpus_curate,
-        "image_srcset_extract": q_image_srcset_extract,
-        "image_data_uris": q_image_data_uris,
-        "image_ar_batches": q_image_ar_batches,
-        "image_caption_alignment": q_image_caption_alignment,
-        "image_sniff_format": q_image_sniff_format,
-        "image_fetch_plan": q_image_fetch_plan,
-        "image_vit_tokens": q_image_vit_tokens,
-        "image_pack_shards": q_image_pack_shards,
-        "image_cross_dups": q_image_cross_dups,
-        "image_header_dims": q_image_header_dims,
-        "image_header_gate": q_image_header_gate,
-        "image_jpeg_dims": q_image_jpeg_dims,
-        "image_fetch_waves": q_image_fetch_waves,
-        "image_exif_orientation": q_image_exif_orientation,
-        "image_display_dims": q_image_display_dims,
-        "image_png_scan": q_image_png_scan,
-        "image_gif_anim": q_image_gif_anim,
-        "image_admission": q_image_admission,
-        "image_funnel": q_image_funnel,
-        # -- parked past the 50-entry window for r4 (all driver-green in a
-        #    prior round, unchanged this round; MUST rotate back in-window
-        #    for r5; the boundary sits at sim_cosine_topk — position 50 —
-        #    after the late-r4 image-op inserts above) ---------------------
+        # -- two rounds stale (r3+r4 parked) — the rotation red line ------
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        # -- parked in r4, changed in r5 (new real parses + oracles) ------
+        "mm_frame_sample": q_mm_frame_sample,
+        "e1_regex_extract": q_e1_regex_extract,
+        # -- parked in r4, unchanged (driver-green r1-r3) ------------------
         "dedup_substring_spans": q_dedup_substring_spans,
         "e7_image_verify": q_e7_image_verify,
-        "mm_image_features": q_mm_image_features,
-        "mm_resize": q_mm_resize,
-        "mm_frame_sample": q_mm_frame_sample,
         "d1_bloom_anti_join": q_d1_bloom_anti_join,
         "d1_cuckoo_anti_join": q_d1_cuckoo_anti_join,
         "a1_politeness_topk": q_a1_politeness_topk,
         "a6_metrics_agg": q_a6_metrics_agg,
-        "e1_regex_extract": q_e1_regex_extract,
         "e5_seed_expansion": q_e5_seed_expansion,
         "robots_decisions": q_robots_decisions,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2182,6 +2139,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_tfidf": q_curate_tfidf,
         "curate_pack_shards": q_curate_pack_shards,
         "curate_pack_budget": q_curate_pack_budget,
+        # ======== 50-entry driver window ends here ========================
+        # -- spilled to r6 (ROWS_ONLY pair; mirror-verified on r5 code) ----
+        "mm_image_features": q_mm_image_features,
+        "mm_resize": q_mm_resize,
+        # -- changed in r5 while parked (r4-swept green; r6 window early) --
+        "audio_features": q_audio_features,
+        "image_gif_anim": q_image_gif_anim,
+        "image_header_gate": q_image_header_gate,
+        "image_admission": q_image_admission,
+        "image_funnel": q_image_funnel,
+        # -- parked for r5 (ALL drew green driver rows in r4; rotate r6) ---
+        "stream_dedup_state": q_stream_dedup_state,
+        "corpus_curate": q_corpus_curate,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_dangling": q_graph_pagerank_dangling,
+        "graph_host_rank": q_graph_host_rank,
+        "graph_components": q_graph_components,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_full_probe": q_sim_ivf_full_probe,
+        "sim_near_dup": q_sim_near_dup,
+        "stream_windowed_metrics": q_stream_windowed_metrics,
+        "stream_sessionize": q_stream_sessionize,
+        "corpus_clean": q_corpus_clean,
+        "dedup_substring_removed": q_dedup_substring_removed,
+        "curate_mixture": q_curate_mixture,
+        "pages_to_documents": q_pages_to_documents,
+        "corpus_stats": q_corpus_stats,
+        "sim_dedup_clusters": q_sim_dedup_clusters,
+        "curate_mixture_epochs": q_curate_mixture_epochs,
+        "text_winnow_pairs": q_text_winnow_pairs,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "corpus_token_quantiles": q_corpus_token_quantiles,
+        "text_token_topk": q_text_token_topk,
+        "text_winnow_spans": q_text_winnow_spans,
+        "image_phash_near_dup": q_image_phash_near_dup,
+        "image_caption_gate": q_image_caption_gate,
+        "image_phash_clusters": q_image_phash_clusters,
+        "image_ar_buckets": q_image_ar_buckets,
+        "image_resolution_tiers": q_image_resolution_tiers,
+        "image_thumbnail_variants": q_image_thumbnail_variants,
+        "image_corpus_curate": q_image_corpus_curate,
+        "image_srcset_extract": q_image_srcset_extract,
+        "image_data_uris": q_image_data_uris,
+        "image_ar_batches": q_image_ar_batches,
+        "image_caption_alignment": q_image_caption_alignment,
+        "image_sniff_format": q_image_sniff_format,
+        "image_fetch_plan": q_image_fetch_plan,
+        "image_vit_tokens": q_image_vit_tokens,
+        "image_pack_shards": q_image_pack_shards,
+        "image_cross_dups": q_image_cross_dups,
+        "image_header_dims": q_image_header_dims,
+        "image_jpeg_dims": q_image_jpeg_dims,
+        "image_fetch_waves": q_image_fetch_waves,
+        "image_exif_orientation": q_image_exif_orientation,
+        "image_display_dims": q_image_display_dims,
+        "image_png_scan": q_image_png_scan,
     }
 
 

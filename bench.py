@@ -453,6 +453,12 @@ def main() -> None:
         }
         _write_baseline_md(result)
 
+    # Persist the result line too: the driver captures a bounded stdout
+    # tail, and BENCH_r04.json came back "parsed": null when the headline
+    # line overflowed it. A file artifact can't be truncated that way.
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/last_run.json", "w") as f:
+        f.write(json.dumps(result) + "\n")
     print(json.dumps(result))
 
 

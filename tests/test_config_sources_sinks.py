@@ -29,6 +29,52 @@ def test_config_yaml_env_override_merge(tmp_path, monkeypatch):
     assert cfg.headers == ["User-Agent: x"]
 
 
+def test_config_create_on_missing_path(tmp_path):
+    # configuration.CreateOrUpdate's missing-file branch
+    # (configuration.go:118-124): first run writes the default scaffold,
+    # parent dirs included, and the scaffold round-trips through from_yaml
+    from xcrawl3r_spark.config import CONFIG_VERSION
+
+    path = tmp_path / "nested" / "config.yaml"
+    CrawlConfig.create_or_update(str(path))
+    assert path.exists()
+    import yaml
+
+    doc = yaml.safe_load(path.read_text())
+    assert doc["version"] == CONFIG_VERSION
+    assert doc["depth"] == 1 and doc["timeout"] == 10
+    cfg = CrawlConfig.from_yaml(str(path))
+    assert cfg == CrawlConfig()
+    # same-version file is left byte-identical (no rewrite churn)
+    before = path.read_text()
+    CrawlConfig.create_or_update(str(path))
+    assert path.read_text() == before
+
+
+def test_config_merge_on_version_change(tmp_path):
+    # configuration.CreateOrUpdate's mergo branch (configuration.go:126-144):
+    # an old-version file keeps every user-set value, gains missing keys
+    # at their defaults, and has its version stamped to current
+    from xcrawl3r_spark.config import CONFIG_VERSION
+
+    path = tmp_path / "config.yaml"
+    path.write_text(
+        "version: 0.9.0\n"
+        "depth: 7\n"                      # user value must survive
+        "proxies: [http://p1]\n"
+    )
+    CrawlConfig.create_or_update(str(path))
+    import yaml
+
+    doc = yaml.safe_load(path.read_text())
+    assert doc["version"] == CONFIG_VERSION
+    assert doc["depth"] == 7
+    assert doc["proxies"] == ["http://p1"]
+    assert doc["timeout"] == 10           # missing key gained its default
+    cfg = CrawlConfig.from_yaml(str(path))
+    assert cfg.depth == 7 and cfg.proxies == ["http://p1"]
+
+
 def test_config_unknown_key_rejected(tmp_path):
     bad = tmp_path / "bad.yaml"
     bad.write_text("dephts: 3\n")

@@ -109,6 +109,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # override when set), and only an UNCONFIGURED run gets the CLI's
     # real-network default (the dataclass default is "table", which
     # without a pages frame fails fast rather than crawling nothing)
+    # first-run scaffold / merge-on-version-change, like the reference's
+    # configuration.CreateOrUpdate call on startup (configuration.go:113):
+    # a missing -c path gets the default YAML written rather than an error
+    if args.configuration:
+        CrawlConfig.create_or_update(args.configuration)
     if args.pages:
         overrides["fetch_mode"] = "table"
     else:

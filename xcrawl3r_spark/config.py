@@ -10,6 +10,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+#: mirrors the reference's configuration.VERSION
+#: (internal/configuration/configuration.go:64) — the value its
+#: merge-on-version-change compares the YAML's ``version:`` key against
+CONFIG_VERSION = "1.2.0"
+
 
 @dataclass
 class CrawlConfig:
@@ -142,6 +147,49 @@ class CrawlConfig:
                 f"filter_kind must be 'bloom' or 'cuckoo', got {self.filter_kind!r}")
 
     @classmethod
+    def create_or_update(cls, path: str) -> None:
+        """S8 parity with ``configuration.CreateOrUpdate``
+        (internal/configuration/configuration.go:113-146):
+
+        * missing file → write the full default config (every field, plus
+          ``version: CONFIG_VERSION``), creating parent dirs like
+          ``Configuration.Write`` (configuration.go:34-46);
+        * existing file whose ``version`` differs → merge defaults in the
+          mergo way (user-set keys WIN; only keys absent from the file get
+          default values), stamp the current version, rewrite;
+        * same version → leave the file untouched.
+        """
+        import os as _os
+        from dataclasses import fields as _fields
+
+        import yaml as _yaml
+
+        defaults = {
+            f.name: getattr(cls(), f.name) for f in _fields(cls)}
+
+        def _write(doc: dict) -> None:
+            d = _os.path.dirname(path)
+            if d:
+                _os.makedirs(d, exist_ok=True)
+            with open(path, "w") as fh:
+                # version first so a human diffing the scaffold sees the
+                # merge trigger up top, like the reference's struct order
+                fh.write(_yaml.safe_dump(
+                    {"version": doc.pop("version")}, sort_keys=False))
+                fh.write(_yaml.safe_dump(doc, sort_keys=True))
+
+        if not _os.path.exists(path):
+            _write({"version": CONFIG_VERSION, **defaults})
+            return
+        with open(path) as fh:
+            loaded = _yaml.safe_load(fh) or {}
+        if loaded.get("version") == CONFIG_VERSION:
+            return
+        merged = {**defaults, **{k: v for k, v in loaded.items()
+                                 if k != "version"}}
+        _write({"version": CONFIG_VERSION, **merged})
+
+    @classmethod
     def from_yaml(cls, path: str | None = None, **overrides) -> "CrawlConfig":
         """S8 config source: YAML file + ``XCRAWL3R_*`` env + overrides,
         later wins — the same merge order as the reference's
@@ -161,6 +209,9 @@ class CrawlConfig:
         if path:
             with open(path) as fh:
                 loaded = _yaml.safe_load(fh) or {}
+            # ``version`` is file metadata (the create/merge trigger),
+            # not a config field — same as the reference struct's Version
+            loaded.pop("version", None)
             unknown = set(loaded) - set(known)
             if unknown:
                 raise ValueError(f"unknown config keys: {sorted(unknown)}")

@@ -107,6 +107,17 @@ def _transport(cfg: "CrawlConfig", binary: bool):
     proxies = [p for p in (cfg.proxies or []) if p]
     workers = max(1, int(cfg.concurrency))
     tls_skip_verify = bool(getattr(cfg, "tls_skip_verify", True))
+    if tls_skip_verify:
+        # once-per-stage driver-side notice: the reference-parity default
+        # accepts any certificate (InsecureSkipVerify, xcrawl3r.go:319),
+        # which silently admits MITM'd responses into the corpus —
+        # operators crawling trusted infra should see the posture and can
+        # set tls_skip_verify=False to verify against the trust store
+        import logging
+
+        logging.getLogger("xcrawl3r_spark.fetch").warning(
+            "TLS certificate verification is OFF for live fetches "
+            "(tls_skip_verify=True, reference-parity default)")
     max_bytes = (
         int(getattr(cfg, "max_payload_bytes", 0)) or None
     ) if binary else None
