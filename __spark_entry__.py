@@ -974,14 +974,21 @@ _HDR_FMT = ("case doc_id % 7 when 0 then 'png' when 1 then 'gif' "
             "when 5 then 'webp' else 'jpeg' end")
 
 
+# declared dims go NULL on %37 rows (r5): the gate must answer
+# no_declaration for them, never ok — the r4 ADVICE NULL-fallthrough
+_HDR_DECL_W = f"case when doc_id % 37 = 0 then null else {_HDR_W} end"
+_HDR_DECL_H = f"case when doc_id % 37 = 0 then null else {_HDR_H} end"
+
+
 def _header_images(docs):
     """(image_id, fmt, w, h, bytes) with real PNG/GIF/BMP/JPEG header
-    bytes and planted lies/bombs/missing payloads (fragments above)."""
+    bytes and planted lies/bombs/missing payloads/undeclared dims
+    (fragments above)."""
     return docs.selectExpr(
         "concat('img-', doc_id) as image_id",
         f"{_HDR_FMT} as fmt",
-        f"cast({_HDR_W} as int) as w",
-        f"cast({_HDR_H} as int) as h",
+        f"cast({_HDR_DECL_W} as int) as w",
+        f"cast({_HDR_DECL_H} as int) as h",
         f"case when doc_id % 11 = 0 then null "
         f"else unhex({_HDR_PAYLOAD_HEX}) end as bytes",
     )
@@ -990,7 +997,8 @@ def _header_images(docs):
 #: DuckDB twin of _header_images (identical fragments, from_hex)
 _HDR_TABLE_SQL = (
     f"select concat('img-', doc_id) as image_id, {_HDR_FMT} as fmt, "
-    f"cast({_HDR_W} as int) as w, cast({_HDR_H} as int) as h, "
+    f"cast({_HDR_DECL_W} as int) as w, "
+    f"cast({_HDR_DECL_H} as int) as h, "
     f"case when doc_id % 11 = 0 then null "
     f"else from_hex({_HDR_PAYLOAD_HEX}) end as bytes from documents"
 )
@@ -1072,9 +1080,13 @@ _DUCK_HDR_PARSE_SQL = _duck_hdr_parse(_HDR_TABLE_SQL)
 
 
 # Admission synthesis: the header payloads plus a declared-format lie
-# on %29 rows (declared 'gif' whatever the bytes say) and caption
-# pathologies (%19 blank, %23 NULL)
-_ADM_FMT = f"case when doc_id % 29 = 0 then 'gif' else ({_HDR_FMT}) end"
+# on %29 rows (declared 'gif' whatever the bytes say), a MISSING
+# declared format on %31 rows (r5 — must read no_declaration, not slip
+# past the sniff comparison), the %37 undeclared-dims rows inherited
+# from the header fragments, and caption pathologies (%19 blank, %23
+# NULL)
+_ADM_FMT = (f"case when doc_id % 31 = 0 then null "
+            f"when doc_id % 29 = 0 then 'gif' else ({_HDR_FMT}) end")
 _ADM_CAPTION = ("case when doc_id % 19 = 0 then '  ' "
                 "when doc_id % 23 = 0 then null else text end")
 
@@ -1083,8 +1095,8 @@ def _admission_images(docs):
     return docs.selectExpr(
         "concat('img-', doc_id) as image_id",
         f"{_ADM_FMT} as fmt",
-        f"cast({_HDR_W} as int) as w",
-        f"cast({_HDR_H} as int) as h",
+        f"cast({_HDR_DECL_W} as int) as w",
+        f"cast({_HDR_DECL_H} as int) as h",
         f"{_ADM_CAPTION} as caption",
         f"case when doc_id % 11 = 0 then null "
         f"else unhex({_HDR_PAYLOAD_HEX}) end as bytes",
@@ -1094,7 +1106,8 @@ def _admission_images(docs):
 #: DuckDB twin of _admission_images
 _ADM_TABLE_SQL = (
     f"select concat('img-', doc_id) as image_id, {_ADM_FMT} as fmt, "
-    f"cast({_HDR_W} as int) as w, cast({_HDR_H} as int) as h, "
+    f"cast({_HDR_DECL_W} as int) as w, "
+    f"cast({_HDR_DECL_H} as int) as h, "
     f"{_ADM_CAPTION} as caption, "
     f"case when doc_id % 11 = 0 then null "
     f"else from_hex({_HDR_PAYLOAD_HEX}) end as bytes from documents"
@@ -1113,18 +1126,52 @@ _DUCK_SNIFF = """
 """
 
 
+#: raw admission-gate twin (verdict chain identical to
+#: operators/images.py admission_gate incl. the r5 no_declaration
+#: branch); the "image_admission" oracle coalesces it for transport
+#: while "image_funnel" aggregates it RAW (countDistinct must ignore
+#: NULL fmt like Spark does, so fmt cannot be pre-coalesced here)
+_ADM_GATE_SQL = f"""
+    select image_id, fmt, {_DUCK_SNIFF} as sniffed_fmt,
+           header_w, header_h, header_fmt, w, h, caption, bytes,
+           case when bytes is null then 'no_payload'
+                when ({_DUCK_SNIFF}) is null
+                     or (fmt is not null and ({_DUCK_SNIFF}) != fmt)
+                  then 'format_lie'
+                when header_fmt is not null
+                     and header_w * header_h > {1 << 28}
+                  then 'bomb'
+                when header_fmt is not null
+                     and (header_w != w or header_h != h)
+                  then 'dims_mismatch'
+                when fmt is null or w is null or h is null
+                  then 'no_declaration'
+                when least(coalesce(header_w, w),
+                           coalesce(header_h, h)) < 100
+                  then 'too_small'
+                when caption is null
+                     or length(trim(caption)) < 5
+                  then 'no_caption'
+                else 'admit' end as verdict
+    from ({_duck_hdr_parse(
+        _ADM_TABLE_SQL, cols="image_id, fmt, w, h, caption, bytes")}) p
+"""
+
+
 def q_image_admission(spark, sf_dir):
     """The end-to-end admission verdict (sniff + header parse + bomb +
     dims + caption checks, one zero-shuffle stage) over the header
-    synthesis extended with format lies and caption pathologies; the
-    twin composes the parse twin, the sniff case, and the identical
-    verdict chain."""
+    synthesis extended with format lies, missing declarations, and
+    caption pathologies; the twin composes the parse twin, the sniff
+    case, and the identical verdict chain."""
     from xcrawl3r_spark.operators import images
 
     docs = _t(spark, sf_dir, "documents")
+    # fmt is nullable since the %31 no-declaration rows landed —
+    # coalesce for transport (None-vs-NaN pandas-fetch hazard)
     return images.admission_gate(
         _admission_images(docs), min_side=100).selectExpr(
-        "image_id", "fmt", "sniffed_fmt",
+        "image_id", "coalesce(fmt, 'none') as fmt", "sniffed_fmt",
         "coalesce(header_w, -1) as header_w",
         "coalesce(header_h, -1) as header_h", "verdict")
 
@@ -1452,12 +1499,22 @@ def q_image_png_scan(spark, sf_dir):
 
 # GIF anim-probe synthesis: GIF89a + screen descriptor; %2==0 rows
 # carry a global color table sized by doc_id % 3 (6/12/24 bytes, the
-# packed-byte exponent), %3!=0 rows lead with the loop extension
-# (ANIMEXTS flavor on %5 rows), the rest are static; %13 non-GIF,
-# %11 NULL.
+# packed-byte exponent), %3!=0 rows carry the loop extension — since
+# r5 behind wild-encoder PRE-BLOCKS on %4!=0 rows (a graphic-control
+# extension, a 3-byte comment, or both — the layouts the old
+# fixed-position check probed false on, r4 ADVICE); ANIMEXTS flavor on
+# %5 rows. Static rows (%3==0) get a graphic-control block before the
+# image descriptor on %4==1 rows — the walk must still answer false.
+# %13 non-GIF, %11 NULL.
 _GIF_SIZES = "case doc_id % 3 when 0 then 6 when 1 then 12 else 24 end"
 _GIF_APP = ("case when doc_id % 5 = 0 then '414E494D45585453312E30' "
             "else '4E45545343415045322E30' end")
+_GIF_GCE = "'21F90400000000', '00'"           # 8-byte graphic control
+_GIF_COMMENT = "'21FE03', '616263', '00'"     # comment ext, 3 data bytes
+_GIF_PREBLOCKS = (
+    f"case doc_id % 4 when 1 then concat({_GIF_GCE}) "
+    f"when 2 then concat({_GIF_COMMENT}) "
+    f"when 3 then concat({_GIF_GCE}, {_GIF_COMMENT}) else '' end")
 _GIF_SYNTH_HEX = (
     f"concat('474946383961', {_le_hex_sql(_HDR_W, 2)}, "
     f"{_le_hex_sql(_HDR_H, 2)}, "
@@ -1465,8 +1522,10 @@ _GIF_SYNTH_HEX = (
     "else '00' end, '0000', "
     f"case when doc_id % 2 = 0 then repeat('00', {_GIF_SIZES}) "
     "else '' end, "
-    f"case when doc_id % 3 != 0 then concat('21FF0B', {_GIF_APP}, "
-    f"'0301', {_le_hex_sql('(doc_id % 300)', 2)}, '00') else '' end, "
+    f"case when doc_id % 3 != 0 then concat({_GIF_PREBLOCKS}, "
+    f"'21FF0B', {_GIF_APP}, "
+    f"'0301', {_le_hex_sql('(doc_id % 300)', 2)}, '00') "
+    f"when doc_id % 4 = 1 then concat({_GIF_GCE}) else '' end, "
     f"'2C00000000', {_le_hex_sql(_HDR_W, 2)}, {_le_hex_sql(_HDR_H, 2)}, "
     "'00')")
 _GIF_PROBE_PAYLOAD_HEX = (
@@ -1490,23 +1549,44 @@ _GIF_PROBE_TABLE_SQL = (
 )
 
 
-def _duck_gif_probe_sql(table_sql: str) -> str:
+def _duck_gif_probe_sql(table_sql: str, steps: int = 8) -> str:
     """DuckDB twin of operators/images.py gif_anim_probe — the SAME
-    gif_anim_sql snippets over hex(bytes), '0x' casts."""
-    from xcrawl3r_spark.operators.images import gif_anim_sql
+    gif_start_sql/gif_walk_step_sql snippets (single source of truth
+    for the bounded block walk), chained as CTEs instead of
+    withColumns, '0x' casts instead of conv."""
+    from xcrawl3r_spark.operators.images import (
+        gif_start_sql, gif_walk_step_sql)
 
-    s = gif_anim_sql(lambda x: f"(('0x' || {x})::bigint)")
-    return f"""
-        with base as ({table_sql}),
-        h as (select image_id, hex(bytes) as hx from base)
-        select image_id,
-               case when {s["is_gif"]} then
-                 (case when {s["animated"]} then 1 else 0 end)
-               else -1 end as gif_animated,
-               cast(case when {s["animated"]} then {s["loop"]}
-                    else -1 end as bigint) as gif_loop_count
-        from h
-    """
+    def d(x):
+        return f"(('0x' || {x})::bigint)"
+
+    st = gif_start_sql(d)
+    ctes = [
+        f"base as ({table_sql})",
+        "h as (select image_id, hex(bytes) as hx from base)",
+        f"s0 as (select image_id, hx, {st['is_gif']} as is_gif, "
+        f"cast(case when {st['is_gif']} then {st['start']} end "
+        "as bigint) as p0, false as b0, "
+        "cast(null as boolean) as anim, cast(null as bigint) as lp "
+        "from h)",
+    ]
+    for i in range(steps):
+        s = gif_walk_step_sql(f"p{i}", f"b{i}", d)
+        ctes.append(
+            f"s{i + 1} as (select image_id, hx, is_gif, "
+            f"coalesce(anim, case when {s['netscape']} then true end) "
+            "as anim, "
+            f"coalesce(lp, case when {s['netscape']} then {s['loop']} "
+            "end) as lp, "
+            f"cast({s['next_p']} as bigint) as p{i + 1}, "
+            f"{s['next_sub']} as b{i + 1} from s{i})")
+    return ("with " + ", ".join(ctes)
+            + " select image_id, "
+              "case when is_gif then "
+              "(case when coalesce(anim, false) then 1 else 0 end) "
+              "else -1 end as gif_animated, "
+              "cast(case when coalesce(anim, false) then lp else -1 end "
+              f"as bigint) as gif_loop_count from s{steps}")
 
 
 def q_image_gif_anim(spark, sf_dir):
@@ -1575,10 +1655,12 @@ def q_image_header_gate(spark, sf_dir):
     from xcrawl3r_spark.operators import images
 
     docs = _t(spark, sf_dir, "documents")
-    # same -1 coalesce as q_image_header_dims (nullable-bigint transport)
+    # same -1 coalesce as q_image_header_dims (nullable-bigint
+    # transport) — declared w/h too since the %37 undeclared rows
     return images.header_dims_gate(
         _header_images(docs), max_pixels=1 << 28).selectExpr(
-        "image_id", "fmt", "w", "h", "header_fmt",
+        "image_id", "fmt",
+        "coalesce(w, -1) as w", "coalesce(h, -1) as h", "header_fmt",
         "coalesce(header_w, -1) as header_w",
         "coalesce(header_h, -1) as header_h", "verdict")
 
@@ -3705,30 +3787,11 @@ def oracle_sql() -> dict[str, str]:
         # admission twin: the parse twin over the admission synthesis
         # + the sniff case + the identical verdict chain
         "image_admission": f"""
-            with p as ({_duck_hdr_parse(
-                _ADM_TABLE_SQL,
-                cols="image_id, fmt, w, h, caption, bytes")})
-            select image_id, fmt, {_DUCK_SNIFF} as sniffed_fmt,
+            with g as ({_ADM_GATE_SQL})
+            select image_id, coalesce(fmt, 'none') as fmt, sniffed_fmt,
                    coalesce(header_w, -1) as header_w,
-                   coalesce(header_h, -1) as header_h,
-                   case when bytes is null then 'no_payload'
-                        when ({_DUCK_SNIFF}) is null
-                             or ({_DUCK_SNIFF}) != fmt
-                          then 'format_lie'
-                        when header_fmt is not null
-                             and header_w * header_h > {1 << 28}
-                          then 'bomb'
-                        when header_fmt is not null
-                             and (header_w != w or header_h != h)
-                          then 'dims_mismatch'
-                        when least(coalesce(header_w, w),
-                                   coalesce(header_h, h)) < 100
-                          then 'too_small'
-                        when caption is null
-                             or length(trim(caption)) < 5
-                          then 'no_caption'
-                        else 'admit' end as verdict
-            from p
+                   coalesce(header_h, -1) as header_h, verdict
+            from g
         """,
         # display-dims twin: the two walk twins joined on image_id
         # (both row-wise over the same synthesized table); the swap
@@ -3756,11 +3819,13 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(png_color_type, -1) as png_color_type
             from ({_DUCK_HDR_PARSE_SQL})
         """,
-        # gate twin: the same parse plus the five-way verdict with
+        # gate twin: the same parse plus the six-way verdict with
         # identical precedence (no_payload > unparsed > bomb >
-        # dims_mismatch > ok)
+        # dims_mismatch > no_declaration > ok)
         "image_header_gate": f"""
-            select image_id, fmt, w, h, header_fmt,
+            select image_id, fmt,
+                   coalesce(w, -1) as w, coalesce(h, -1) as h,
+                   header_fmt,
                    coalesce(header_w, -1) as header_w,
                    coalesce(header_h, -1) as header_h,
                    case when bytes is null then 'no_payload'
@@ -3768,6 +3833,8 @@ def oracle_sql() -> dict[str, str]:
                         when header_w * header_h > {1 << 28} then 'bomb'
                         when header_w != w or header_h != h
                           then 'dims_mismatch'
+                        when w is null or h is null
+                          then 'no_declaration'
                         else 'ok' end as verdict
             from ({_DUCK_HDR_PARSE_SQL})
         """,
@@ -4335,17 +4402,19 @@ def oracle_sql() -> dict[str, str]:
                cast((rank_in_host - 1) // 3 as bigint) as wave
         from r
     """
-    # funnel twin: the admission twin aggregated; nullif unwraps the
-    # -1 transport so min/max see real NULLs like Spark does
+    # funnel twin: the RAW admission gate aggregated (not the
+    # transport-coalesced "image_admission" twin — count(distinct fmt)
+    # must ignore NULL declared formats exactly like Spark's
+    # countDistinct, and min/max must see real NULL header dims)
     d["image_funnel"] = f"""
-        with g as ({d["image_admission"]})
+        with g as ({_ADM_GATE_SQL})
         select verdict,
                coalesce(sniffed_fmt, 'none') as sniffed_fmt,
                cast(count(*) as bigint) as n_rows,
                cast(count(distinct fmt) as bigint) as n_declared_fmts,
-               cast(coalesce(min(nullif(header_w, -1)), -1)
+               cast(coalesce(min(header_w), -1)
                     as bigint) as min_header_w,
-               cast(coalesce(max(nullif(header_w, -1)), -1)
+               cast(coalesce(max(header_w), -1)
                     as bigint) as max_header_w
         from g group by 1, 2
     """

@@ -897,14 +897,21 @@ class TestHeaderDimsGate:
              ("bomb", "png", 300, 200, _png_hdr(60000, 60000)),
              ("jpeg", "jpeg", 10, 10,
               bytes.fromhex("FFD8FFE000104A464946")),
-             ("gone", "png", 10, 10, None)],
+             ("gone", "png", 10, 10, None),
+             # r4 ADVICE: NULL declared dims must not read "ok" —
+             # the header parsed, but there was nothing to confirm
+             ("undeclared", "png", None, None, _png_hdr(300, 200)),
+             # ...while a mismatch on the PRESENT half still fires
+             ("half-lie", "png", None, 480, _png_hdr(300, 200))],
             "image_id string, fmt string, w int, h int, bytes binary")
         got = {r["image_id"]: r["verdict"]
                for r in header_dims_gate(df, max_pixels=1 << 28)
                .collect()}
         assert got == {"ok": "ok", "lie": "dims_mismatch",
                        "bomb": "bomb", "jpeg": "unparsed",
-                       "gone": "no_payload"}
+                       "gone": "no_payload",
+                       "undeclared": "no_declaration",
+                       "half-lie": "dims_mismatch"}
 
 
 class TestScheduleFetchWaves:
@@ -1175,7 +1182,12 @@ class TestPngChunkScan:
         assert "Exchange" not in plan
 
 
-def _gif_file(w=10, h=10, gct_n=None, anim=None, app=b"NETSCAPE2.0"):
+_GIF_GCE = b"\x21\xF9\x04\x00\x00\x00\x00\x00"      # graphic control
+_GIF_COMMENT = b"\x21\xFE\x03abc\x00"               # 3-byte comment ext
+
+
+def _gif_file(w=10, h=10, gct_n=None, anim=None, app=b"NETSCAPE2.0",
+              pre=b""):
     le16 = lambda v: v.to_bytes(2, "little")
     packed = 0
     body = b""
@@ -1183,7 +1195,7 @@ def _gif_file(w=10, h=10, gct_n=None, anim=None, app=b"NETSCAPE2.0"):
         packed = 0x80 | gct_n
         body += b"\x00" * (3 * 2 ** (gct_n + 1))
     head = (b"GIF89a" + le16(w) + le16(h) + bytes([packed]) + b"\x00\x00"
-            + body)
+            + body + pre)
     if anim is not None:
         head += (b"\x21\xFF\x0B" + app + b"\x03\x01" + le16(anim)
                  + b"\x00")
@@ -1218,6 +1230,32 @@ class TestGifAnimProbe:
         assert got["not-gif"] == (None, None)
         assert got["nulls"] == (None, None)
 
+    def test_block_walk_past_leading_extensions(self, spark):
+        """r4 ADVICE: wild encoders put a graphic-control or comment
+        block BEFORE the loop extension — the bounded walk must skip
+        them generically (one step per sub-block) and still find
+        NETSCAPE; a GIF whose walk hits the image descriptor first
+        stays false, loop-ext-after-frames GIFs included."""
+        from xcrawl3r_spark.operators.images import gif_anim_probe
+
+        df = spark.createDataFrame(
+            [("gce-first", _gif_file(anim=7, pre=_GIF_GCE)),
+             ("comment-first", _gif_file(anim=9, pre=_GIF_COMMENT)),
+             ("gce-comment", _gif_file(gct_n=1, anim=0,
+                                       pre=_GIF_GCE + _GIF_COMMENT)),
+             ("static-gce", _gif_file(pre=_GIF_GCE)),
+             # a frame before any loop ext: walk stops at 2C -> still
+             ("frames-first", _gif_file() + b"\x21\xFF\x0B"
+              + b"NETSCAPE2.0" + b"\x03\x01\x07\x00\x00")],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["gif_animated"], r["gif_loop_count"])
+               for r in gif_anim_probe(df).collect()}
+        assert got["gce-first"] == (True, 7)
+        assert got["comment-first"] == (True, 9)
+        assert got["gce-comment"] == (True, 0)
+        assert got["static-gce"] == (False, None)
+        assert got["frames-first"] == (False, None)
+
     def test_zero_shuffle(self, spark):
         from xcrawl3r_spark.operators.images import gif_anim_probe
 
@@ -1247,6 +1285,17 @@ class TestAdmissionGate:
             # jpeg: header unparseable here -> declared dims carry the
             # too_small check, caption fine -> admit
             ("jpeg-admit", "jpeg", 300, 200, "fine caption", jfif),
+            # r4 ADVICE: NULL declared metadata must NOT slip past the
+            # NULL-propagating comparisons and admit
+            ("no-fmt", None, 300, 200, "ok caption", _png_hdr(300, 200)),
+            ("no-dims", "png", None, None, "ok caption",
+             _png_hdr(300, 200)),
+            # ...but a byte-level failure still outranks the missing
+            # declaration (the checks that CAN run, run first)
+            ("no-fmt-bomb", None, 300, 200, "ok caption",
+             _png_hdr(60000, 60000)),
+            ("half-dims-drift", "png", None, 480, "ok caption",
+             _png_hdr(300, 200)),
         ]
         df = spark.createDataFrame(
             rows, "image_id string, fmt string, w int, h int, "
@@ -1258,6 +1307,8 @@ class TestAdmissionGate:
             "poison": "format_lie", "bomb": "bomb",
             "drift": "dims_mismatch", "icon": "too_small",
             "blank-cap": "no_caption", "jpeg-admit": "admit",
+            "no-fmt": "no_declaration", "no-dims": "no_declaration",
+            "no-fmt-bomb": "bomb", "half-dims-drift": "dims_mismatch",
         }
 
     def test_zero_shuffle(self, spark):

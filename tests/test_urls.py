@@ -203,10 +203,32 @@ class TestRegexExtraction:
         # still no file-ext false positives
         assert U.extract_urls_regex("load a.css b.json c.yaml") == []
 
+    def test_extract_iana_complete(self):
+        """r4 verdict item 4: the alternation is now GENERATED from the
+        full public IANA root-zone dump (tools/gen_tlds.py ->
+        functions/tlds.py), so brand TLDs and IDN (xn--) TLDs extract —
+        the last curated-subset divergence vs hq-go-url is closed."""
+        from xcrawl3r_spark.functions.tlds import IANA_VERSION, TLDS
+
+        assert len(TLDS) > 1400 and "2024" in IANA_VERSION
+        # brand TLDs (single-registrant strings the old list excluded)
+        assert U.extract_urls_regex("maps at go.google/maps ok") == [
+            "go.google/maps"]
+        assert U.extract_urls_regex("x a.aws b.youtube/c y") == [
+            "a.aws", "b.youtube/c"]
+        # IDN TLDs are ASCII xn-- labels in DNS — they match as-is
+        assert U.extract_urls_regex("ru site.xn--p1ai/doc here") == [
+            "site.xn--p1ai/doc"]
+        # .zip/.mov ARE delegated TLDs — the reference's IANA-complete
+        # extractor finds them, so we must too (parity over intuition)
+        assert U.extract_urls_regex("get archive.zip now") == [
+            "archive.zip"]
+        # undelegated strings still don't match
+        assert U.extract_urls_regex("read notes.txt b.css") == []
+
     def test_extract_new_gtld_tail(self):
         """r3 verdict item 8: the obscure new-gTLD tail (geo TLDs,
-        professions, low-traffic generics) extracts too — the remaining
-        divergence vs the full IANA dump is brand + IDN TLDs only."""
+        professions, low-traffic generics) extracts too."""
         assert U.extract_urls_regex("law firm at smith.abogado ok") == [
             "smith.abogado"]
         assert U.extract_urls_regex("x rad.yokohama/maps y") == [

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from xcrawl3r_spark.functions.tlds import TLDS  # generated: tools/gen_tlds.py
+
 # verbatim ext lists from pkg/xcrawl3r/xcrawl3r.go:419-420
 FILE_EXTS = "css|csv|js|json|map|txt|xml|yaml|yml"
 MEDIA_EXTS = (
@@ -53,15 +55,13 @@ _IMAGE_RE = re.compile(rf"\.({IMAGE_EXTS})$")
 #
 # The scheme-less branch gates on a public-TLD alternation, tracking
 # hq-go-url's embedded IANA list (compiled by the reference at
-# xcrawl3r.go:417). The list below is assembled from public knowledge:
-# the COMPLETE ccTLD set (ISO 3166-1 codes in DNS use — fixed and
-# stable), all legacy/sponsored gTLDs (incl. .museum/.travel/.aero), the
-# RFC 2606 reserved names the synthetic graph uses, the high-traffic
-# subset of the new-gTLD program, and (r4) its geo/profession/generic
-# long tail. Remaining divergence vs hq-go-url's full IANA dump:
-# single-registrant brand TLDs and IDN (xn--) TLDs, both excluded by
-# design. Refreshing against a newer IANA dump is a data-constant edit —
-# the alternation is generated from these lists.
+# xcrawl3r.go:417). Since r5 the alternation is GENERATED from the full
+# public IANA root-zone dump (functions/tlds.py, written by
+# tools/gen_tlds.py from tlds-alpha-by-domain.txt — all 1445 entries
+# incl. brand and IDN xn-- TLDs), closing the curated-subset divergence
+# flagged since r2. The RFC 2606 reserved names (.test etc., used by the
+# synthetic graph) are appended on top — they are reserved, not
+# delegated, so the root zone doesn't carry them.
 # Non-http schemes are not extracted: the reference's validate()
 # (xcrawl3r.go:392 `https?://...` URLFilter) drops them immediately after
 # extraction, so the observable output matches.
@@ -71,88 +71,10 @@ _URL_PORT = r"(?::\d+)?"
 # brackets/parens excluded from path+query: extracted tokens come from
 # css url(...) / js string contexts where the closer is not part of the URL
 _URL_TAIL = r"(?:/[^?\s\"'<>#()\[\]{}]*)?(?:\?[^#\s\"'<>()\[\]{}]*)?"
-_CCTLDS = (
-    "ac ad ae af ag ai al am ao aq ar as at au aw ax az ba bb bd be bf bg "
-    "bh bi bj bm bn bo bq br bs bt bv bw by bz ca cc cd cf cg ch ci ck cl "
-    "cm cn co cr cu cv cw cx cy cz de dj dk dm do dz ec ee eg eh er es et "
-    "eu fi fj fk fm fo fr ga gb gd ge gf gg gh gi gl gm gn gp gq gr gs gt "
-    "gu gw gy hk hm hn hr ht hu id ie il im in io iq ir is it je jm jo jp "
-    "ke kg kh ki km kn kp kr kw ky kz la lb lc li lk lr ls lt lu lv ly ma "
-    "mc md me mf mg mh mk ml mm mn mo mp mq mr ms mt mu mv mw mx my mz na "
-    "nc ne nf ng ni nl no np nr nu nz om pa pe pf pg ph pk pl pm pn pr ps "
-    "pt pw py qa re ro rs ru rw sa sb sc sd se sg sh si sj sk sl sm sn so "
-    "sr ss st su sv sx sy sz tc td tf tg th tj tk tl tm tn to tr tt tv tw "
-    "tz ua ug uk us uy uz va vc ve vg vi vn vu wf ws ye yt za zm zw"
-)
-_LEGACY_GTLDS = (
-    "com org net edu gov mil int arpa aero asia biz cat coop info jobs "
-    "mobi museum name post pro tel travel xxx"
-)
-_NEW_GTLDS = (
-    "academy agency app art audio auto band bank bar beer best bet bid "
-    "bike bio black blog blue boats bond book boutique build business "
-    "buzz cab cafe cam camera camp capital car cards care career careers "
-    "cash casino center ceo chat cheap church city claims cleaning click "
-    "clinic clothing cloud club coach codes coffee college community "
-    "company computer condos construction consulting contact cool country "
-    "coupons courses credit cruises dance date dating day deals degree "
-    "delivery dental design dev diamonds diet digital direct directory "
-    "discount doctor dog domains download earth education email energy "
-    "engineer engineering enterprises equipment estate events exchange "
-    "expert express fail faith family fan fans farm fashion film finance "
-    "financial fish fishing fit fitness flights florist flowers food "
-    "football forsale forum foundation fun fund furniture fyi gallery "
-    "game games garden gift gifts gives glass global gold golf graphics "
-    "green group guide guru haus health healthcare help hiphop hockey "
-    "holdings holiday homes horse hospital host hosting house icu inc "
-    "industries ink institute insurance insure international investments "
-    "jewelry kim kitchen land lawyer legal lgbt life lighting limited "
-    "limo link live loan loans lol london love ltd luxury management "
-    "market marketing mba media memorial men menu miami moda moe mom "
-    "money monster mortgage movie music network new news ninja now nyc "
-    "one online ooo organic page paris partners parts party pet phone "
-    "photo photography photos pics pictures pink pizza place plumbing "
-    "plus poker porn press productions promo properties property pub "
-    "racing radio realestate realty recipes red rehab rent rentals "
-    "repair report rest restaurant review reviews rich rip rocks rodeo "
-    "rugby run sale salon school science security services sex shoes "
-    "shop shopping show singles site ski soccer social software "
-    "solutions space sport store stream studio study style supplies "
-    "supply support surf surgery systems tattoo tax taxi team tech "
-    "technology tennis theater tickets tienda tips tires today tokyo "
-    "tools top tours town toys trade trading training tube uno vacations "
-    "vegas ventures vet video villas vin vip vision vodka vote voyage "
-    "watch webcam website wedding wiki win wine work works world wow wtf "
-    "xyz yoga zone"
-)
-#: the long tail of the new-gTLD program (r4 refresh): geo-TLDs,
-#: professions, and low-traffic generics from the public IANA root zone.
-#: Brand TLDs (single-registrant strings) are deliberately excluded —
-#: they never appear as link text in practice and inflate the
-#: alternation. Refresh process: diff the current IANA root zone dump's
-#: generic entries against the union below and append the misses.
-_NEW_GTLDS_TAIL = (
-    "abogado accountant accountants actor adult africa airforce "
-    "amsterdam apartments archi army associates attorney auction autos "
-    "baby bargains baseball basketball bayern beauty berlin bible bingo "
-    "boo booking boston bot broker brussels budapest builders capetown "
-    "casa catering charity christmas cologne cooking cricket cymru dad "
-    "dds democrat dentist desi dubai durban eco esq eus exposed feedback "
-    "frl futbol gal gent gmbh gratis gripe guitars hair hamburg hiv how "
-    "immo immobilien irish ist istanbul joburg juegos kaufen kiwi koeln "
-    "kyoto lat law lease llc llp lotto ltda luxe madrid maison makeup "
-    "markets melbourne meme moscow motorcycles nagoya navy ngo nrw "
-    "okinawa onl osaka phd physio play prof quebec quest realtor reise "
-    "reisen ren republican rio rsvp ruhr saarland sarl sbs schule scot "
-    "sexy shiksha skin soy spa srl stockholm sucks swiss sydney taipei "
-    "tatar tirol university vlaanderen voting wales wang wien xin "
-    "yachts yokohama zuerich"
-)
 _RESERVED_TLDS = "test example invalid localhost"  # RFC 2606
-_TLD_ALTERNATION = "|".join(sorted(set(
-    (_CCTLDS + " " + _LEGACY_GTLDS + " " + _NEW_GTLDS + " "
-     + _NEW_GTLDS_TAIL + " " + _RESERVED_TLDS).split()
-)))
+_TLD_ALTERNATION = "|".join(sorted(
+    set(TLDS) | set(_RESERVED_TLDS.split())
+))
 URL_EXTRACT_PATTERN = (
     rf"(?:https?://(?:{_URL_HOSTNAME}[a-zA-Z]{{2,}}|{_URL_IPV4})"
     rf"{_URL_PORT}{_URL_TAIL}"

@@ -1224,7 +1224,12 @@ def header_dims_gate(
       classic tiny-file/huge-canvas decode bomb: allocate-before-
       decode makes this the check that MUST precede any decode);
     - ``dims_mismatch`` — header dims disagree with the declared
-      columns (stale or lying metadata);
+      columns (stale or lying metadata; fires when EITHER declared
+      side is present and wrong — a half-declared row with the
+      present half mismatching is a real mismatch);
+    - ``no_declaration`` — header parsed fine but declared w/h are
+      (partly) NULL: nothing to confirm, so the row must NOT read
+      ``ok`` (r4 ADVICE — the NULL comparison used to fall through);
     - ``ok`` — header confirms the declaration.
 
     Same zero-shuffle map-side posture as the parse. Output:
@@ -1238,6 +1243,7 @@ def header_dims_gate(
         .when((F.col("header_w") != F.col("w").cast("long"))
               | (F.col("header_h") != F.col("h").cast("long")),
               "dims_mismatch")
+        .when(F.col("w").isNull() | F.col("h").isNull(), "no_declaration")
         .otherwise("ok"))
     return parsed.select(
         "image_id", "fmt", "w", "h",
@@ -1666,32 +1672,64 @@ def png_chunk_scan(
     )
 
 
-def gif_anim_sql(hex2int=spark_hex2int, hx: str = "hx") -> dict:
-    """Engine-neutral SQL for the GIF animation probe. Layout per the
-    GIF89a spec: 6-byte signature + logical screen descriptor; the
-    packed byte at offset 10 carries the global-color-table flag
-    (bit 7) and size exponent (bits 0-2, table = 3 * 2^(n+1) bytes —
-    resolved with a constant case, no engine-specific shifts). The
-    first block after the table is, in every animated GIF in the
-    wild, the application extension ``21 FF 0B`` + 'NETSCAPE2.0' (or
-    the older 'ANIMEXTS1.0') whose sub-block holds the LE16 loop
-    count — its presence IS the animation flag."""
+def gif_start_sql(hex2int=spark_hex2int, hx: str = "hx") -> dict:
+    """Start state of the bounded GIF block walk. Layout per the GIF89a
+    spec: 6-byte signature + logical screen descriptor; the packed
+    byte at offset 10 carries the global-color-table flag (bit 7) and
+    size exponent (bits 0-2, table = 3 * 2^(n+1) bytes — resolved
+    with a constant case, no engine-specific shifts). ``start`` is
+    the 1-based byte position of the first block after the optional
+    table."""
     pk = hex2int(f"substring({hx}, 21, 2)")
     sizes = ("case " + " ".join(
         f"when {pk} % 8 = {n} then {3 * 2 ** (n + 1)}"
         for n in range(8)) + " end")
-    p = f"(case when {pk} >= 128 then 14 + ({sizes}) else 14 end)"
+    return {
+        "is_gif": (f"(length({hx}) >= 26 and substring({hx}, 1, 12) "
+                   "in ('474946383761', '474946383961'))"),
+        "start": f"(case when {pk} >= 128 then 14 + ({sizes}) else 14 end)",
+    }
+
+
+def gif_walk_step_sql(p: str, sub: str, hex2int=spark_hex2int,
+                      hx: str = "hx") -> dict:
+    """One step of the bounded GIF block walk hunting the
+    NETSCAPE2.0/ANIMEXTS1.0 loop extension (r4 ADVICE: an animated GIF
+    whose stream opens with a graphic-control (21 F9) or comment
+    (21 FE) block probed false under the old single fixed-position
+    check).
+
+    Walk state: ``p`` = 1-based byte position (NULL = walk over),
+    ``sub`` = boolean, true when ``p`` points at a sub-block LENGTH
+    byte inside an extension being skipped, false when it points at a
+    block introducer. Per the GIF89a grammar every extension is
+    ``21 <label>`` followed by length-prefixed sub-blocks terminated
+    by a 00 byte, so ONE generic skip rule covers graphic-control,
+    comment, plain-text, and foreign application extensions alike.
+    The walk stops at the loop-extension hit, the first image
+    descriptor (2C — frames reached, no loop ext: still image),
+    the trailer (3B), a malformed byte, or the window edge."""
     at = (lambda off, n:
           f"substring({hx}, cast(2 * {p} - 1 + {off} as int), {n})")
-    is_gif = (f"(length({hx}) >= 26 and substring({hx}, 1, 12) "
-              "in ('474946383761', '474946383961'))")
-    anim = (f"({is_gif} and {exif_bound_sql(p, 19, hx)} "
-            f"and {at(0, 6)} = '21FF0B' and {at(6, 22)} in "
-            "('4E45545343415045322E30', '414E494D45585453312E30'))")
+    valid = exif_bound_sql(p, 1, hx)
+    netscape = (f"({valid} and not {sub} and {exif_bound_sql(p, 19, hx)} "
+                f"and {at(0, 6)} = '21FF0B' and {at(6, 22)} in "
+                "('4E45545343415045322E30', '414E494D45585453312E30'))")
+    sub_len = hex2int(at(0, 2))
+    is_ext = (f"({valid} and not {sub} and {exif_bound_sql(p, 2, hx)} "
+              f"and {at(0, 2)} = '21')")
     return {
-        "is_gif": is_gif,
-        "animated": anim,
+        "netscape": netscape,
+        # 21 FF 0B (3) + app id (11) + sub len (1) + sub id (1) = byte
+        # p+16 → LE16 loop count at hex offsets 32/34
         "loop": hex2int(f"concat({at(34, 2)}, {at(32, 2)})"),
+        "next_p": (f"(case when {netscape} then null "
+                   f"when {valid} and {sub} then "
+                   f"(case when {sub_len} = 0 then {p} + 1 "
+                   f"else {p} + 1 + {sub_len} end) "
+                   f"when {is_ext} then {p} + 2 end)"),
+        "next_sub": (f"(case when {valid} and {sub} then ({sub_len} != 0) "
+                     f"when {is_ext} then true else false end)"),
     }
 
 
@@ -1699,36 +1737,64 @@ def gif_anim_probe(
     images: DataFrame,
     bytes_col: str = "bytes",
     scan_bytes: int = 1024,
+    max_steps: int = 8,
 ) -> DataFrame:
     """Animated-GIF detection without a decode — the exclusion signal
     an image-training pipeline needs before treating a GIF as a still
     (an animated GIF decoded naively yields only its first frame,
     silently training on thumbnails of animations).
 
-    One conditional offset (header + optional global color table —
-    the table size comes from the packed-byte exponent), then a
-    single block check for the NETSCAPE2.0/ANIMEXTS1.0 application
-    extension and its LE16 loop count (0 = loop forever). No walk is
-    needed: the loop extension leads the block stream in real
-    animated GIFs; a GIF whose first block is a frame descriptor
-    probes ``false`` (still image, by this pipeline's definition).
+    A bounded block walk (like the PNG chunk walk): from the first
+    block after the header + optional global color table, skip
+    extension blocks generically (one step per sub-block) until the
+    NETSCAPE2.0/ANIMEXTS1.0 application extension — whose LE16 loop
+    count (0 = loop forever) is grabbed — or the first image
+    descriptor / trailer, which means still image. ``max_steps``
+    bounds the walk; real loop extensions appear within the first few
+    blocks (a graphic-control + a short comment ahead of it costs 6
+    steps), so the default 8 covers wild encoder layouts the old
+    single fixed-position check missed (r4 ADVICE).
 
     Zero shuffle, no UDF, first ``scan_bytes`` bytes only. Appends
     (gif_animated — NULL for non-GIF payloads, gif_loop_count — only
     for animated rows)."""
     hx = "_gifx_hx"
-    s = gif_anim_sql(hx=hx)
-    return (
+    st = gif_start_sql(hx=hx)
+    out = (
         images.withColumn(
             hx, F.hex(F.substring(F.col(bytes_col), 1, int(scan_bytes))))
         .withColumn(
+            "_gif0",
+            F.expr(f"case when {st['is_gif']} "
+                   f"then cast({st['start']} as bigint) end"))
+        .withColumn("_gsub0", F.lit(False))
+        .withColumn("_ganim", F.lit(None).cast("boolean"))
+        .withColumn("_gloop", F.lit(None).cast("long"))
+    )
+    for i in range(int(max_steps)):
+        s = gif_walk_step_sql(f"_gif{i}", f"_gsub{i}", hx=hx)
+        out = (
+            out.withColumn(
+                "_ganim",
+                F.expr(f"coalesce(_ganim, "
+                       f"case when {s['netscape']} then true end)"))
+            .withColumn(
+                "_gloop",
+                F.expr(f"coalesce(_gloop, case when {s['netscape']} "
+                       f"then cast({s['loop']} as bigint) end)"))
+            .withColumn(f"_gif{i + 1}",
+                        F.expr(f"cast({s['next_p']} as bigint)"))
+            .withColumn(f"_gsub{i + 1}", F.expr(s["next_sub"]))
+        )
+    return (
+        out.withColumn(
             "gif_animated",
-            F.expr(f"case when {s['is_gif']} then {s['animated']} end"))
-        .withColumn(
-            "gif_loop_count",
-            F.expr(f"case when {s['animated']} then {s['loop']} end")
-            .cast("long"))
-        .drop(hx)
+            F.expr(f"case when {st['is_gif']} "
+                   "then coalesce(_ganim, false) end"))
+        .withColumn("gif_loop_count", F.col("_gloop"))
+        .drop(hx, "_ganim", "_gloop",
+              *[f"_gif{i}" for i in range(int(max_steps) + 1)],
+              *[f"_gsub{i}" for i in range(int(max_steps) + 1)])
     )
 
 
@@ -1745,12 +1811,16 @@ def admission_gate(
     byte-level checks this module provides. First-match precedence:
 
     - ``no_payload`` — nothing fetched;
-    - ``format_lie`` — the magic-byte sniff disagrees with the
+    - ``format_lie`` — the magic-byte sniff disagrees with a PRESENT
       declared format (or matches nothing: the poisoned-row case);
     - ``bomb`` — header pixel count over ``max_pixels`` (checked
       before any decode would allocate);
     - ``dims_mismatch`` — container header contradicts the declared
-      dims;
+      dims (fires when either declared side is present and wrong);
+    - ``no_declaration`` — declared fmt or dims are NULL and every
+      byte-level check that could still run passed: the declaration
+      was never actually verified, so the row must not silently
+      admit (r4 ADVICE — NULL comparisons used to fall through);
     - ``too_small`` — shortest side (header dims when parseable,
       declared otherwise) under ``min_side`` (icons, trackers,
       spacers);
@@ -1772,7 +1842,8 @@ def admission_gate(
     verdict = (
         F.when(F.col(bytes_col).isNull(), "no_payload")
         .when(F.col("sniffed_fmt").isNull()
-              | (F.col("sniffed_fmt") != F.col("fmt")), "format_lie")
+              | (F.col("fmt").isNotNull()
+                 & (F.col("sniffed_fmt") != F.col("fmt"))), "format_lie")
         .when(F.col("header_fmt").isNotNull()
               & (F.col("header_w") * F.col("header_h")
                  > int(max_pixels)), "bomb")
@@ -1780,6 +1851,8 @@ def admission_gate(
               & ((F.col("header_w") != F.col("w").cast("long"))
                  | (F.col("header_h") != F.col("h").cast("long"))),
               "dims_mismatch")
+        .when(F.col("fmt").isNull() | F.col("w").isNull()
+              | F.col("h").isNull(), "no_declaration")
         .when(F.least(w_eff, h_eff) < int(min_side), "too_small")
         .when(F.col("caption").isNull()
               | (F.length(F.trim(F.col("caption")))
