@@ -351,20 +351,22 @@ def q_mm_resize(spark, sf_dir):
 
 
 def q_mm_frame_sample(spark, sf_dir):
-    """Multimodal: video frame-sampling (stride 2) over opaque binary
-    containers; per-video sampled-frame counts. Rows-only check."""
+    """Multimodal: video frame-sampling (stride 2) as a REAL GIF89a
+    container walk (multimodal.gif_frame_index — extensions, local
+    color tables, per-frame graphic-control delays, LZW sub-block
+    chains; zero pixel decode). Payloads are real GIF bytes built by
+    synth_gif_video; every output column is an integer formula of
+    (v, i) that the DuckDB twin re-derives independently, so the walk
+    must recover frame boundaries byte-exactly. v%9==7 rows carry a
+    non-GIF container and must drop per-row."""
     from xcrawl3r_spark.operators import multimodal as M
 
     videos = spark.createDataFrame(
-        [(f"v{i:03d}", M.synth_video(f"v{i:03d}", n_frames=6 + i % 5))
-         for i in range(40)],
+        [(f"v{v:03d}",
+          M.synth_video(f"v{v:03d}") if v % 9 == 7 else M.synth_gif_video(v))
+         for v in range(40)],
         "video_id string, bytes binary")
-    return (
-        M.sample_frames(videos, stride=2)
-        .groupBy("video_id")
-        .agg(F.count("*").alias("n_sampled"),
-             F.max("frame_idx").alias("last_idx"))
-    )
+    return M.gif_frame_index(videos, stride=2).drop("part_id")
 
 
 def q_e5_seed_expansion(spark, sf_dir):
@@ -2107,16 +2109,23 @@ def q_sim_dedup_clusters(spark, sf_dir):
 
 
 def q_audio_features(spark, sf_dir):
-    """Multimodal audio branch: per-clip feature extraction over opaque
-    binary payloads (Arrow mapInPandas; deterministic synthetic codec).
-    Non-SQL (binary) — rows-only check."""
+    """Multimodal audio branch: per-clip feature extraction over REAL
+    RIFF/WAVE 16-bit PCM payloads (multimodal.decode_wav chunk walk —
+    foreign LIST/JUNK/cue chunks, odd-size padding, non-PCM and stereo
+    rows rejected per-row). Features are integer-exact (sum of squared
+    samples, zero crossings); rms is derived in-query from sum_sq so
+    both engines round the same double. The DuckDB twin re-derives
+    everything from the wav_params/wav_sample formulas without parsing
+    a byte — the parser must recover the exact samples to match."""
     from xcrawl3r_spark.operators import multimodal as M
 
     clips = spark.createDataFrame(
-        [(f"a{i:03d}", M.synth_audio(f"a{i:03d}", n_samples=256 + 16 * (i % 7)))
-         for i in range(60)],
+        [(f"a{i:03d}", M.synth_wav(i)) for i in range(60)],
         "audio_id string, bytes binary")
-    return M.audio_features(clips).drop("part_id")
+    return M.audio_features(clips).select(
+        "audio_id", "n_samples", "rate", "sum_sq", "zero_crossings",
+        F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")) / 32767.0,
+                6).alias("rms6"))
 
 
 #: queries registered WITHOUT a DuckDB oracle, each for a declared reason
@@ -2129,8 +2138,8 @@ ROWS_ONLY = frozenset({
     "e7_image_verify",    # binary codec output — not SQL-expressible
     "mm_image_features",  # binary codec output
     "mm_resize",          # binary codec output
-    "mm_frame_sample",    # binary codec output (sandbox XVID container)
-    "audio_features",     # binary codec output (sandbox XPCM container)
+    # (mm_frame_sample and audio_features LEFT this set in r5: real
+    # GIF-frame-index / WAV-PCM parses with formula-exact DuckDB twins)
     "sim_ivf_topk",       # approximate by design; exactness pinned by
                           # sim_ivf_full_probe + pytest recall floor
 })
@@ -3784,6 +3793,64 @@ def oracle_sql() -> dict[str, str]:
         "image_png_scan": _duck_png_scan_sql(_PNG_SCAN_TABLE_SQL),
         # GIF anim-probe twin: same gif_anim_sql snippets
         "image_gif_anim": _duck_gif_probe_sql(_GIF_PROBE_TABLE_SQL),
+        # WAV-PCM feature twin: re-derives every feature from the
+        # wav_params/wav_sample integer formulas (multimodal.py) —
+        # fully independent of the RIFF parser under test. Rejected
+        # rows (IEEE-float fmt i%13==5, stereo i%17==2) are excluded by
+        # the same predicates the parser enforces from the bytes. Sums
+        # cast to BIGINT (HUGEINT degrades in the pandas fetch).
+        "audio_features": """
+            with p as (
+                select i, printf('a%03d', i) as audio_id,
+                       48 + 16 * (i % 7) as n,
+                       8000 + 1000 * (i % 3) as rate,
+                       (131 * i) % 977 as seed,
+                       3 + i % 11 as step
+                from (select unnest(range(0, 60)) as i)
+                where i % 13 != 5 and i % 17 != 2
+            ), s as (
+                select audio_id, n, rate, seed, step,
+                       unnest(range(0, n)) as j
+                from p
+            ), vals as (
+                select audio_id, n, rate, j,
+                       ((seed + step * j) % 4096) * 16 - 32768 as s0,
+                       ((seed + step * (j + 1)) % 4096) * 16 - 32768 as s1
+                from s
+            )
+            select audio_id,
+                   cast(n as int) as n_samples,
+                   cast(rate as int) as rate,
+                   cast(sum(s0 * s0) as bigint) as sum_sq,
+                   cast(sum(case when j + 1 < n and ((s0 < 0) != (s1 < 0))
+                            then 1 else 0 end) as int) as zero_crossings,
+                   round(sqrt(cast(sum(s0 * s0) as bigint)
+                              / cast(n as double)) / 32767, 6) as rms6
+            from vals group by audio_id, n, rate
+        """,
+        # GIF frame-index twin: frame metadata straight from the
+        # gif_frame_params formulas (multimodal.py) — the Spark side
+        # must walk real GIF bytes (extensions, LCTs, sub-block
+        # chains) to recover identical values. v%9==7 rows carry a
+        # non-GIF container and are dropped by both sides.
+        "mm_frame_sample": """
+            with v as (select unnest(range(0, 40)) as v),
+            f as (select v, unnest(range(0, 2 + v % 5)) as i from v
+                  where v % 9 != 7)
+            select printf('v%03d', v) as video_id,
+                   cast(i as int) as frame_idx,
+                   cast(2 + v % 5 as int) as n_frames,
+                   cast((v + i) % 7 as int) as x,
+                   cast((3 * v + i) % 5 as int) as y,
+                   cast(2 + (v + i) % 4 as int) as w,
+                   cast(1 + (2 * v + i) % 3 as int) as h,
+                   cast(case when i % 3 != 2 then (10 * v + 7 * i) % 300
+                        else -1 end as int) as delay_cs,
+                   cast(case when (v + i) % 6 = 0 then 1 else 0 end
+                        as int) as has_lct,
+                   cast((5 * v + 3 * i) % 40 + 1 as int) as lzw_len
+            from f where i % 2 = 0
+        """,
         # admission twin: the parse twin over the admission synthesis
         # + the sniff case + the identical verdict chain
         "image_admission": f"""

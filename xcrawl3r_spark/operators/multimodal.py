@@ -10,17 +10,26 @@ What is REAL here (runs in this sandbox):
 - image resize (area-mean downsample, numpy) over the real PNG / XJPG
   codec from functions/imagecodec.py;
 - image feature extraction (mean/std per channel + phash);
+- audio: a real RIFF/WAVE PCM parser (``decode_wav`` — chunk walk over
+  fmt/data with odd-size padding and foreign-chunk skipping per the
+  public RIFF spec) feeding integer-exact rms / zero-crossing features;
+- video: a real GIF89a frame-index walk (``_iter_gif_frames`` — the
+  container grammar from the public GIF spec: extensions as
+  length-prefixed sub-block chains, local color tables, per-frame
+  graphic-control delays) for frame sampling WITHOUT pixel decode;
 - all Spark plumbing: schemas, batch iteration, partition lineage.
 
 What is a clearly-marked STUB (the sandbox has no libjpeg/ffmpeg/librosa):
-- audio decode (``decode_audio``) — accepts the deterministic "XPCM"
-  container produced by ``synth_audio`` and raises NotImplementedError on
-  anything else (swap in soundfile/librosa on a real deployment);
-- video frame-sampling (``sample_frames``) — accepts the deterministic
-  "XVID" container of concatenated XJPG frames produced by
+- non-WAV audio decode (``decode_audio``) — accepts real RIFF/WAVE PCM
+  plus the deterministic "XPCM" container produced by ``synth_audio``,
+  and raises NotImplementedError on anything else (swap in
+  soundfile/librosa on a real deployment);
+- pixel-level video decode (``sample_frames``) — accepts the
+  deterministic "XVID" container of concatenated XJPG frames produced by
   ``synth_video`` and raises NotImplementedError otherwise (swap in
-  PyAV/ffmpeg). The *plumbing* — batch shape, frame-stride logic, output
-  schema — is real and tested.
+  PyAV/ffmpeg). Frame *indexing* over real GIF containers needs no such
+  stub (``gif_frame_index``). The *plumbing* — batch shape, frame-stride
+  logic, output schema — is real and tested.
 
 At 100 TB: these stages are embarrassingly parallel maps; partition sizing
 is governed by payload bytes, not row counts, so callers should
@@ -64,15 +73,115 @@ def synth_audio(audio_id: str, n_samples: int = 8000, rate: int = 8000) -> bytes
     return _XPCM_SIG + struct.pack("<II", n_samples, rate) + zlib.compress(pcm, 6)
 
 
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF/WAVE PCM parser (public WAVE spec; no codec library):
+    verifies the RIFF/WAVE container, walks chunks generically (each is
+    ``id(4) + le32 size + payload + pad-to-even``), skipping foreign
+    chunks (LIST/JUNK/cue/...) until ``fmt `` and ``data`` are found.
+    Only uncompressed 16-bit mono PCM (format code 1) is decoded — the
+    shape this pipeline's feature math assumes; anything else raises
+    ValueError so callers can gate rows per-payload.
+
+    Returns (int16 sample array, sample rate)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    pcm = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (csz,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + csz]
+        if cid == b"fmt " and fmt is None:
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data" and pcm is None:
+            pcm = body
+        pos += 8 + csz + (csz & 1)  # chunks are padded to even offsets
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    code, channels, rate, _byte_rate, _align, bits = fmt
+    if code != 1 or bits != 16 or channels != 1:
+        raise ValueError(
+            f"unsupported wav (code={code} ch={channels} bits={bits})")
+    return np.frombuffer(pcm[:len(pcm) // 2 * 2], dtype="<i2"), int(rate)
+
+
+def _decode_pcm(data: bytes) -> tuple[np.ndarray, int]:
+    """(int16 samples, rate) from real WAV or the XPCM fixture."""
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    if data.startswith(_XPCM_SIG):
+        n, rate = struct.unpack("<II", data[4:12])
+        pcm = np.frombuffer(zlib.decompress(data[12:]), dtype="<i2")[:n]
+        return pcm, rate
+    raise NotImplementedError(
+        "audio codec not available in sandbox (WAV PCM or XPCM only)")
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """STUB decoder: real implementations (soundfile/librosa) are absent
-    in this sandbox; only the deterministic XPCM container is accepted."""
-    if not data.startswith(_XPCM_SIG):
-        raise NotImplementedError(
-            "audio codec not available in sandbox (only XPCM fixture)")
-    n, rate = struct.unpack("<II", data[4:12])
-    pcm = np.frombuffer(zlib.decompress(data[12:]), dtype="<i2")[:n]
+    """Float wave in [-1, 1] + rate. REAL for RIFF/WAVE 16-bit mono PCM
+    (``decode_wav``); the XPCM fixture is the only other accepted
+    container (sandbox has no soundfile/librosa)."""
+    pcm, rate = _decode_pcm(data)
     return pcm.astype(np.float64) / 32767.0, rate
+
+
+# -- deterministic WAV clip family (gate fixtures; integer-only math so
+#    the DuckDB oracle twin re-derives every feature from the formulas
+#    in __spark_entry__.py without parsing a byte) ----------------------
+
+def wav_params(i: int) -> dict:
+    """Per-clip parameters. MIRRORED VERBATIM by the DuckDB twin
+    (_WAV_FEATURES_SQL in __spark_entry__.py) — integer arithmetic only.
+    ``layout`` plants foreign chunks the parser must skip; ``fmt_code``
+    / ``channels`` mark rows the PCM gate must reject."""
+    return {
+        "n": 48 + 16 * (i % 7),
+        "rate": 8000 + 1000 * (i % 3),
+        "seed": (131 * i) % 977,
+        "step": 3 + i % 11,
+        "layout": i % 4,
+        "fmt_code": 3 if i % 13 == 5 else 1,   # 3 = IEEE float (rejected)
+        "channels": 2 if i % 17 == 2 else 1,   # stereo (rejected)
+    }
+
+
+def wav_sample(seed: int, step: int, j: int) -> int:
+    """Sample j of the deterministic sawtooth: exact int16 range."""
+    return ((seed + step * j) % 4096) * 16 - 32768
+
+
+def synth_wav(i: int) -> bytes:
+    """REAL RIFF/WAVE bytes for clip ``i`` per ``wav_params``. Layouts
+    exercise the chunk walk: 1 = odd-sized LIST chunk (pad byte) before
+    fmt, 2 = odd-sized JUNK chunk between fmt and data, 3 = trailing
+    cue chunk after data."""
+    p = wav_params(i)
+    pcm = b"".join(
+        struct.pack("<h", wav_sample(p["seed"], p["step"], j)) * p["channels"]
+        for j in range(p["n"]))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    block_align = 2 * p["channels"]
+    fmt = chunk(b"fmt ", struct.pack(
+        "<HHIIHH", p["fmt_code"], p["channels"], p["rate"],
+        p["rate"] * block_align, block_align, 16))
+    parts = []
+    if p["layout"] == 1:
+        parts.append(chunk(b"LIST", b"INFOxyz"))       # odd size 7 -> pad
+    parts.append(fmt)
+    if p["layout"] == 2:
+        parts.append(chunk(b"JUNK", b"\x00" * 5))      # odd size 5 -> pad
+    parts.append(chunk(b"data", pcm))
+    if p["layout"] == 3:
+        parts.append(chunk(b"cue ", struct.pack("<I", 0)))
+    body = b"WAVE" + b"".join(parts)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def synth_video(video_id: str, n_frames: int = 8, w: int = 16, h: int = 16) -> bytes:
@@ -85,6 +194,134 @@ def synth_video(video_id: str, n_frames: int = 8, w: int = 16, h: int = 16) -> b
         enc = encode_image(px, "jpeg")
         frames.append(struct.pack("<I", len(enc)) + enc)
     return _XVID_SIG + struct.pack("<I", n_frames) + b"".join(frames)
+
+
+# -- deterministic animated-GIF family (gate fixtures; integer-only
+#    frame metadata so the DuckDB twin re-derives it formula-side) ------
+
+def gif_frame_params(v: int) -> list[dict]:
+    """Per-frame metadata formulas for synthetic video ``v``. MIRRORED
+    VERBATIM by the DuckDB twin (_GIF_FRAMES_SQL in __spark_entry__.py).
+    delay_cs = -1 encodes "no graphic-control extension on this frame"."""
+    n_frames = 2 + v % 5
+    out = []
+    for i in range(n_frames):
+        out.append({
+            "frame_idx": i,
+            "n_frames": n_frames,
+            "x": (v + i) % 7,
+            "y": (3 * v + i) % 5,
+            "w": 2 + (v + i) % 4,
+            "h": 1 + (2 * v + i) % 3,
+            "delay_cs": (10 * v + 7 * i) % 300 if i % 3 != 2 else -1,
+            "has_lct": 1 if (v + i) % 6 == 0 else 0,
+            "lzw_len": (5 * v + 3 * i) % 40 + 1,
+        })
+    return out
+
+
+def synth_gif_video(v: int) -> bytes:
+    """REAL GIF89a container for video ``v`` per ``gif_frame_params``:
+    logical screen descriptor + optional global color table, a NETSCAPE
+    loop extension on even v (the index walk must skip it), per-frame
+    graphic-control extensions, comment-extension pre-blocks on
+    (v+i)%5==0 frames, local color tables, and LZW data carried as
+    length-prefixed sub-block chains (<=16 bytes each, so multi-block
+    skipping is exercised). LZW payloads are deterministic filler —
+    frame INDEXING never decodes pixels."""
+    frames = gif_frame_params(v)
+    out = [b"GIF89a", struct.pack("<HH", 10 + v % 6, 8 + v % 4)]
+    if v % 3 == 0:
+        e = v % 2
+        out.append(struct.pack("<BBB", 0x80 | e, 0, 0))
+        out.append(b"\x00" * (3 * 2 ** (e + 1)))       # global color table
+    else:
+        out.append(struct.pack("<BBB", 0, 0, 0))
+    if v % 2 == 0:                                     # loop extension
+        out.append(b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    for f in frames:
+        i = f["frame_idx"]
+        if (v + i) % 5 == 0:                           # comment pre-block
+            out.append(b"\x21\xfe\x03abc\x00")
+        if f["delay_cs"] >= 0:                         # graphic control
+            out.append(b"\x21\xf9\x04\x00" + struct.pack("<H", f["delay_cs"])
+                       + b"\x00\x00")
+        out.append(b"\x2c" + struct.pack(
+            "<HHHH", f["x"], f["y"], f["w"], f["h"]))
+        if f["has_lct"]:
+            out.append(b"\x80")                        # LCT flag, exp 0
+            out.append(b"\x00" * 6)
+        else:
+            out.append(b"\x00")
+        out.append(b"\x02")                            # LZW min code size
+        data = bytes((v + i + k) % 256 for k in range(f["lzw_len"]))
+        for off in range(0, len(data), 16):
+            blk = data[off:off + 16]
+            out.append(struct.pack("B", len(blk)) + blk)
+        out.append(b"\x00")                            # sub-block term
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def _iter_gif_frames(data: bytes) -> Iterator[dict]:
+    """REAL GIF89a/87a frame-index walk (public GIF spec grammar; no
+    pixel decode): header + logical screen descriptor + optional global
+    color table, then blocks — extensions (``21 <label>`` + sub-block
+    chain; a graphic-control's delay applies to the NEXT image only),
+    image descriptors (``2C`` + 9-byte descriptor + optional local
+    color table + LZW min-code byte + sub-block chain), trailer ``3B``.
+    Yields one metadata dict per frame; raises ValueError on non-GIF."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * 2 ** ((packed & 0x07) + 1)
+
+    def skip_subblocks(p: int) -> tuple[int, int]:
+        total = 0
+        while p < len(data):
+            ln = data[p]
+            p += 1
+            if ln == 0:
+                return p, total
+            total += ln
+            p += ln
+        raise ValueError("unterminated sub-block chain")
+
+    idx = 0
+    delay = -1
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:                                   # trailer
+            return
+        if b == 0x21:                                   # extension
+            if pos + 2 > len(data):
+                raise ValueError("truncated extension")
+            label = data[pos + 1]
+            body_at = pos + 2
+            if label == 0xF9 and pos + 8 <= len(data):  # graphic control
+                delay = struct.unpack("<H", data[pos + 4:pos + 6])[0]
+            pos, _ = skip_subblocks(body_at)
+        elif b == 0x2C:                                 # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated image descriptor")
+            x, y, w, h = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            ipacked = data[pos + 9]
+            p = pos + 10
+            if ipacked & 0x80:
+                p += 3 * 2 ** ((ipacked & 0x07) + 1)
+            p += 1                                      # LZW min code size
+            p, lzw_len = skip_subblocks(p)
+            yield {"frame_idx": idx, "x": x, "y": y, "w": w, "h": h,
+                   "delay_cs": delay, "has_lct": 1 if ipacked & 0x80 else 0,
+                   "lzw_len": lzw_len}
+            idx += 1
+            delay = -1                                  # GCE consumed
+            pos = p
+        else:
+            raise ValueError(f"unknown block 0x{b:02x}")
+    raise ValueError("missing trailer")
 
 
 def _iter_video_frames(data: bytes) -> Iterator[bytes]:
@@ -131,13 +368,18 @@ IMAGE_FEATURES_SCHEMA = (
 RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
 
 AUDIO_FEATURES_SCHEMA = (
-    "audio_id string, n_samples int, rate int, rms double, "
+    "audio_id string, n_samples int, rate int, sum_sq long, rms double, "
     "zero_crossings int, part_id int"
 )
 
 FRAME_SAMPLE_SCHEMA = (
     "video_id string, frame_idx int, bytes binary, w int, h int, "
     "phash long, part_id int"
+)
+
+GIF_FRAME_INDEX_SCHEMA = (
+    "video_id string, frame_idx int, n_frames int, x int, y int, "
+    "w int, h int, delay_cs int, has_lct int, lzw_len int, part_id int"
 )
 
 
@@ -216,8 +458,16 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def audio_features(audio: DataFrame) -> DataFrame:
-    """(audio_id, bytes) -> rms + zero-crossing count. Decode is the
-    sandbox STUB (XPCM only); feature math and plumbing are real."""
+    """(audio_id, bytes) -> integer-exact PCM features: sum of squared
+    int16 samples (exact int64 — 2^30 per sample x clip length stays far
+    under 2^63), zero-crossing count (sign-bit changes between adjacent
+    samples; 0 counts as non-negative), plus the derived rms in [0, 1].
+    Decode is REAL for RIFF/WAVE 16-bit mono PCM (``decode_wav``);
+    non-PCM / stereo / foreign containers drop per-row (the payload
+    gate), never kill the Arrow task. Integer features make the output
+    cross-engine hashable (CLAUDE.md float-sum rule); rms is a per-row
+    deterministic function of (sum_sq, n) — round it before comparing."""
+    import math
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tc = TaskContext.get()
@@ -226,18 +476,55 @@ def audio_features(audio: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 try:
-                    wave, rate = decode_audio(r.bytes)
-                except NotImplementedError:
+                    pcm, rate = _decode_pcm(r.bytes)
+                except (NotImplementedError, ValueError):
                     continue
-                zc = int(np.count_nonzero(np.diff(np.signbit(wave))))
-                rows.append((r.audio_id, len(wave), rate,
-                             float(np.sqrt((wave ** 2).mean())), zc, pid))
+                s64 = pcm.astype(np.int64)
+                sum_sq = int(np.dot(s64, s64))
+                zc = int(np.count_nonzero(np.diff(pcm < 0)))
+                n = len(pcm)
+                rms = math.sqrt(sum_sq / n) / 32767.0 if n else 0.0
+                rows.append((r.audio_id, n, rate, sum_sq, rms, zc, pid))
             yield pd.DataFrame(rows, columns=[
-                "audio_id", "n_samples", "rate", "rms", "zero_crossings",
-                "part_id"])
+                "audio_id", "n_samples", "rate", "sum_sq", "rms",
+                "zero_crossings", "part_id"])
 
     return _shipped(audio).select("audio_id", "bytes").mapInPandas(
         gen, AUDIO_FEATURES_SCHEMA)
+
+
+def gif_frame_index(videos: DataFrame, stride: int = 1) -> DataFrame:
+    """(video_id, bytes) -> one metadata row per ``stride``-th frame of
+    a REAL GIF container (``_iter_gif_frames`` walk — no pixel decode,
+    no codec library): geometry from the image descriptor, delay from
+    the preceding graphic-control extension (-1 when absent), local
+    color-table presence, raw LZW byte count. Non-GIF payloads drop
+    per-row. The frame-sampling front half of a video training
+    pipeline: downstream decode only ever touches sampled frames."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    frames = list(_iter_gif_frames(r.bytes))
+                except (ValueError, TypeError):
+                    continue
+                for f in frames:
+                    if f["frame_idx"] % stride:
+                        continue
+                    rows.append((r.video_id, f["frame_idx"], len(frames),
+                                 f["x"], f["y"], f["w"], f["h"],
+                                 f["delay_cs"], f["has_lct"],
+                                 f["lzw_len"], pid))
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "frame_idx", "n_frames", "x", "y", "w", "h",
+                "delay_cs", "has_lct", "lzw_len", "part_id"])
+
+    return _shipped(videos).select("video_id", "bytes").mapInPandas(
+        gen, GIF_FRAME_INDEX_SCHEMA)
 
 
 def sample_frames(videos: DataFrame, stride: int = 2) -> DataFrame:
