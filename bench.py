@@ -525,7 +525,9 @@ measured 2-5x swings (r2: the r1-commit images crawl that benched 27.7 s
 ran 75-137 s later the same day). Cross-round headline deltas therefore
 mean nothing without a same-window A/B of both code versions (git
 worktree of the old rev); the pinned min-of-reps scaling pair is the
-only number comparable across rounds.
+only number comparable across rounds. Worked example: BENCH/AB_r5.md —
+the three r4 driver readings that came in 2.5-8.3x over baseline were
+A/B'd HEAD-vs-r3 in one window and matched to within 2.3%.
 
 **End-to-end BFS crawl** (depth-unbounded, global URL-seen set,
 hosts={CRAWL_HOSTS}, pages/host={CRAWL_PAGES}): {result.get('crawl_urls_seen')}
