@@ -1400,6 +1400,262 @@ def q_image_display_dims(spark, sf_dir):
         "coalesce(display_h, -1) as display_h")
 
 
+# JPEG DQT-quality synthesis (r5): real T.81 DQT segments whose first 8
+# zigzag values come from libjpeg's PUBLIC forward quality scaling at a
+# per-row quality 1..99 (S = Q<50 ? 5000/Q : 200-2Q; v = clamp((b*S+50)/
+# 100, 1, 255)) — the operator inverts them. Variants: %11 no payload,
+# %13 not JPEG, %19 no DQT at all (walk must reach SOS -> definitive
+# false), %17 a 16-bit-precision table (present, no estimate), %7==3 a
+# COM segment before the DQT (walk must hop). All arithmetic is
+# engine-parameterized integer division so Spark and DuckDB synthesize
+# bit-identical payloads.
+_DQT_SOF_SOS_HEX = ("'FFC00011080064006403011100021101031101', "
+                    "'FFDA000C03010002110311003F00', repeat('00', 4)")
+
+
+def _dqt_payload_hex(idiv: str) -> str:
+    from xcrawl3r_spark.operators.images import DQT_ZIGZAG_BASE8
+
+    q = "(1 + (doc_id * 11) % 99)"
+    s = (f"(case when {q} < 50 then 5000 {idiv} {q} "
+         f"else 200 - 2 * {q} end)")
+    vals = ", ".join(
+        f"printf('%02X', greatest(1, least(255, "
+        f"({b} * {s} + 50) {idiv} 100)))" for b in DQT_ZIGZAG_BASE8)
+    dqt8 = f"concat('FFDB004300', {vals}, repeat('40', 56))"
+    dqt16 = "concat('FFDB008310', repeat('0100', 64))"
+    return (
+        "concat('FFD8', "
+        "case when doc_id % 7 = 3 then 'FFFE0004ABCD' else '' end, "
+        "case when doc_id % 19 = 0 then '' "
+        f"when doc_id % 17 = 0 then {dqt16} "
+        f"else {dqt8} end, {_DQT_SOF_SOS_HEX})")
+
+
+def _dqt_images_sql(idiv: str) -> str:
+    return (f"case when doc_id % 13 = 0 then '89504E470D0A1A0A' "
+            f"else {_dqt_payload_hex(idiv)} end")
+
+
+def _dqt_images(docs):
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"case when doc_id % 11 = 0 then null "
+        f"else unhex({_dqt_images_sql('div')}) end as bytes",
+    )
+
+
+def _duck_jpeg_quality_sql(steps: int = 8, n_coeffs: int = 8) -> str:
+    """DuckDB twin of operators/images.py jpeg_quality_estimate: the
+    SAME DQT-step and quality-inversion snippets, CTE-chained with
+    '0x' casts and '//' integer division."""
+    from xcrawl3r_spark.operators.images import (
+        dqt_quality_sql, jpeg_dqt_step_sql)
+
+    def d(x):
+        return f"(('0x' || {x})::bigint)"
+
+    table_sql = (
+        f"select concat('img-', doc_id) as image_id, "
+        f"case when doc_id % 11 = 0 then null "
+        f"else from_hex({_dqt_images_sql('//')}) end as bytes "
+        "from documents")
+    ctes = [
+        f"base as ({table_sql})",
+        "s0 as (select image_id, hex(bytes) as hx, "
+        "case when length(hex(bytes)) >= 4 "
+        "and substring(hex(bytes), 1, 4) = 'FFD8' then 3 end as p0, "
+        "cast(null as boolean) as pq8, false as sos, "
+        "cast(null as bigint) as dqt_sum from base)",
+    ]
+    for i in range(steps):
+        s = jpeg_dqt_step_sql(f"p{i}", n_coeffs=n_coeffs, hex2int=d)
+        q_sum = " + ".join(f"({q})" for q in s["q"])
+        ctes.append(
+            f"s{i + 1} as (select image_id, hx, "
+            f"coalesce(pq8, case when {s['is_dqt']} "
+            f"then {s['pq8']} end) as pq8, "
+            f"(sos or coalesce({s['is_sos']}, false)) as sos, "
+            f"coalesce(dqt_sum, case when {s['is_dqt']} and {s['pq8']} "
+            f"then cast({q_sum} as bigint) end) as dqt_sum, "
+            f"cast({s['next']} as bigint) as p{i + 1} from s{i})")
+    qual = dqt_quality_sql("dqt_sum", idiv="//", n_coeffs=n_coeffs)
+    return (
+        "with " + ", ".join(ctes)
+        + " select image_id, "
+          "case when pq8 is not null then 1 when sos then 0 "
+          "else -1 end as dqt_present, "
+          "coalesce(dqt_sum, -1) as dqt_sum, "
+          f"coalesce(cast(case when dqt_sum is not null "
+          f"then {qual['quality_est']} end as bigint), -1) "
+          f"as jpeg_quality_est from s{steps}")
+
+
+def q_image_jpeg_quality(spark, sf_dir):
+    """Encoder-quality estimate from the first DQT segment (libjpeg
+    quality-scaling inversion, integer-exact both engines); -1 encodes
+    'unknown/absent' for the present flag, sum, and estimate."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.jpeg_quality_estimate(_dqt_images(docs)).selectExpr(
+        "image_id",
+        "case when dqt_present is null then -1 "
+        "when dqt_present then 1 else 0 end as dqt_present",
+        "coalesce(dqt_sum, -1) as dqt_sum",
+        "coalesce(jpeg_quality_est, -1) as jpeg_quality_est")
+
+
+# EXIF GPS synthesis (r5): the same APP1/TIFF grammar as the
+# orientation synthesis, but IFD0 carries a GPSInfo pointer (tag
+# 0x8825, LONG) on most rows. Variants: %11 no payload, %13 no APP1
+# at all (has_gps NULL — unknown != clean), %3==0 a complete 2-entry
+# IFD0 without GPS (definitive false), %19==0 a LYING entry count
+# (n=20 > the scan budget, GPS absent -> NULL: truncated scan must
+# not report clean), %4==1 a COM segment before the APP1, %2 picks
+# the TIFF byte order.
+def _gps_tiff_hex_sql(le: bool) -> str:
+    if le:
+        u16 = lambda v: f"{v & 0xFF:02X}{(v >> 8) & 0xFF:02X}"
+        u32 = lambda v: "".join(
+            f"{(v >> (8 * i)) & 0xFF:02X}" for i in range(4))
+        gps_val = "printf('%02X', 26 + 2 * (doc_id % 64)), '000000'"
+    else:
+        u16 = lambda v: f"{(v >> 8) & 0xFF:02X}{v & 0xFF:02X}"
+        u32 = lambda v: f"{v:08X}"
+        gps_val = "'000000', printf('%02X', 26 + 2 * (doc_id % 64))"
+    entry = lambda tag, typ, cnt, val: u16(tag) + u16(typ) + u32(cnt) + val
+    make = entry(0x010F, 2, 4, "41424344")
+    xres = entry(0x011A, 3, 1, u16(72) + "0000")
+    gps_pre = u16(0x8825) + u16(4) + u32(1)
+    hdr = ("4949" if le else "4D4D") + u16(42) + u32(8)
+    return (
+        f"(case when doc_id % 19 = 0 "
+        f"then concat('{hdr}{u16(20)}', '{make}{xres}', '{u32(0)}') "
+        f"when doc_id % 3 = 0 "
+        f"then concat('{hdr}{u16(2)}', '{make}{xres}', '{u32(0)}') "
+        f"else concat('{hdr}{u16(3)}', '{make}{xres}', "
+        f"'{gps_pre}', {gps_val}, '{u32(0)}') end)")
+
+
+# APP1 length field is a constant upper bound — exif_gps STOPS at the
+# APP1 (never hops past it), so only the hunt's window math sees it
+_GPS_PAYLOAD_HEX = (
+    "concat('FFD8', 'FFE000104A46494600', repeat('00', 9), "
+    "case when doc_id % 4 = 1 then 'FFFE00040000' else '' end, "
+    "case when doc_id % 13 = 0 then '' else concat("
+    "'FFE10052457869660000', "
+    f"case when doc_id % 2 = 0 then {_gps_tiff_hex_sql(True)} "
+    f"else {_gps_tiff_hex_sql(False)} end) end, "
+    f"'FFC0001108', printf('%04X', {_HDR_H}), printf('%04X', {_HDR_W}), "
+    "repeat('00', 10))")
+
+
+def _gps_images(docs):
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"case when doc_id % 11 = 0 then null "
+        f"else unhex({_GPS_PAYLOAD_HEX}) end as bytes",
+    )
+
+
+def _duck_exif_gps_sql(steps: int = 6, entries: int = 10) -> str:
+    """DuckDB twin of operators/images.py exif_gps: the SAME
+    segment-walk / bound / endian-conditional-read snippets as
+    _duck_exif_sql, scanning IFD0 for tag 0x8825 instead of 0x0112,
+    with the three-valued budget-honest has_gps."""
+    from xcrawl3r_spark.operators.images import (
+        exif_bound_sql, exif_seg_step_sql, exif_u16_sql, exif_u32_sql)
+
+    def d(x):
+        return f"(('0x' || {x})::bigint)"
+
+    table_sql = (
+        f"select concat('img-', doc_id) as image_id, "
+        f"case when doc_id % 11 = 0 then null "
+        f"else from_hex({_GPS_PAYLOAD_HEX}) end as bytes from documents")
+    u16 = lambda pos: exif_u16_sql(pos, "endmark", d)
+    u32 = lambda pos: exif_u32_sql(pos, "endmark", d)
+    ctes = [
+        f"base as ({table_sql})",
+        "s0 as (select image_id, hex(bytes) as hx, "
+        "case when length(hex(bytes)) >= 4 "
+        "and substring(hex(bytes), 1, 4) = 'FFD8' then 3 end as p0, "
+        "cast(null as bigint) as tiff from base)",
+    ]
+    for i in range(steps):
+        s = exif_seg_step_sql(f"p{i}", d)
+        ctes.append(
+            f"s{i + 1} as (select image_id, hx, "
+            f"coalesce(tiff, case when {s['is_exif']} "
+            f"then cast({s['tiff']} as bigint) end) as tiff, "
+            f"cast({s['next']} as bigint) as p{i + 1} from s{i})")
+    ctes.append(
+        f"e as (select image_id, hx, tiff, "
+        f"case when {exif_bound_sql('tiff', 4)} "
+        "and substring(hx, cast(2 * tiff - 1 as int), 4) "
+        "in ('4949', '4D4D') "
+        "then substring(hx, cast(2 * tiff - 1 as int), 4) end "
+        f"as endmark from s{steps})")
+    ctes.append(
+        f"f as (select image_id, hx, endmark, "
+        f"cast(case when {u16('tiff + 2')} = 42 "
+        f"then tiff + {u32('tiff + 4')} end as bigint) as ifd from e)")
+    ctes.append(
+        f"g as (select image_id, hx, endmark, ifd, "
+        f"cast({u16('ifd')} as bigint) as n from f)")
+    gps = "cast(null as bigint)"
+    for j in range(entries):
+        entry = f"(ifd + {2 + 12 * j})"
+        gps = (f"coalesce({gps}, case when n is not null and {j} < n "
+               f"and {u16(entry)} = 34853 "
+               f"then {u32(f'({entry} + 8)')} end)")
+    return ("with " + ", ".join(ctes)
+            + f" select image_id, "
+              f"case when {gps} is not null then 1 "
+              f"when n is not null and n <= {entries} then 0 "
+              f"else -1 end as has_gps, "
+              f"coalesce({gps}, -1) as gps_ifd_offset from g")
+
+
+def q_image_exif_gps(spark, sf_dir):
+    """GPS-metadata privacy gate from raw APP1/TIFF bytes, both byte
+    orders; -1 encodes 'unknown' (no EXIF, or a lying entry count that
+    truncates the scan) — a privacy gate must not read truncation as
+    clean."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.exif_gps(_gps_images(docs)).selectExpr(
+        "image_id",
+        "case when has_gps is null then -1 "
+        "when has_gps then 1 else 0 end as has_gps",
+        "coalesce(gps_ifd_offset, -1) as gps_ifd_offset")
+
+
+# the sf documents' text carries no mid-text terminators at all, so a
+# query over the raw column would never exercise multi-sentence
+# splitting (a piece-trim bug hid exactly there); synthesize sentence
+# structure deterministically — 3 sentences incl. a collapsed '?!' run
+# and leading-space pieces — identically in both engines
+_SENT_SYNTH_SQL = "concat(text, '. ', text, '?! ', text)"
+
+
+def q_text_sentences(spark, sf_dir):
+    """Sentence segmentation stats (RE2-safe [.!?]+ split over the
+    canonical normal form; integer-exact x100 fixed-point mean); -1
+    encodes 'no sentence-shaped content' for the nullable mean/max."""
+    from xcrawl3r_spark.operators.textops import sentence_stats
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SENT_SYNTH_SQL} as text")
+    return sentence_stats(docs).selectExpr(
+        "doc_id", "n_sentences", "n_sentence_words",
+        "coalesce(mean_sentence_words_x100, -1) "
+        "as mean_sentence_words_x100",
+        "coalesce(max_sentence_words, -1) as max_sentence_words")
+
+
 # PNG chunk-scan synthesis: real chunk grammar (CRCs are zeros — the
 # walk never validates them), %4==1 rows carry iCCP, %3!=0 rows pHYs
 # with doc_id-dependent density, %5==0 rows the APNG acTL, %13 rows
@@ -2166,16 +2422,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROWS_ONLY (the driver gives them only the weak rows>0 check either
     # way) and both are mirror-verified on r5 code via
     # tools/oracle_check.py. TWO-ROUND SCHEDULE — the r6 window MUST open
-    # with, in order: mm_image_features, mm_resize (spilled here),
-    # audio_features + mm_frame_sample is IN the r5 window below (changed
-    # r5: real WAV/GIF parses + new oracles) but audio_features (changed
-    # r5 the same way) was r4-swept and parks this round — it goes next,
-    # followed by image_gif_anim / image_header_gate / image_admission /
-    # image_funnel (semantics touched r5 per ADVICE), e1_regex_extract if
-    # changed again, any new r5 keys, then rotate the remaining r4-swept
-    # keys. That closes the arithmetic: 2 + 1 + 4 + new(<=5) leaves >=38
-    # slots for the 45 remaining r5-parked keys, and nothing reaches two
-    # consecutive unswept rounds afterwards.
+    # with, in order: the NEW r5 keys (image_jpeg_quality, image_exif_gps,
+    # text_sentences — never driver-verified), mm_image_features +
+    # mm_resize (spilled here), audio_features (changed r5: real WAV
+    # parse + new oracle; mm_frame_sample, changed the same way, IS in
+    # the r5 window below), then image_gif_anim / image_header_gate /
+    # image_admission / image_funnel (semantics touched r5 per ADVICE).
+    # That fixes 3 + 2 + 1 + 4 = 10 slots, leaving 40 for the 45
+    # r5-parked keys: the LAST 5 r5-parked dict entries spill to r7 and
+    # must open r7's window (all 5 are oracle-twinned and mirror-verified
+    # each round, so the spill is driver-coverage latency, not a
+    # correctness gap — with 105 keys and a 50-wide window, full driver
+    # rotation takes ceil(105/50) = 3 rounds; the red line that MUST
+    # hold is: never-verified/new/changed keys always sweep next round,
+    # and no UNCHANGED key waits more than two).
     return {
         # -- two rounds stale (r3+r4 parked) — the rotation red line ------
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -2240,6 +2500,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_gate": q_image_header_gate,
         "image_admission": q_image_admission,
         "image_funnel": q_image_funnel,
+        # -- NEW in r5 (mirror-verified via tools/oracle_check.py; the
+        # -- r5 window was frozen to parked keys per the r4 verdict, so
+        # -- these enter the driver window at the TOP of r6) ----------
+        "image_jpeg_quality": q_image_jpeg_quality,
+        "image_exif_gps": q_image_exif_gps,
+        "text_sentences": q_text_sentences,
         # -- parked for r5 (ALL drew green driver rows in r4; rotate r6) ---
         "stream_dedup_state": q_stream_dedup_state,
         "corpus_curate": q_corpus_curate,
@@ -3793,6 +4059,49 @@ def oracle_sql() -> dict[str, str]:
         "image_png_scan": _duck_png_scan_sql(_PNG_SCAN_TABLE_SQL),
         # GIF anim-probe twin: same gif_anim_sql snippets
         "image_gif_anim": _duck_gif_probe_sql(_GIF_PROBE_TABLE_SQL),
+        # DQT quality twin: same DQT-step + quality-inversion snippets,
+        # CTE-chained with '//' integer division (see
+        # _duck_jpeg_quality_sql)
+        "image_jpeg_quality": _duck_jpeg_quality_sql(),
+        # EXIF GPS twin: same walk snippets scanning IFD0 for 0x8825
+        # with the three-valued budget-honest verdict (see
+        # _duck_exif_gps_sql)
+        "image_exif_gps": _duck_exif_gps_sql(),
+        # sentence stats: RE2-safe split both engines; list_sum is
+        # HUGEINT -> cast BIGINT; nullable mean/max ship as -1
+        "text_sentences": f"""
+            with d as (
+                select doc_id, {_SENT_SYNTH_SQL} as text from documents
+            ), n as (
+                select doc_id, {_NORM_TEXT_SQL} as norm from d
+            ), p as (
+                select doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_split_to_array(norm, '[.!?]+'),
+                               s -> trim(s)),
+                           s -> s <> '') as pieces
+                from n
+            ), w as (
+                select doc_id, pieces,
+                       list_transform(
+                           pieces,
+                           s -> cast(len(string_split(s, ' ')) as bigint)
+                       ) as wc
+                from p
+            )
+            select doc_id,
+                   cast(len(pieces) as bigint) as n_sentences,
+                   cast(coalesce(list_sum(wc), 0) as bigint)
+                       as n_sentence_words,
+                   coalesce(case when len(pieces) > 0 then
+                       cast((100 * cast(list_sum(wc) as bigint))
+                            // len(pieces) as bigint) end, -1)
+                       as mean_sentence_words_x100,
+                   coalesce(cast(list_max(wc) as bigint), -1)
+                       as max_sentence_words
+            from w
+        """,
         # WAV-PCM feature twin: re-derives every feature from the
         # wav_params/wav_sample integer formulas (multimodal.py) —
         # fully independent of the RIFF parser under test. Rejected

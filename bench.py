@@ -124,6 +124,10 @@ HEADLINE = [
     "image_gif_anim",
     "image_admission",
     "image_funnel",
+    # r5 additions
+    "image_jpeg_quality",
+    "image_exif_gps",
+    "text_sentences",
 ]
 
 

@@ -1468,3 +1468,141 @@ class TestCrossModalDups:
 
         df = self._df(spark, [("a", 1, "x"), ("b", 2, "y")])
         assert cross_modal_dups(df).count() == 0
+
+
+def _ijg_scale(q):
+    """libjpeg's public jpeg_quality_scaling (jcparam.c)."""
+    return 5000 // q if q < 50 else 200 - 2 * q
+
+
+def _dqt_seg(q=None, values=None, precision16=False):
+    from xcrawl3r_spark.operators.images import DQT_ZIGZAG_BASE8
+
+    if precision16:
+        return _jseg(0xDB, bytes([0x10]) + b"\x01\x00" * 64)
+    vals = values if values is not None else [
+        min(255, max(1, (b * _ijg_scale(q) + 50) // 100))
+        for b in DQT_ZIGZAG_BASE8]
+    return _jseg(0xDB, bytes([0]) + bytes(vals) + bytes([64] * 56))
+
+
+_JSOS = bytes.fromhex("FFDA000C03010002110311003F00")
+
+
+class TestJpegQualityEstimate:
+    def test_recovers_planted_quality(self, spark):
+        from xcrawl3r_spark.operators.images import jpeg_quality_estimate
+
+        qs = (1, 10, 25, 30, 50, 75, 90, 95, 99)
+        df = spark.createDataFrame(
+            [(f"q{q}", b"\xFF\xD8" + _dqt_seg(q) + _jsof(10, 20) + _JSOS)
+             for q in qs],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: r["jpeg_quality_est"]
+               for r in jpeg_quality_estimate(df).collect()}
+        # accumulated per-value floor error bounds the estimate; the
+        # clamp-free mid-range inverts exactly
+        for q in qs:
+            assert abs(got[f"q{q}"] - q) <= 3, (q, got[f"q{q}"])
+        for q in (25, 30, 50, 75, 90):
+            assert got[f"q{q}"] == q
+
+    def test_three_valued_present(self, spark):
+        from xcrawl3r_spark.operators.images import jpeg_quality_estimate
+
+        com = b"\xFF\xFE\x00\x04\xAB\xCD"
+        df = spark.createDataFrame(
+            [("plain", b"\xFF\xD8" + _dqt_seg(50) + _jsof(1, 1) + _JSOS),
+             ("com-hop", b"\xFF\xD8" + com + _dqt_seg(50) + _JSOS),
+             # SOS with no DQT before it: the only definitive false
+             ("no-dqt-sos", b"\xFF\xD8" + _JFIF + _jsof(1, 1) + _JSOS),
+             # stream ends before any DQT or SOS: unknown, not false
+             ("no-dqt-ends", b"\xFF\xD8" + _JFIF + _jsof(1, 1)),
+             ("prec16", b"\xFF\xD8" + _dqt_seg(precision16=True) + _JSOS),
+             ("not-jpeg", bytes.fromhex("89504E470D0A1A0A")),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["dqt_present"], r["dqt_sum"],
+                               r["jpeg_quality_est"])
+               for r in jpeg_quality_estimate(df).collect()}
+        assert got["plain"] == (True, 105, 50)   # q50 table sums to base
+        assert got["com-hop"][0] is True and got["com-hop"][2] == 50
+        assert got["no-dqt-sos"] == (False, None, None)
+        assert got["no-dqt-ends"] == (None, None, None)
+        assert got["prec16"] == (True, None, None)
+        assert got["not-jpeg"] == (None, None, None)
+        assert got["nulls"] == (None, None, None)
+
+    def test_budget_and_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import jpeg_quality_estimate
+
+        deep = (b"\xFF\xD8" + _JFIF + _JEXIF + _JDHT + _dqt_seg(75)
+                + _JSOS)
+        df = spark.createDataFrame(
+            [("deep", deep)], "image_id string, bytes binary")
+        # DQT is the 4th segment examined: budget 4 reaches it
+        assert jpeg_quality_estimate(df, max_segments=4).collect()[0][
+            "jpeg_quality_est"] == 75
+        # budget 3 stops short: unknown (NULL), never false
+        row = jpeg_quality_estimate(df, max_segments=3).collect()[0]
+        assert row["dqt_present"] is None
+        plan = jpeg_quality_estimate(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def _gps_tiff_block(le, include_gps=True, gps_off=0x9C, count_lie=None):
+    import struct
+    fmt = "<" if le else ">"
+    u16 = lambda v: struct.pack(fmt + "H", v)
+    u32 = lambda v: struct.pack(fmt + "I", v)
+    entry = lambda tag, typ, cnt, val4: u16(tag) + u16(typ) + u32(cnt) + val4
+    ents = [entry(0x010F, 2, 4, b"ABCD"),                # Make
+            entry(0x011A, 3, 1, u16(72) + b"\x00\x00")]  # XResolution
+    if include_gps:
+        ents.append(entry(0x8825, 4, 1, u32(gps_off)))   # GPSInfo IFD ptr
+    n = len(ents) if count_lie is None else count_lie
+    ifd = u16(n) + b"".join(ents) + u32(0)
+    return (b"II" if le else b"MM") + u16(42) + u32(8) + ifd
+
+
+class TestExifGps:
+    def test_three_valued_privacy_semantics(self, spark):
+        from xcrawl3r_spark.operators.images import exif_gps
+
+        df = spark.createDataFrame(
+            [("ii-gps", _exif_jpeg(_gps_tiff_block(True, gps_off=0xA6))),
+             ("mm-gps", _exif_jpeg(_gps_tiff_block(False, gps_off=0x44))),
+             # full IFD scanned, no GPS entry: definitive clean
+             ("clean", _exif_jpeg(_gps_tiff_block(True, include_gps=False))),
+             # entry count lies (50 > scan budget): truncated scan must
+             # report unknown, never clean
+             ("lying-count", _exif_jpeg(_gps_tiff_block(
+                 True, include_gps=False, count_lie=50))),
+             ("com-before", _exif_jpeg(_gps_tiff_block(False),
+                                       pre=b"\xFF\xFE\x00\x04\x00\x00")),
+             ("no-app1", b"\xFF\xD8" + _JFIF + _jsof(10, 20)),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["has_gps"], r["gps_ifd_offset"])
+               for r in exif_gps(df).collect()}
+        assert got["ii-gps"] == (True, 0xA6)
+        assert got["mm-gps"] == (True, 0x44)
+        assert got["clean"] == (False, None)
+        assert got["lying-count"] == (None, None)
+        assert got["com-before"] == (True, 0x9C)
+        assert got["no-app1"] == (None, None)
+        assert got["nulls"] == (None, None)
+
+    def test_entry_budget_and_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import exif_gps
+
+        jp = _exif_jpeg(_gps_tiff_block(True))  # GPS is the 3rd entry
+        df = spark.createDataFrame(
+            [("a", jp)], "image_id string, bytes binary")
+        assert exif_gps(df, max_entries=3).collect()[0]["has_gps"] is True
+        # budget 2 truncates a 3-entry IFD: unknown, not false
+        assert exif_gps(df, max_entries=2).collect()[0]["has_gps"] is None
+        plan = exif_gps(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

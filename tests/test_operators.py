@@ -318,6 +318,40 @@ class TestGopherQuality:
         assert abs(got[4]["terminal_line_frac"] - 2 / 3) < 1e-6
 
 
+class TestSentenceStats:
+    def test_segmentation_and_fixed_point(self, spark):
+        from xcrawl3r_spark.operators.textops import sentence_stats
+
+        rows = [
+            (0, "One two three. Four five! Six?"),
+            (1, "NoTerminator here"),          # whole doc = one sentence
+            (2, "!!!"),                        # no sentence content
+            (3, "  A.  B.  "),                 # padding + empty tail
+            (4, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in sentence_stats(docs).collect()}
+        assert (got[0]["n_sentences"], got[0]["n_sentence_words"]) == (3, 6)
+        assert got[0]["mean_sentence_words_x100"] == 200   # 600 div 3
+        assert got[0]["max_sentence_words"] == 3
+        assert (got[1]["n_sentences"], got[1]["max_sentence_words"]) == (1, 2)
+        for d in (2, 4):
+            assert got[d]["n_sentences"] == 0
+            assert got[d]["n_sentence_words"] == 0
+            assert got[d]["mean_sentence_words_x100"] is None
+            assert got[d]["max_sentence_words"] is None
+        assert (got[3]["n_sentences"], got[3]["max_sentence_words"]) == (2, 1)
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.textops import sentence_stats
+
+        docs = spark.createDataFrame(
+            [(1, "a. b.")], "doc_id long, text string")
+        plan = sentence_stats(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 def test_normalize_text_forms(spark):
     """NFC composes combining sequences; NFKC additionally folds
     compatibility forms (ligature, full-width); ascii is untouched."""

@@ -1567,6 +1567,224 @@ def display_dims(
     )
 
 
+#: std luminance quant table's first 8 values in DQT (zigzag) order —
+#: ITU-T T.81 Annex K.1 / libjpeg jpeg_add_quant_table's basic table
+DQT_ZIGZAG_BASE8 = (16, 11, 12, 14, 12, 10, 16, 14)
+
+
+def jpeg_dqt_step_sql(p: str, n_coeffs: int = 8,
+                      hex2int=spark_hex2int, hx: str = "hx") -> dict:
+    """One step of the DQT-seeking JPEG segment walk (same T.81 marker
+    grammar as :func:`jpeg_walk_step_sql`, stop predicate marker DB
+    with an 8-bit-precision table — Pq/Tq high nibble 0 — and the
+    first ``n_coeffs`` zigzag quant values inside the hexed window).
+    Byte layout from the segment's FF at 1-based ``p``: len at p+2,
+    Pq/Tq at p+4, values from p+5."""
+    at = (lambda off, n:
+          f"substring({hx}, cast(2 * {p} - 1 + {off} as int), {n})")
+    mk = at(2, 2)
+    valid = (f"({p} is not null and 2 * {p} + 6 <= length({hx}) "
+             f"and {at(0, 2)} = 'FF')")
+    is_dqt = (f"({valid} and {mk} = 'DB' "
+              f"and 2 * {p} + 8 + 2 * {int(n_coeffs)} <= length({hx}))")
+    return {
+        "is_dqt": is_dqt,
+        # SOS: entropy-coded data follows, no further DQT possible —
+        # the only marker that makes "no DQT" definitive (T.81 allows
+        # DQT between SOF and SOS, so SOF is NOT a stop)
+        "is_sos": f"({valid} and {mk} = 'DA')",
+        "pq8": f"({at(8, 2)} < '10')",  # high nibble 0 = 8-bit values
+        "q": [hex2int(at(10 + 2 * i, 2)) for i in range(int(n_coeffs))],
+        "next": (f"case when {valid} and not {is_dqt} "
+                 f"and not {at(2, 2)} = 'DA' "
+                 f"then {p} + 2 + {hex2int(at(4, 4))} end"),
+    }
+
+
+def dqt_quality_sql(sum_q: str, idiv: str = "div",
+                    n_coeffs: int = 8) -> dict:
+    """Engine-neutral integer inversion of libjpeg's public
+    jpeg_quality_scaling (quality -> scale S = Q<50 ? 5000/Q : 200-2Q;
+    table value q_i = clamp((base_i*S+50)/100, 1, 255)): estimate
+    S from the sum of the first ``n_coeffs`` zigzag values against the
+    standard luminance base table, then map S back to quality. All
+    arithmetic is positive-integer division (``idiv`` is 'div' on
+    Spark, '//' on DuckDB — identical for non-negatives), so both
+    engines produce bit-identical estimates; accumulated per-value
+    floor error bounds the estimate within ~±2 quality points
+    mid-range (pytest-pinned against the forward formula)."""
+    sum_base = sum(DQT_ZIGZAG_BASE8[:int(n_coeffs)])
+    s_est = f"((100 * ({sum_q})) {idiv} {sum_base})"
+    return {
+        "scale_est": s_est,
+        "quality_est": (
+            f"(case when {s_est} <= 0 then 100 "
+            f"when {s_est} >= 100 then 5000 {idiv} {s_est} "
+            f"else (200 - {s_est}) {idiv} 2 end)"),
+    }
+
+
+def jpeg_quality_estimate(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    scan_bytes: int = 1024,
+    max_segments: int = 8,
+    n_coeffs: int = 8,
+) -> DataFrame:
+    """Encoder quality estimate straight from the first DQT segment's
+    bytes — no decode: walk the T.81 marker segments to the first DQT
+    (quantization tables sit before SOF/SOS, so the walk is as bounded
+    as :func:`jpeg_sof_dims`), read the first ``n_coeffs`` quant values
+    of the 8-bit luminance table, and invert libjpeg's quality scaling
+    against the standard base table. High quant values = coarse
+    quantization = low encoder quality — THE curation signal for
+    dropping over-compressed crawl images that phash/dims gates miss
+    (a 64x64-upscaled thumbnail passes a dims gate; its q95 DQT does
+    not survive a re-encode at q30).
+
+    Unrolled like every byte parser here: flat guarded column
+    expressions, zero UDF, zero shuffle, whole-stage codegen. Outputs:
+    dqt_present (true = DQT seen; false = SOS reached with no DQT, the
+    only definitive negative; NULL = non-JPEG / window or budget
+    exhausted), dqt_sum (sum of the first ``n_coeffs`` zigzag values,
+    NULL for 16-bit-precision tables), and jpeg_quality_est (1-100,
+    NULL when no 8-bit table parsed)."""
+    hx = "_jq_hx"
+    out = (
+        images.withColumn(
+            hx, F.hex(F.substring(F.col(bytes_col), 1, int(scan_bytes))))
+        .withColumn(
+            "_jq0",
+            F.expr(f"case when length({hx}) >= 4 "
+                   f"and substring({hx}, 1, 4) = 'FFD8' "
+                   "then cast(3 as bigint) end"))
+        .withColumn("_jq_pq8", F.lit(None).cast("boolean"))
+        .withColumn("_jq_sos", F.lit(False))
+        .withColumn("dqt_sum", F.lit(None).cast("long"))
+    )
+    for i in range(int(max_segments)):
+        s = jpeg_dqt_step_sql(f"_jq{i}", n_coeffs=n_coeffs, hx=hx)
+        q_sum = " + ".join(f"({q})" for q in s["q"])
+        out = (
+            out.withColumn(
+                "_jq_pq8",
+                F.expr(f"coalesce(_jq_pq8, case when {s['is_dqt']} "
+                       f"then {s['pq8']} end)"))
+            .withColumn("_jq_sos",
+                        F.expr(f"_jq_sos or coalesce({s['is_sos']}, "
+                               "false)"))
+            .withColumn(
+                "dqt_sum",
+                F.expr(f"coalesce(dqt_sum, case when {s['is_dqt']} "
+                       f"and {s['pq8']} then {q_sum} end)"))
+            .withColumn(f"_jq{i + 1}", F.expr(s["next"]))
+        )
+    qual = dqt_quality_sql("dqt_sum", idiv="div", n_coeffs=n_coeffs)
+    return (
+        out.withColumn(
+            "dqt_present",
+            # true = DQT seen (any precision); false = SOS reached
+            # first, so no DQT can follow (definitive); NULL = not a
+            # JPEG, window end, or segment budget exhausted (unknown)
+            F.expr("case when _jq_pq8 is not null then true "
+                   "when _jq_sos then false end"))
+        .withColumn(
+            "jpeg_quality_est",
+            F.expr(f"case when dqt_sum is not null "
+                   f"then {qual['quality_est']} end").cast("long"))
+        .drop(hx, "_jq_pq8", "_jq_sos",
+              *[f"_jq{i}" for i in range(int(max_segments) + 1)])
+    )
+
+
+def exif_gps(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    scan_bytes: int = 2048,
+    max_segments: int = 6,
+    # 10, not orientation's 12: the GPS scan's per-entry u32 value read
+    # is twice the width of orientation's u16, and 12 entries push the
+    # stage past janino's 64 KB whole-stage-codegen method limit even
+    # standalone (measured via noop-write + 'disabled for plan' log
+    # scan, the r4 display_dims technique); 10 compiles standalone AND
+    # fused with an upstream synthesis projection
+    max_entries: int = 10,
+) -> DataFrame:
+    """GPS-metadata presence straight from the EXIF bytes — the
+    privacy gate a training-data pipeline must run BEFORE payloads
+    leave the ingest tier: a GPSInfo IFD pointer (IFD0 tag 0x8825,
+    EXIF 2.3 §4.6.6) means the image carries location coordinates and
+    must be routed to strip/quarantine, not packed into shards.
+
+    Same two unrolled walks as :func:`exif_orientation` (APP1 hunt,
+    then IFD0 entry scan; kept standalone rather than fused into it so
+    that green oracle-pinned operator stays untouched) — zero UDF,
+    zero shuffle, both byte orders. Semantics are three-valued the way
+    an honest budgeted scan must be: has_gps true when the tag was
+    found; false only when the ENTIRE IFD0 was scanned (entry count
+    <= ``max_entries``) without finding it; NULL when there is no
+    parseable EXIF/TIFF or the entry budget truncated the scan
+    (unknown != clean for a privacy gate). Appends (has_gps,
+    gps_ifd_offset)."""
+    hx = "_gps_hx"
+    out = (
+        images.withColumn(
+            hx, F.hex(F.substring(F.col(bytes_col), 1, int(scan_bytes))))
+        .withColumn(
+            "_gps0",
+            F.expr(f"case when length({hx}) >= 4 "
+                   f"and substring({hx}, 1, 4) = 'FFD8' "
+                   "then cast(3 as bigint) end"))
+        .withColumn("_gps_tiff", F.lit(None).cast("long"))
+    )
+    for i in range(int(max_segments)):
+        s = exif_seg_step_sql(f"_gps{i}", hx=hx)
+        out = (
+            out.withColumn(
+                "_gps_tiff",
+                F.expr(f"coalesce(_gps_tiff, case when {s['is_exif']} "
+                       f"then cast({s['tiff']} as bigint) end)"))
+            .withColumn(f"_gps{i + 1}",
+                        F.expr(f"cast({s['next']} as bigint)"))
+        )
+    end = "_gps_end"
+    u16 = lambda pos: exif_u16_sql(pos, end, hx=hx)
+    u32 = lambda pos: exif_u32_sql(pos, end, hx=hx)
+    out = (
+        out.withColumn(
+            end,
+            F.expr(f"case when {exif_bound_sql('_gps_tiff', 4, hx)} "
+                   f"and substring({hx}, cast(2 * _gps_tiff - 1 as int),"
+                   " 4) in ('4949', '4D4D') "
+                   f"then substring({hx}, "
+                   "cast(2 * _gps_tiff - 1 as int), 4) end"))
+        .withColumn(
+            "_gps_ifd",
+            F.expr(f"case when {u16('_gps_tiff + 2')} = 42 "
+                   f"then _gps_tiff + {u32('_gps_tiff + 4')} end")
+            .cast("long"))
+        .withColumn("_gps_n", F.expr(u16("_gps_ifd")).cast("long"))
+        .withColumn("gps_ifd_offset", F.lit(None).cast("long"))
+    )
+    for j in range(int(max_entries)):
+        entry = f"(_gps_ifd + {2 + 12 * j})"
+        out = out.withColumn(
+            "gps_ifd_offset",
+            F.expr(f"coalesce(gps_ifd_offset, "
+                   f"case when _gps_n is not null and {j} < _gps_n "
+                   f"and {u16(entry)} = 34853 "
+                   f"then {u32(f'({entry} + 8)')} end)").cast("long"))
+    return (
+        out.withColumn(
+            "has_gps",
+            F.expr(f"case when gps_ifd_offset is not null then true "
+                   f"when _gps_n is not null "
+                   f"and _gps_n <= {int(max_entries)} then false end"))
+        .drop(hx, end, "_gps_tiff", "_gps_ifd", "_gps_n",
+              *[f"_gps{i}" for i in range(int(max_segments) + 1)])
+    )
+
+
 def png_chunk_step_sql(p: str, hex2int=spark_hex2int,
                        hx: str = "hx") -> dict:
     """One step of the PNG chunk walk as engine-neutral SQL over a

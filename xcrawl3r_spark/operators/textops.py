@@ -58,6 +58,48 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def sentence_stats(docs: DataFrame) -> DataFrame:
+    """Sentence segmentation + per-document sentence-shape features —
+    the Gopher/C4-family signal the per-word gates can't see: prose has
+    multi-word sentences with moderate variance, while boilerplate,
+    menus, and keyword-stuffed spam segment into floods of 1-2-word
+    fragments (or one unbroken run with no terminator at all).
+
+    Segmentation is deliberately RE2-safe (split on ``[.!?]+`` runs
+    over the canonical normal form, no lookbehind — Java regex and
+    DuckDB RE2 agree bit-for-bit) and all features are integer-exact:
+    mean sentence length ships as a x100 fixed-point int, so the
+    DuckDB twin matches by hash, not by float luck. One zero-shuffle
+    map-side projection; at 100 TB this rides the same scan as every
+    other per-doc text gate.
+
+    Returns (doc_id, n_sentences, n_sentence_words,
+    mean_sentence_words_x100, max_sentence_words) — the mean/max are
+    NULL for documents with no sentence-shaped content."""
+    # NB: the lambda must be arity-1 — F.transform(arr, F.trim) feeds
+    # trim the (element, index) pair and two-param trim strips CHARS
+    pieces = F.filter(
+        F.transform(F.split(norm_text_col(), r"[.!?]+"),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+    # norm_text_col collapses whitespace to single spaces, so words
+    # per piece = split on one literal space
+    wc = F.transform(pieces, lambda s: F.size(F.split(s, " ")))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_sentences"),
+        F.aggregate(wc, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .alias("n_sentence_words"),
+        F.array_max(wc).cast("long").alias("max_sentence_words"),
+    ).select(
+        "doc_id", "n_sentences", "n_sentence_words",
+        F.expr("case when n_sentences > 0 then "
+               "(100 * n_sentence_words) div n_sentences end")
+        .alias("mean_sentence_words_x100"),
+        "max_sentence_words",
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / mean-word-length / stopword-ratio quality features +
     composite score. Rounded to 6 dp (both engines round identically)."""
