@@ -1633,6 +1633,95 @@ def q_image_exif_gps(spark, sf_dir):
         "coalesce(gps_ifd_offset, -1) as gps_ifd_offset")
 
 
+# Unified animation-probe synthesis (r5): a format MIX so the dispatch
+# is exercised — GIF rows reuse the full GIF-probe grammar (animated +
+# still + wild pre-blocks), PNG rows the chunk-scan grammar (acTL on
+# %5), WEBP rows cycle VP8X-animated / VP8X-still / VP8-still, the
+# rest JPEG/BMP stills; %13 unsniffable garbage, %11 NULL payload.
+_WEBP_X_ANIM = ("'52494646240000005745425056503858"
+                "0A000000020000000F00000F0000'")
+_WEBP_X_STILL = ("'52494646240000005745425056503858"
+                 "0A000000000000000F00000F0000'")
+_WEBP_VP8_STILL = ("concat('5249464624000000574542505650382010000000', "
+                   "repeat('00', 16))")
+
+
+def _anim_payload_hex() -> str:
+    return (
+        "case when doc_id % 13 = 0 then '0011223344' "
+        f"when doc_id % 4 = 0 then {_GIF_SYNTH_HEX} "
+        f"when doc_id % 4 = 1 then {_PNG_SYNTH_HEX} "
+        f"when doc_id % 4 = 2 then (case doc_id % 3 "
+        f"when 0 then {_WEBP_X_ANIM} when 1 then {_WEBP_X_STILL} "
+        f"else {_WEBP_VP8_STILL} end) "
+        "when doc_id % 2 = 0 then "
+        "concat('FFD8FFE000104A46494600', repeat('00', 9)) "
+        "else concat('424D', repeat('00', 20)) end")
+
+
+def _anim_images(docs):
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"case when doc_id % 11 = 0 then null "
+        f"else unhex({_anim_payload_hex()}) end as bytes",
+    )
+
+
+def _duck_animation_sql(gif_steps: int = 6, png_chunks: int = 4) -> str:
+    """DuckDB twin of operators/images.py animation_probe: the GIF and
+    PNG walk twins (same step snippets as their standalone oracles, at
+    the composite's reduced budgets) joined with the sniff + VP8X
+    animation-bit dispatch."""
+    table_sql = (
+        f"select concat('img-', doc_id) as image_id, "
+        f"case when doc_id % 11 = 0 then null "
+        f"else from_hex({_anim_payload_hex()}) end as bytes "
+        "from documents")
+    gif = _duck_gif_probe_sql(table_sql, steps=gif_steps)
+    png = _duck_png_scan_sql(table_sql, chunks=png_chunks)
+    webp_anim = (
+        "(length(s.hx) >= 42 and substring(s.hx, 25, 8) = '56503858' "
+        "and ((('0x' || substring(s.hx, 41, 2))::bigint // 2) % 2) = 1)")
+    return f"""
+        with g as (select * from ({gif})),
+             p as (select * from ({png})),
+             b as (select image_id, hex(bytes) as hx
+                   from ({table_sql})),
+             s as (select image_id, hx, {_DUCK_SNIFF} as sf from b)
+        select s.image_id,
+               coalesce(sf, 'unknown') as anim_format,
+               case when sf = 'gif' then g.gif_animated
+                    when sf = 'png' then
+                        (case when p.apng_frames >= 0 then 1 else 0 end)
+                    when sf = 'webp' then
+                        (case when {webp_anim} then 1 else 0 end)
+                    when sf in ('jpeg', 'bmp') then 0
+                    else -1 end as is_animated,
+               case when sf = 'png' then p.apng_frames
+                    else -1 end as anim_frames,
+               case when sf = 'gif' then g.gif_loop_count
+                    else -1 end as anim_loop_count
+        from s, g, p
+        where s.image_id = g.image_id and s.image_id = p.image_id
+    """
+
+
+def q_image_animation(spark, sf_dir):
+    """Unified animation dispatch (GIF loop-ext walk + APNG acTL +
+    WEBP VP8X bit) over a format mix; -1 encodes 'unknown' for the
+    flag and absent for frames/loop count."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.animation_probe(_anim_images(docs)).selectExpr(
+        "image_id",
+        "coalesce(anim_format, 'unknown') as anim_format",
+        "case when is_animated is null then -1 "
+        "when is_animated then 1 else 0 end as is_animated",
+        "coalesce(anim_frames, -1) as anim_frames",
+        "coalesce(anim_loop_count, -1) as anim_loop_count")
+
+
 # the sf documents' text carries no mid-text terminators at all, so a
 # query over the raw column would never exercise multi-sentence
 # splitting (a piece-trim bug hid exactly there); synthesize sentence
@@ -2423,13 +2512,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # way) and both are mirror-verified on r5 code via
     # tools/oracle_check.py. TWO-ROUND SCHEDULE — the r6 window MUST open
     # with, in order: the NEW r5 keys (image_jpeg_quality, image_exif_gps,
-    # text_sentences — never driver-verified), mm_image_features +
+    # image_animation, text_sentences — never driver-verified),
+    # mm_image_features +
     # mm_resize (spilled here), audio_features (changed r5: real WAV
     # parse + new oracle; mm_frame_sample, changed the same way, IS in
     # the r5 window below), then image_gif_anim / image_header_gate /
     # image_admission / image_funnel (semantics touched r5 per ADVICE).
-    # That fixes 3 + 2 + 1 + 4 = 10 slots, leaving 40 for the 45
-    # r5-parked keys: the LAST 5 r5-parked dict entries spill to r7 and
+    # That fixes 4 + 2 + 1 + 4 = 11 slots, leaving 39 for the 45
+    # r5-parked keys: the LAST 6 r5-parked dict entries spill to r7 and
     # must open r7's window (all 5 are oracle-twinned and mirror-verified
     # each round, so the spill is driver-coverage latency, not a
     # correctness gap — with 105 keys and a 50-wide window, full driver
@@ -2505,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- these enter the driver window at the TOP of r6) ----------
         "image_jpeg_quality": q_image_jpeg_quality,
         "image_exif_gps": q_image_exif_gps,
+        "image_animation": q_image_animation,
         "text_sentences": q_text_sentences,
         # -- parked for r5 (ALL drew green driver rows in r4; rotate r6) ---
         "stream_dedup_state": q_stream_dedup_state,
@@ -4063,6 +4154,9 @@ def oracle_sql() -> dict[str, str]:
         # CTE-chained with '//' integer division (see
         # _duck_jpeg_quality_sql)
         "image_jpeg_quality": _duck_jpeg_quality_sql(),
+        # unified animation twin: GIF + PNG walk twins joined with the
+        # sniff/VP8X dispatch (see _duck_animation_sql)
+        "image_animation": _duck_animation_sql(),
         # EXIF GPS twin: same walk snippets scanning IFD0 for 0x8825
         # with the three-valued budget-honest verdict (see
         # _duck_exif_gps_sql)

@@ -127,6 +127,7 @@ HEADLINE = [
     # r5 additions
     "image_jpeg_quality",
     "image_exif_gps",
+    "image_animation",
     "text_sentences",
 ]
 

@@ -1606,3 +1606,60 @@ class TestExifGps:
         plan = exif_gps(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def _webp_file(fourcc=b"VP8X", flags=0x00):
+    if fourcc == b"VP8X":
+        chunk = fourcc + (10).to_bytes(4, "little") \
+            + bytes([flags]) + b"\x00" * 3 \
+            + (15).to_bytes(3, "little") + (15).to_bytes(3, "little")
+    else:
+        chunk = fourcc + (16).to_bytes(4, "little") + b"\x00" * 16
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" \
+        + chunk
+
+
+class TestAnimationProbe:
+    def test_dispatch_across_formats(self, spark):
+        from xcrawl3r_spark.operators.images import animation_probe
+
+        df = spark.createDataFrame(
+            [("gif-anim", _gif_file(anim=7)),
+             ("gif-still", _gif_file(gct_n=2)),
+             ("apng", _png_file(_ACTL)),
+             ("png-still", _png_file(_PHYS)),
+             # VP8X animation bit (0x02) per the WebP container spec
+             ("webp-anim", _webp_file(flags=0x02)),
+             # alpha/ICC bits set but NOT the animation bit
+             ("webp-still-flags", _webp_file(flags=0x30)),
+             ("webp-vp8", _webp_file(fourcc=b"VP8 ")),
+             ("jpeg", b"\xFF\xD8" + _JFIF + _jsof(4, 4)),
+             ("bmp", b"BM" + b"\x00" * 24),
+             ("garbage", b"\x00\x11\x22\x33\x44"),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["anim_format"], r["is_animated"],
+                               r["anim_frames"], r["anim_loop_count"])
+               for r in animation_probe(df).collect()}
+        assert got["gif-anim"] == ("gif", True, None, 7)
+        assert got["gif-still"] == ("gif", False, None, None)
+        assert got["apng"] == ("png", True, 24, None)
+        assert got["png-still"] == ("png", False, None, None)
+        assert got["webp-anim"] == ("webp", True, None, None)
+        assert got["webp-still-flags"] == ("webp", False, None, None)
+        assert got["webp-vp8"] == ("webp", False, None, None)
+        assert got["jpeg"] == ("jpeg", False, None, None)
+        assert got["bmp"] == ("bmp", False, None, None)
+        # unsniffable / absent payloads are UNKNOWN, not still
+        assert got["garbage"] == (None, None, None, None)
+        assert got["nulls"] == (None, None, None, None)
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import animation_probe
+
+        df = spark.createDataFrame(
+            [("a", _webp_file(flags=0x02))],
+            "image_id string, bytes binary")
+        plan = animation_probe(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
