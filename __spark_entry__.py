@@ -1633,6 +1633,102 @@ def q_image_exif_gps(spark, sf_dir):
         "coalesce(gps_ifd_offset, -1) as gps_ifd_offset")
 
 
+# JPEG profile synthesis (r5): SOF flavor cycles baseline C0 /
+# progressive C2 / arithmetic-progressive CA with component counts
+# 3 / 1 (gray) / 4 (CMYK); %3!=0 rows carry a real ICC APP2 before the
+# SOF, %7==3 a COM hop, %19 garbage right after SOI (walk dies -> all
+# unknown), %13 not JPEG, %11 NULL payload.
+# len 0x16 = 22 payload bytes: tag(12) + seq/count(2) + 6 profile bytes
+_JPF_ICC_HEX = ("'FFE200164943435F50524F46494C4500', '0101', "
+                "repeat('00', 6)")
+_JPF_SOF_HEX = (
+    "case doc_id % 5 "
+    "when 0 then 'FFC2001108006400640301110002110103110100' "
+    "when 1 then 'FFC0000B08006400640101110000' "
+    "when 2 then 'FFCA00140800640064040111000211010311010411010000' "
+    "else 'FFC0001108006400640301110002110103110100' end")
+_JPF_PAYLOAD_HEX = (
+    "concat('FFD8', "
+    "case when doc_id % 19 = 0 then 'ABCD0000' else concat("
+    "case when doc_id % 7 = 3 then 'FFFE0004ABCD' else '' end, "
+    f"case when doc_id % 3 != 0 then concat({_JPF_ICC_HEX}) "
+    f"else '' end, {_JPF_SOF_HEX}) end)")
+
+
+def _jpf_images(docs):
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"case when doc_id % 11 = 0 then null "
+        f"when doc_id % 13 = 0 then unhex('89504E470D0A1A0A') "
+        f"else unhex({_JPF_PAYLOAD_HEX}) end as bytes",
+    )
+
+
+def _duck_jpeg_profile_sql(steps: int = 8) -> str:
+    """DuckDB twin of operators/images.py jpeg_profile: the SAME
+    profile-step snippets, CTE-chained with '0x' casts."""
+    from xcrawl3r_spark.operators.images import (
+        _PROGRESSIVE_SOF, jpeg_profile_step_sql)
+
+    def d(x):
+        return f"(('0x' || {x})::bigint)"
+
+    table_sql = (
+        f"select concat('img-', doc_id) as image_id, "
+        f"case when doc_id % 11 = 0 then null "
+        f"when doc_id % 13 = 0 then from_hex('89504E470D0A1A0A') "
+        f"else from_hex({_JPF_PAYLOAD_HEX}) end as bytes "
+        "from documents")
+    ctes = [
+        f"base as ({table_sql})",
+        "s0 as (select image_id, hex(bytes) as hx, "
+        "case when length(hex(bytes)) >= 4 "
+        "and substring(hex(bytes), 1, 4) = 'FFD8' then 3 end as p0, "
+        "cast(null as bigint) as mk, cast(null as bigint) as nc, "
+        "false as icc from base)",
+    ]
+    for i in range(steps):
+        s = jpeg_profile_step_sql(f"p{i}", hex2int=d)
+        ctes.append(
+            f"s{i + 1} as (select image_id, hx, "
+            f"coalesce(mk, case when {s['sof']} "
+            f"then {s['marker']} end) as mk, "
+            f"coalesce(nc, case when {s['sof']} "
+            f"then {s['ncomp']} end) as nc, "
+            f"(icc or coalesce({s['icc']}, false)) as icc, "
+            f"cast({s['next']} as bigint) as p{i + 1} from s{i})")
+    prog = ", ".join(str(m) for m in _PROGRESSIVE_SOF)
+    return (
+        "with " + ", ".join(ctes)
+        + f" select image_id, coalesce(mk, -1) as sof_marker, "
+          f"case when mk is null then -1 "
+          f"when mk in ({prog}) then 1 else 0 end as is_progressive, "
+          "coalesce(nc, -1) as n_components, "
+          "coalesce(case nc when 1 then 'gray' when 3 then 'ycbcr' "
+          "when 4 then 'cmyk' else case when nc is not null "
+          "then 'other' end end, 'unknown') as color_mode, "
+          "case when icc then 1 when mk is not null then 0 "
+          f"else -1 end as has_icc from s{steps}")
+
+
+def q_image_jpeg_profile(spark, sf_dir):
+    """JPEG decode-cost/color profile (progressive flag, component
+    count, ICC APP2) from the marker stream; -1/'unknown' encode the
+    walked-out cases."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.jpeg_profile(_jpf_images(docs)).selectExpr(
+        "image_id",
+        "coalesce(sof_marker, -1) as sof_marker",
+        "case when is_progressive is null then -1 "
+        "when is_progressive then 1 else 0 end as is_progressive",
+        "coalesce(n_components, -1) as n_components",
+        "coalesce(color_mode, 'unknown') as color_mode",
+        "case when has_icc is null then -1 "
+        "when has_icc then 1 else 0 end as has_icc")
+
+
 # Unified animation-probe synthesis (r5): a format MIX so the dispatch
 # is exercised — GIF rows reuse the full GIF-probe grammar (animated +
 # still + wild pre-blocks), PNG rows the chunk-scan grammar (acTL on
@@ -1728,6 +1824,19 @@ def q_image_animation(spark, sf_dir):
 # structure deterministically — 3 sentences incl. a collapsed '?!' run
 # and leading-space pieces — identically in both engines
 _SENT_SYNTH_SQL = "concat(text, '. ', text, '?! ', text)"
+
+
+def q_text_readability(spark, sf_dir):
+    """Flesch / FK-grade x1000 fixed-point over the same multi-sentence
+    synthesis as text_sentences; -1 encodes 'unscorable'."""
+    from xcrawl3r_spark.operators.textops import readability
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SENT_SYNTH_SQL} as text")
+    return readability(docs).selectExpr(
+        "doc_id", "n_sentences", "n_words", "n_syllables",
+        "coalesce(flesch_x1000, -999999) as flesch_x1000",
+        "coalesce(fk_grade_x1000, -999999) as fk_grade_x1000")
 
 
 def q_text_sentences(spark, sf_dir):
@@ -2512,14 +2621,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # way) and both are mirror-verified on r5 code via
     # tools/oracle_check.py. TWO-ROUND SCHEDULE — the r6 window MUST open
     # with, in order: the NEW r5 keys (image_jpeg_quality, image_exif_gps,
-    # image_animation, text_sentences — never driver-verified),
-    # mm_image_features +
+    # image_animation, image_jpeg_profile, text_sentences,
+    # text_readability — never driver-verified), mm_image_features +
     # mm_resize (spilled here), audio_features (changed r5: real WAV
     # parse + new oracle; mm_frame_sample, changed the same way, IS in
     # the r5 window below), then image_gif_anim / image_header_gate /
     # image_admission / image_funnel (semantics touched r5 per ADVICE).
-    # That fixes 4 + 2 + 1 + 4 = 11 slots, leaving 39 for the 45
-    # r5-parked keys: the LAST 6 r5-parked dict entries spill to r7 and
+    # That fixes 6 + 2 + 1 + 4 = 13 slots, leaving 37 for the 45
+    # r5-parked keys: the LAST 8 r5-parked dict entries spill to r7 and
     # must open r7's window (all 5 are oracle-twinned and mirror-verified
     # each round, so the spill is driver-coverage latency, not a
     # correctness gap — with 105 keys and a 50-wide window, full driver
@@ -2596,7 +2705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_jpeg_quality": q_image_jpeg_quality,
         "image_exif_gps": q_image_exif_gps,
         "image_animation": q_image_animation,
+        "image_jpeg_profile": q_image_jpeg_profile,
         "text_sentences": q_text_sentences,
+        "text_readability": q_text_readability,
         # -- parked for r5 (ALL drew green driver rows in r4; rotate r6) ---
         "stream_dedup_state": q_stream_dedup_state,
         "corpus_curate": q_corpus_curate,
@@ -4154,6 +4265,8 @@ def oracle_sql() -> dict[str, str]:
         # CTE-chained with '//' integer division (see
         # _duck_jpeg_quality_sql)
         "image_jpeg_quality": _duck_jpeg_quality_sql(),
+        # JPEG profile twin: same profile-step snippets, CTE-chained
+        "image_jpeg_profile": _duck_jpeg_profile_sql(),
         # unified animation twin: GIF + PNG walk twins joined with the
         # sniff/VP8X dispatch (see _duck_animation_sql)
         "image_animation": _duck_animation_sql(),
@@ -4161,6 +4274,46 @@ def oracle_sql() -> dict[str, str]:
         # with the three-valued budget-honest verdict (see
         # _duck_exif_gps_sql)
         "image_exif_gps": _duck_exif_gps_sql(),
+        # readability twin: same vowel-run syllable estimator and
+        # positive-operand integer divisions ('//'); regexp_extract_all
+        # length = Spark regexp_count
+        "text_readability": f"""
+            with d as (
+                select doc_id, {_SENT_SYNTH_SQL} as text from documents
+            ), n as (
+                select doc_id, {_NORM_TEXT_SQL} as norm from d
+            ), t as (
+                select doc_id,
+                       list_filter(string_split(norm, ' '),
+                                   t -> t <> '') as toks,
+                       list_filter(
+                           list_transform(
+                               regexp_split_to_array(norm, '[.!?]+'),
+                               s -> trim(s)),
+                           s -> s <> '') as pieces,
+                       norm
+                from n
+            ), m as (
+                select doc_id,
+                       cast(len(pieces) as bigint) as n_sentences,
+                       cast(len(toks) as bigint) as n_words,
+                       cast(len(regexp_extract_all(norm, '[aeiouy]+'))
+                            + len(list_filter(toks,
+                                  t -> not regexp_matches(t, '[aeiouy]')))
+                            as bigint) as n_syllables
+                from t
+            )
+            select doc_id, n_sentences, n_words, n_syllables,
+                   coalesce(case when n_sentences > 0 and n_words > 0
+                       then 206835 - (1015 * n_words) // n_sentences
+                            - (84600 * n_syllables) // n_words end,
+                       -999999) as flesch_x1000,
+                   coalesce(case when n_sentences > 0 and n_words > 0
+                       then (390 * n_words) // n_sentences
+                            + (11800 * n_syllables) // n_words - 15590
+                       end, -999999) as fk_grade_x1000
+            from m
+        """,
         # sentence stats: RE2-safe split both engines; list_sum is
         # HUGEINT -> cast BIGINT; nullable mean/max ship as -1
         "text_sentences": f"""

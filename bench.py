@@ -128,7 +128,9 @@ HEADLINE = [
     "image_jpeg_quality",
     "image_exif_gps",
     "image_animation",
+    "image_jpeg_profile",
     "text_sentences",
+    "text_readability",
 ]
 
 

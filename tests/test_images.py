@@ -1663,3 +1663,52 @@ class TestAnimationProbe:
         plan = animation_probe(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+_JICC = _jseg(0xE2, b"ICC_PROFILE\x00" + b"\x01\x01" + b"\x00" * 6)
+_JAPP2_OTHER = _jseg(0xE2, b"MPF\x00" + b"\x00" * 8)  # APP2, not ICC
+
+
+class TestJpegProfile:
+    def test_profile_fields(self, spark):
+        from xcrawl3r_spark.operators.images import jpeg_profile
+
+        def sof(marker, ncomp):
+            comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+            return _jseg(marker, bytes([8]) + (100).to_bytes(2, "big")
+                         + (100).to_bytes(2, "big") + bytes([ncomp])
+                         + comps)
+
+        df = spark.createDataFrame(
+            [("baseline", b"\xFF\xD8" + _JFIF + sof(0xC0, 3)),
+             ("progressive-icc",
+              b"\xFF\xD8" + _JICC + sof(0xC2, 3)),
+             ("gray", b"\xFF\xD8" + _JFIF + sof(0xC0, 1)),
+             ("cmyk-arith", b"\xFF\xD8" + sof(0xCA, 4)),
+             # APP2 that is NOT an ICC profile must not flag
+             ("app2-other", b"\xFF\xD8" + _JAPP2_OTHER + sof(0xC1, 3)),
+             # walk dies on garbage right after SOI: everything unknown
+             ("garbage", b"\xFF\xD8" + b"\xAB\xCD\x00\x00"),
+             ("not-jpeg", bytes.fromhex("89504E470D0A1A0A")),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["sof_marker"], r["is_progressive"],
+                               r["n_components"], r["color_mode"],
+                               r["has_icc"])
+               for r in jpeg_profile(df).collect()}
+        assert got["baseline"] == (0xC0, False, 3, "ycbcr", False)
+        assert got["progressive-icc"] == (0xC2, True, 3, "ycbcr", True)
+        assert got["gray"] == (0xC0, False, 1, "gray", False)
+        assert got["cmyk-arith"] == (0xCA, True, 4, "cmyk", False)
+        assert got["app2-other"] == (0xC1, False, 3, "ycbcr", False)
+        for k in ("garbage", "not-jpeg", "nulls"):
+            assert got[k] == (None, None, None, None, None)
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import jpeg_profile
+
+        df = spark.createDataFrame(
+            [("a", b"\xFF\xD8" + _JFIF)], "image_id string, bytes binary")
+        plan = jpeg_profile(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

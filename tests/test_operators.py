@@ -461,3 +461,39 @@ def test_crawl_to_corpus_integration(spark):
     assert stats  # per-host rows
     assert sum(r["n_docs"] for r in stats.values()) == n_expect
     assert all(r["n_tokens"] > 0 for r in stats.values())
+
+
+class TestReadability:
+    def test_flesch_fixed_point(self, spark):
+        from xcrawl3r_spark.operators.textops import readability
+
+        rows = [
+            # 2 sentences, 6 words, syllables: the=1 cat=1 sat=1 it=1
+            # was=1 happy=2 -> 7
+            (0, "The cat sat. It was happy."),
+            (1, "Dr X 123"),     # vowel-less tokens count 1 each -> 3
+            (2, "!!!"),          # no sentences/words -> unscorable
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in readability(docs).collect()}
+        r0 = got[0]
+        assert (r0["n_sentences"], r0["n_words"], r0["n_syllables"]) \
+            == (2, 6, 7)
+        # 206835 - 1015*6//2 - 84600*7//6 = 206835 - 3045 - 98700
+        assert r0["flesch_x1000"] == 105090
+        # 390*6//2 + 11800*7//6 - 15590 = 1170 + 13766 - 15590
+        assert r0["fk_grade_x1000"] == -654
+        r1 = got[1]
+        # "dr" and "123" have no vowels (min-1 each), "x" none -> 3
+        assert (r1["n_words"], r1["n_syllables"]) == (3, 3)
+        assert got[2]["flesch_x1000"] is None
+        assert got[2]["fk_grade_x1000"] is None
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.textops import readability
+
+        docs = spark.createDataFrame(
+            [(1, "a. b.")], "doc_id long, text string")
+        plan = readability(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

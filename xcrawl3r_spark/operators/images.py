@@ -1697,6 +1697,111 @@ def jpeg_quality_estimate(
     )
 
 
+#: SOF markers that mean progressive DCT (T.81 Table B.1: C2 huffman /
+#: C6 differential / CA arithmetic / CE differential arithmetic)
+_PROGRESSIVE_SOF = (0xC2, 0xC6, 0xCA, 0xCE)
+_ICC_TAG_HEX = "4943435F50524F46494C4500"  # 'ICC_PROFILE\0'
+
+
+def jpeg_profile_step_sql(p: str, hex2int=spark_hex2int,
+                          hx: str = "hx") -> dict:
+    """One step of the profile-reading JPEG segment walk (T.81 marker
+    grammar as in :func:`jpeg_walk_step_sql`): stops at the first SOF
+    and reads its marker byte + component count (byte p+9 — after
+    precision and the two dims), and flags APP2 segments whose payload
+    opens with 'ICC_PROFILE\\0' on the way past."""
+    at = (lambda off, n:
+          f"substring({hx}, cast(2 * {p} - 1 + {off} as int), {n})")
+    mk = at(2, 2)
+    valid = (f"({p} is not null and 2 * {p} + 6 <= length({hx}) "
+             f"and {at(0, 2)} = 'FF')")
+    sof = (f"({valid} and 2 * {p} + 20 <= length({hx}) "
+           f"and {mk} >= 'C0' and {mk} <= 'CF' "
+           f"and {mk} not in ('C4', 'C8', 'CC'))")
+    icc = (f"({valid} and 2 * {p} + 32 <= length({hx}) "
+           f"and {mk} = 'E2' and {at(8, 24)} = '{_ICC_TAG_HEX}')")
+    return {
+        "sof": sof,
+        "marker": hex2int(mk),
+        "ncomp": hex2int(at(18, 2)),
+        "icc": icc,
+        "next": (f"case when {valid} and not {sof} "
+                 f"then {p} + 2 + {hex2int(at(4, 4))} end"),
+    }
+
+
+def jpeg_profile(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    scan_bytes: int = 2048,
+    max_segments: int = 8,
+) -> DataFrame:
+    """Decode-cost and color-pipeline profile straight from the marker
+    stream, no decode: progressive-vs-baseline (a progressive JPEG
+    costs multiple passes and buffers the full image — a batch decode
+    tier wants them scheduled apart), component count (1 = grayscale,
+    3 = YCbCr, 4 = CMYK/Adobe — grayscale and CMYK rows need their own
+    preprocessing branch or a drop), and ICC APP2 presence (the
+    color-managed-source flag, JPEG counterpart of the PNG iCCP
+    signal).
+
+    One unrolled segment walk (zero UDF, zero shuffle): APP2 ICC flags
+    are collected on the way, the walk stops at the first SOF and
+    reads its marker + component count. has_icc is three-valued: true
+    when seen, false only when the walk REACHED a SOF without one
+    (APPn segments precede SOF, so that is definitive), NULL when the
+    walk died early or the budget/window ran out. Appends (sof_marker,
+    is_progressive, n_components, color_mode, has_icc)."""
+    hx = "_jpf_hx"
+    out = (
+        images.withColumn(
+            hx, F.hex(F.substring(F.col(bytes_col), 1, int(scan_bytes))))
+        .withColumn(
+            "_jpf0",
+            F.expr(f"case when length({hx}) >= 4 "
+                   f"and substring({hx}, 1, 4) = 'FFD8' "
+                   "then cast(3 as bigint) end"))
+        .withColumn("sof_marker", F.lit(None).cast("long"))
+        .withColumn("n_components", F.lit(None).cast("long"))
+        .withColumn("_jpf_icc", F.lit(False))
+    )
+    for i in range(int(max_segments)):
+        s = jpeg_profile_step_sql(f"_jpf{i}", hx=hx)
+        out = (
+            out.withColumn(
+                "sof_marker",
+                F.expr(f"coalesce(sof_marker, case when {s['sof']} "
+                       f"then {s['marker']} end)"))
+            .withColumn(
+                "n_components",
+                F.expr(f"coalesce(n_components, case when {s['sof']} "
+                       f"then {s['ncomp']} end)"))
+            .withColumn(
+                "_jpf_icc",
+                F.expr(f"_jpf_icc or coalesce({s['icc']}, false)"))
+            .withColumn(f"_jpf{i + 1}", F.expr(s["next"]))
+        )
+    prog = ", ".join(str(m) for m in _PROGRESSIVE_SOF)
+    return (
+        out.withColumn(
+            "is_progressive",
+            F.expr(f"case when sof_marker is not null "
+                   f"then sof_marker in ({prog}) end"))
+        .withColumn(
+            "color_mode",
+            F.expr("case n_components when 1 then 'gray' "
+                   "when 3 then 'ycbcr' when 4 then 'cmyk' "
+                   "else case when n_components is not null "
+                   "then 'other' end end"))
+        .withColumn(
+            "has_icc",
+            F.expr("case when _jpf_icc then true "
+                   "when sof_marker is not null then false end"))
+        .drop(hx, "_jpf_icc",
+              *[f"_jpf{i}" for i in range(int(max_segments) + 1)])
+    )
+
+
 def exif_gps(
     images: DataFrame,
     bytes_col: str = "bytes",

@@ -100,6 +100,48 @@ def sentence_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade as x1000 fixed-point
+    integers — the classic prose-complexity curation signal (both
+    formulas are public: Flesch 1948, Kincaid et al. 1975). Syllables
+    are approximated as vowel-group runs ``[aeiouy]+`` with a minimum
+    of one per word (vowel-less tokens — numbers, acronyms — count 1),
+    the standard cheap estimator; all arithmetic is positive-operand
+    integer division so the DuckDB twin is bit-identical (the only
+    subtraction happens after both divisions).
+
+    flesch_x1000 = 206835 - 1015*W/S - 84600*Syl/W;
+    fk_grade_x1000 = 390*W/S + 11800*Syl/W - 15590.
+
+    Zero-shuffle map-side projection. Returns (doc_id, n_sentences,
+    n_words, n_syllables, flesch_x1000, fk_grade_x1000) — the two
+    scores are NULL when there are no words or no sentences."""
+    norm = norm_text_col()
+    pieces = F.filter(
+        F.transform(F.split(norm, r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "")
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    base = docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_sentences"),
+        F.size(toks).cast("long").alias("n_words"),
+        (F.regexp_count(norm, F.lit("[aeiouy]+")).cast("long")
+         + F.size(F.filter(toks, lambda t: ~t.rlike("[aeiouy]")))
+         .cast("long")).alias("n_syllables"),
+    )
+    return base.select(
+        "doc_id", "n_sentences", "n_words", "n_syllables",
+        F.expr("case when n_sentences > 0 and n_words > 0 then "
+               "206835 - (1015 * n_words) div n_sentences "
+               "- (84600 * n_syllables) div n_words end")
+        .alias("flesch_x1000"),
+        F.expr("case when n_sentences > 0 and n_words > 0 then "
+               "(390 * n_words) div n_sentences "
+               "+ (11800 * n_syllables) div n_words - 15590 end")
+        .alias("fk_grade_x1000"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / mean-word-length / stopword-ratio quality features +
     composite score. Rounded to 6 dp (both engines round identically)."""
