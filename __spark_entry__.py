@@ -1633,6 +1633,126 @@ def q_image_exif_gps(spark, sf_dir):
         "coalesce(gps_ifd_offset, -1) as gps_ifd_offset")
 
 
+# Bare-TIFF dims synthesis (r5): real TIFF 6.0 blocks at byte 1 —
+# both byte orders (%2), ImageWidth typed LONG on %5==0 rows and SHORT
+# otherwise, ImageLength typed LONG on %3==0 rows, width entry MISSING
+# on %7==0 rows; %13 not TIFF, %11 NULL payload. SHORT values are
+# left-justified in the 4-byte slot per the spec, which differs by
+# byte order — the synthesis encodes both layouts exactly.
+def _tiff_block_hex_sql(le: bool, idiv: str) -> str:
+    if le:
+        u16c = lambda v: f"{v & 0xFF:02X}{(v >> 8) & 0xFF:02X}"
+        u32c = lambda v: "".join(
+            f"{(v >> (8 * i)) & 0xFF:02X}" for i in range(4))
+        v16 = lambda e: (f"printf('%02X%02X', ({e}) % 256, "
+                         f"(({e}) {idiv} 256) % 256)")
+        val_s = lambda e: f"concat({v16(e)}, '0000')"
+        val_l = val_s  # LE32 of a <2^16 value = lo hi 00 00
+    else:
+        u16c = lambda v: f"{(v >> 8) & 0xFF:02X}{v & 0xFF:02X}"
+        u32c = lambda v: f"{v:08X}"
+        val_s = lambda e: f"concat(printf('%04X', {e}), '0000')"
+        val_l = lambda e: f"concat('0000', printf('%04X', {e}))"
+    entry_c = lambda tag, typ: f"{u16c(tag)}{u16c(typ)}{u32c(1)}"
+    width = (f"(case when doc_id % 5 = 0 "
+             f"then concat('{entry_c(256, 4)}', {val_l(_HDR_W)}) "
+             f"else concat('{entry_c(256, 3)}', {val_s(_HDR_W)}) end)")
+    length = (f"(case when doc_id % 3 = 0 "
+              f"then concat('{entry_c(257, 4)}', {val_l(_HDR_H)}) "
+              f"else concat('{entry_c(257, 3)}', {val_s(_HDR_H)}) end)")
+    make = u16c(0x010F) + u16c(2) + u32c(4) + "41424344"
+    hdr = ("4949" if le else "4D4D") + u16c(42) + u32c(8)
+    return (f"(case when doc_id % 7 = 0 "
+            f"then concat('{hdr}{u16c(2)}', {length}, '{make}', "
+            f"'{u32c(0)}') "
+            f"else concat('{hdr}{u16c(3)}', {width}, {length}, "
+            f"'{make}', '{u32c(0)}') end)")
+
+
+def _tiff_payload_hex(idiv: str) -> str:
+    return (f"case when doc_id % 13 = 0 then 'FFD8FFE000104A464946' "
+            f"when doc_id % 2 = 0 then {_tiff_block_hex_sql(True, idiv)} "
+            f"else {_tiff_block_hex_sql(False, idiv)} end")
+
+
+def _tiff_images(docs):
+    return docs.selectExpr(
+        "concat('img-', doc_id) as image_id",
+        f"case when doc_id % 11 = 0 then null "
+        f"else unhex({_tiff_payload_hex('div')}) end as bytes",
+    )
+
+
+def _duck_tiff_dims_sql(entries: int = 8) -> str:
+    """DuckDB twin of operators/images.py tiff_dims: the SAME
+    endian-conditional read snippets over the same IFD hex SLICE
+    (constant read positions), CTE-chained with '0x' casts. hx and the
+    slice are coalesced to '' so the constant-position bound checks
+    are plain FALSE on absent payloads — a NULL hx makes the bound
+    NULL, CASE falls through to the endian else-branch, and DuckDB's
+    NULL-swallowing concat() would feed '0x' || '' into the cast."""
+    from xcrawl3r_spark.operators.images import exif_u16_sql, exif_u32_sql
+
+    def d(x):
+        return f"(('0x' || {x})::bigint)"
+
+    table_sql = (
+        f"select concat('img-', doc_id) as image_id, "
+        f"case when doc_id % 11 = 0 then null "
+        f"else from_hex({_tiff_payload_hex('//')}) end as bytes "
+        "from documents")
+    u16 = lambda pos: exif_u16_sql(pos, "endmark", d)
+    u32 = lambda pos: exif_u32_sql(pos, "endmark", d)
+    iu16 = lambda bp: exif_u16_sql(str(bp), "endmark", d, hx="ihx")
+    iu32 = lambda bp: exif_u32_sql(str(bp), "endmark", d, hx="ihx")
+    span = 2 * (2 + 12 * entries)
+    ctes = [
+        f"base as ({table_sql})",
+        "e as (select image_id, coalesce(hex(bytes), '') as hx, "
+        "case when length(hex(bytes)) >= 8 "
+        "and substring(hex(bytes), 1, 4) in ('4949', '4D4D') "
+        "then substring(hex(bytes), 1, 4) end as endmark from base)",
+        f"f as (select image_id, hx, endmark, "
+        f"cast(case when {u16('3')} = 42 "
+        f"then 1 + {u32('5')} end as bigint) as ifd from e)",
+        f"g as (select image_id, endmark, "
+        f"coalesce(substring(hx, cast(2 * ifd - 1 as int), {span}), '') "
+        "as ihx from f)",
+        f"h as (select image_id, endmark, ihx, "
+        f"cast({iu16(1)} as bigint) as n from g)",
+    ]
+    w_arms, h_arms = [], []
+    for j in range(entries):
+        base = 3 + 12 * j
+        guard = f"n is not null and {j} < n"
+        val = (f"(case {iu16(base + 2)} "
+               f"when 3 then {iu16(base + 8)} "
+               f"when 4 then {iu32(base + 8)} end)")
+        w_arms.append(f"case when {guard} and {iu16(base)} = 256 "
+                      f"then {val} end")
+        h_arms.append(f"case when {guard} and {iu16(base)} = 257 "
+                      f"then {val} end")
+    return ("with " + ", ".join(ctes)
+            + f" select image_id, "
+              "case when endmark is not null then 1 else 0 end as is_tiff, "
+              f"coalesce(coalesce({', '.join(w_arms)}), -1) as tiff_w, "
+              f"coalesce(coalesce({', '.join(h_arms)}), -1) as tiff_h "
+              "from h")
+
+
+def q_image_tiff_dims(spark, sf_dir):
+    """Bare-TIFF dims (IFD0 ImageWidth/ImageLength, SHORT and LONG
+    typed, both byte orders); -1 encodes absent."""
+    from xcrawl3r_spark.operators import images
+
+    docs = _t(spark, sf_dir, "documents")
+    return images.tiff_dims(_tiff_images(docs)).selectExpr(
+        "image_id",
+        "case when is_tiff then 1 else 0 end as is_tiff",
+        "coalesce(tiff_w, -1) as tiff_w",
+        "coalesce(tiff_h, -1) as tiff_h")
+
+
 # JPEG profile synthesis (r5): SOF flavor cycles baseline C0 /
 # progressive C2 / arithmetic-progressive CA with component counts
 # 3 / 1 (gray) / 4 (CMYK); %3!=0 rows carry a real ICC APP2 before the
@@ -2621,14 +2741,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # way) and both are mirror-verified on r5 code via
     # tools/oracle_check.py. TWO-ROUND SCHEDULE — the r6 window MUST open
     # with, in order: the NEW r5 keys (image_jpeg_quality, image_exif_gps,
-    # image_animation, image_jpeg_profile, text_sentences,
-    # text_readability — never driver-verified), mm_image_features +
+    # image_animation, image_jpeg_profile, image_tiff_dims,
+    # text_sentences, text_readability — never driver-verified),
+    # mm_image_features +
     # mm_resize (spilled here), audio_features (changed r5: real WAV
     # parse + new oracle; mm_frame_sample, changed the same way, IS in
     # the r5 window below), then image_gif_anim / image_header_gate /
     # image_admission / image_funnel (semantics touched r5 per ADVICE).
-    # That fixes 6 + 2 + 1 + 4 = 13 slots, leaving 37 for the 45
-    # r5-parked keys: the LAST 8 r5-parked dict entries spill to r7 and
+    # That fixes 7 + 2 + 1 + 4 = 14 slots, leaving 36 for the 45
+    # r5-parked keys: the LAST 9 r5-parked dict entries spill to r7 and
     # must open r7's window (all 5 are oracle-twinned and mirror-verified
     # each round, so the spill is driver-coverage latency, not a
     # correctness gap — with 105 keys and a 50-wide window, full driver
@@ -2706,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exif_gps": q_image_exif_gps,
         "image_animation": q_image_animation,
         "image_jpeg_profile": q_image_jpeg_profile,
+        "image_tiff_dims": q_image_tiff_dims,
         "text_sentences": q_text_sentences,
         "text_readability": q_text_readability,
         # -- parked for r5 (ALL drew green driver rows in r4; rotate r6) ---
@@ -4267,6 +4389,9 @@ def oracle_sql() -> dict[str, str]:
         "image_jpeg_quality": _duck_jpeg_quality_sql(),
         # JPEG profile twin: same profile-step snippets, CTE-chained
         "image_jpeg_profile": _duck_jpeg_profile_sql(),
+        # bare-TIFF dims twin: same endian-conditional reads over the
+        # byte-1 TIFF header (see _duck_tiff_dims_sql)
+        "image_tiff_dims": _duck_tiff_dims_sql(),
         # unified animation twin: GIF + PNG walk twins joined with the
         # sniff/VP8X dispatch (see _duck_animation_sql)
         "image_animation": _duck_animation_sql(),

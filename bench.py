@@ -129,6 +129,7 @@ HEADLINE = [
     "image_exif_gps",
     "image_animation",
     "image_jpeg_profile",
+    "image_tiff_dims",
     "text_sentences",
     "text_readability",
 ]

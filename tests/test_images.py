@@ -1712,3 +1712,53 @@ class TestJpegProfile:
         plan = jpeg_profile(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def _tiff_file(le, w=640, h=480, w_type=3, h_type=3, include_w=True):
+    import struct
+    fmt = "<" if le else ">"
+    u16 = lambda v: struct.pack(fmt + "H", v)
+    u32 = lambda v: struct.pack(fmt + "I", v)
+    def entry(tag, typ, v):
+        val = u16(v) + b"\x00\x00" if typ == 3 else u32(v)
+        return u16(tag) + u16(typ) + u32(1) + val
+    ents = []
+    if include_w:
+        ents.append(entry(256, w_type, w))
+    ents.append(entry(257, h_type, h))
+    ents.append(u16(0x010F) + u16(2) + u32(4) + b"ABCD")
+    ifd = u16(len(ents)) + b"".join(ents) + u32(0)
+    return (b"II" if le else b"MM") + u16(42) + u32(8) + ifd
+
+
+class TestTiffDims:
+    def test_both_orders_and_types(self, spark):
+        from xcrawl3r_spark.operators.images import tiff_dims
+
+        df = spark.createDataFrame(
+            [("ii-short", _tiff_file(True, 640, 480)),
+             ("mm-short", _tiff_file(False, 1920, 1080)),
+             ("ii-long", _tiff_file(True, 300, 200, w_type=4, h_type=4)),
+             ("mm-mixed", _tiff_file(False, 12, 34, w_type=4, h_type=3)),
+             ("no-width", _tiff_file(True, include_w=False)),
+             ("not-tiff", b"\xFF\xD8" + _JFIF),
+             ("nulls", None)],
+            "image_id string, bytes binary")
+        got = {r["image_id"]: (r["is_tiff"], r["tiff_w"], r["tiff_h"])
+               for r in tiff_dims(df).collect()}
+        assert got["ii-short"] == (True, 640, 480)
+        assert got["mm-short"] == (True, 1920, 1080)
+        assert got["ii-long"] == (True, 300, 200)
+        assert got["mm-mixed"] == (True, 12, 34)
+        assert got["no-width"] == (True, None, 480)
+        assert got["not-tiff"] == (False, None, None)
+        assert got["nulls"] == (False, None, None)
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.images import tiff_dims
+
+        df = spark.createDataFrame(
+            [("a", _tiff_file(True))], "image_id string, bytes binary")
+        plan = tiff_dims(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

@@ -1890,6 +1890,83 @@ def exif_gps(
     )
 
 
+def tiff_dims(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    scan_bytes: int = 2048,
+    max_entries: int = 8,
+) -> DataFrame:
+    """Width/height for bare TIFF payloads — the container
+    :func:`parse_header_dims` (fixed offsets) and :func:`jpeg_sof_dims`
+    (marker walk) don't cover, yet scanners/cameras upload constantly.
+    Layout per the public TIFF 6.0 spec: 'II'/'MM' byte order + magic
+    42 + IFD0 offset, then an entry scan for ImageWidth (256) and
+    ImageLength (257), each typed SHORT (3 → u16 at the value slot) or
+    LONG (4 → u32) — both types occur in the wild and both byte orders
+    are handled by the same endian-conditional reads the EXIF walk
+    uses (the TIFF header here sits at byte 1, not inside an APP1).
+
+    Unrolled ``max_entries`` entries (default 8 — two coalesce chains
+    with type-conditional reads are ~2x the GPS scan's per-entry width,
+    and 8 stays inside the janino whole-stage-codegen budget; width and
+    length are tags 256/257, almost always the FIRST two entries, so
+    the budget is generous). Zero UDF, zero shuffle. Appends (is_tiff,
+    tiff_w, tiff_h) — dims NULL when absent, untyped, or past the
+    budget/window."""
+    hx = "_tif_hx"
+    ihx = "_tif_ihx"
+    end = "_tif_end"
+    u16 = lambda pos: exif_u16_sql(pos, end, hx=hx)
+    u32 = lambda pos: exif_u32_sql(pos, end, hx=hx)
+    # all IFD reads go through a SLICED hex column starting at the IFD,
+    # so every position is a CONSTANT catalyst folds at plan time —
+    # per-read `(_ifd + k) * 2` column arithmetic made the fused stage
+    # blow janino's 64 KB whole-stage-codegen limit even at reduced
+    # entry budgets; with constant positions 8 entries compile fused
+    iu16 = lambda bp: exif_u16_sql(str(bp), end, hx=ihx)
+    iu32 = lambda bp: exif_u32_sql(str(bp), end, hx=ihx)
+    span = 2 * (2 + 12 * int(max_entries))
+    out = (
+        images.withColumn(
+            hx, F.hex(F.substring(F.col(bytes_col), 1, int(scan_bytes))))
+        .withColumn(
+            end,
+            F.expr(f"case when length({hx}) >= 8 "
+                   f"and substring({hx}, 1, 4) in ('4949', '4D4D') "
+                   f"then substring({hx}, 1, 4) end"))
+        .withColumn(
+            "_tif_ifd",
+            F.expr(f"case when {u16('3')} = 42 "
+                   f"then 1 + {u32('5')} end").cast("long"))
+        .withColumn(
+            ihx,
+            F.expr(f"substring({hx}, cast(2 * _tif_ifd - 1 as int), "
+                   f"{span})"))
+        .withColumn("_tif_n", F.expr(iu16(1)).cast("long"))
+    )
+    w_arms, h_arms = [], []
+    for j in range(int(max_entries)):
+        base = 3 + 12 * j  # entry j's first byte within the IFD slice
+        guard = f"_tif_n is not null and {j} < _tif_n"
+        val = (f"(case {iu16(base + 2)} "
+               f"when 3 then {iu16(base + 8)} "
+               f"when 4 then {iu32(base + 8)} end)")
+        w_arms.append(f"case when {guard} and {iu16(base)} = 256 "
+                      f"then {val} end")
+        h_arms.append(f"case when {guard} and {iu16(base)} = 257 "
+                      f"then {val} end")
+    return (
+        out.withColumn(
+            "tiff_w",
+            F.expr(f"coalesce({', '.join(w_arms)})").cast("long"))
+        .withColumn(
+            "tiff_h",
+            F.expr(f"coalesce({', '.join(h_arms)})").cast("long"))
+        .withColumn("is_tiff", F.expr(f"{end} is not null"))
+        .drop(hx, ihx, end, "_tif_ifd", "_tif_n")
+    )
+
+
 def png_chunk_step_sql(p: str, hex2int=spark_hex2int,
                        hx: str = "hx") -> dict:
     """One step of the PNG chunk walk as engine-neutral SQL over a
