@@ -78,6 +78,8 @@ def probes():
     from xcrawl3r_spark.operators import dedupops, images
     from xcrawl3r_spark.operators.pipeline import corpus_curate
 
+    from xcrawl3r_spark.operators import textops
+
     return {
         "corpus_curate": lambda d: corpus_curate(d, budget=1000),
         "dedup_minhash_verified": lambda d: dedupops.minhash_verified_pairs(
@@ -86,6 +88,13 @@ def probes():
             E._dims_images(d, with_phash=True), budget=5000),
         "image_fetch_plan": lambda d: images.fetch_plan(
             images.extract_image_refs(E._refs_pages(d))),
+        # r5 additions: the zero-shuffle admission gate (pure map-side
+        # cost must scale exactly linearly) and the winnow fp
+        # equi-join (pair generation under the posting-list df cap)
+        "image_admission": lambda d: images.admission_gate(
+            E._admission_images(d), min_side=100),
+        "text_winnow_pairs": lambda d: textops.winnow_pairs(
+            d, min_shared=2, max_fp_df=E.WINNOW_MAX_FP_DF),
     }
 
 
