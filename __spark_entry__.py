@@ -1946,6 +1946,18 @@ def q_image_animation(spark, sf_dir):
 _SENT_SYNTH_SQL = "concat(text, '. ', text, '?! ', text)"
 
 
+def q_text_lexical_diversity(spark, sf_dir):
+    """Type-token + hapax ratios (x1e6 fixed-point; sorted-run hapax
+    count, no explode); -1 encodes token-less documents."""
+    from xcrawl3r_spark.operators.textops import lexical_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return lexical_diversity(docs).selectExpr(
+        "doc_id", "n_tokens", "n_types",
+        "coalesce(ttr_x1e6, -1) as ttr_x1e6",
+        "coalesce(hapax_ratio_x1e6, -1) as hapax_ratio_x1e6")
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch / FK-grade x1000 fixed-point over the same multi-sentence
     synthesis as text_sentences; -1 encodes 'unscorable'."""
@@ -2742,14 +2754,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/oracle_check.py. TWO-ROUND SCHEDULE — the r6 window MUST open
     # with, in order: the NEW r5 keys (image_jpeg_quality, image_exif_gps,
     # image_animation, image_jpeg_profile, image_tiff_dims,
-    # text_sentences, text_readability — never driver-verified),
-    # mm_image_features +
+    # text_sentences, text_readability, text_lexical_diversity — never
+    # driver-verified), mm_image_features +
     # mm_resize (spilled here), audio_features (changed r5: real WAV
     # parse + new oracle; mm_frame_sample, changed the same way, IS in
     # the r5 window below), then image_gif_anim / image_header_gate /
     # image_admission / image_funnel (semantics touched r5 per ADVICE).
-    # That fixes 7 + 2 + 1 + 4 = 14 slots, leaving 36 for the 45
-    # r5-parked keys: the LAST 9 r5-parked dict entries spill to r7 and
+    # That fixes 8 + 2 + 1 + 4 = 15 slots, leaving 35 for the 45
+    # r5-parked keys: the LAST 10 r5-parked dict entries spill to r7 and
     # must open r7's window (all 5 are oracle-twinned and mirror-verified
     # each round, so the spill is driver-coverage latency, not a
     # correctness gap — with 105 keys and a 50-wide window, full driver
@@ -2830,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tiff_dims": q_image_tiff_dims,
         "text_sentences": q_text_sentences,
         "text_readability": q_text_readability,
+        "text_lexical_diversity": q_text_lexical_diversity,
         # -- parked for r5 (ALL drew green driver rows in r4; rotate r6) ---
         "stream_dedup_state": q_stream_dedup_state,
         "corpus_curate": q_corpus_curate,
@@ -4399,6 +4412,36 @@ def oracle_sql() -> dict[str, str]:
         # with the three-valued budget-honest verdict (see
         # _duck_exif_gps_sql)
         "image_exif_gps": _duck_exif_gps_sql(),
+        # lexical-diversity twin: list_sort + neighbor compare for the
+        # hapax run-of-one count (list_extract is NULL at 0/OOB, and
+        # the i=1 / i=n disjuncts decide first)
+        "text_lexical_diversity": f"""
+            with n as (
+                select doc_id, {_NORM_TEXT_SQL} as norm from documents
+            ), t as (
+                select doc_id,
+                       list_sort(list_filter(string_split(norm, ' '),
+                                             t -> t <> '')) as ls
+                from n
+            ), m as (
+                select doc_id, ls,
+                       cast(len(ls) as bigint) as n_tokens,
+                       cast(len(list_distinct(ls)) as bigint) as n_types
+                from t
+            )
+            select doc_id, n_tokens, n_types,
+                   coalesce(case when n_tokens > 0 then
+                       (1000000 * n_types) // n_tokens end, -1)
+                       as ttr_x1e6,
+                   coalesce(case when n_tokens > 0 then
+                       (1000000 * cast(len(list_filter(
+                           range(1, cast(n_tokens + 1 as int)),
+                           i -> (i = 1 or ls[i] <> ls[i - 1])
+                                and (i = n_tokens or ls[i] <> ls[i + 1])
+                       )) as bigint)) // n_tokens end, -1)
+                       as hapax_ratio_x1e6
+            from m
+        """,
         # readability twin: same vowel-run syllable estimator and
         # positive-operand integer divisions ('//'); regexp_extract_all
         # length = Spark regexp_count

@@ -132,6 +132,7 @@ HEADLINE = [
     "image_tiff_dims",
     "text_sentences",
     "text_readability",
+    "text_lexical_diversity",
 ]
 
 

@@ -497,3 +497,38 @@ class TestReadability:
         plan = readability(docs)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestLexicalDiversity:
+    def test_ttr_and_hapax(self, spark):
+        from xcrawl3r_spark.operators.textops import lexical_diversity
+
+        rows = [
+            (0, "the cat and the dog and the bird"),  # 8 toks, 5 types
+            (1, "all unique words here"),             # all hapax
+            (2, "same same same"),                    # zero hapax
+            (3, "one"),                               # single token
+            (4, ""),                                  # empty
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in lexical_diversity(docs).collect()}
+        r0 = got[0]
+        assert (r0["n_tokens"], r0["n_types"]) == (8, 5)
+        assert r0["ttr_x1e6"] == 5000000 // 8
+        # hapax in doc 0: cat, dog, bird -> 3 of 8
+        assert r0["hapax_ratio_x1e6"] == 3000000 // 8
+        assert got[1]["hapax_ratio_x1e6"] == 1000000
+        assert got[2]["hapax_ratio_x1e6"] == 0
+        assert got[3]["hapax_ratio_x1e6"] == 1000000
+        assert got[4]["n_tokens"] == 0
+        assert got[4]["ttr_x1e6"] is None
+        assert got[4]["hapax_ratio_x1e6"] is None
+
+    def test_zero_shuffle(self, spark):
+        from xcrawl3r_spark.operators.textops import lexical_diversity
+
+        docs = spark.createDataFrame(
+            [(1, "a b a")], "doc_id long, text string")
+        plan = lexical_diversity(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

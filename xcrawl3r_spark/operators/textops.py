@@ -142,6 +142,51 @@ def readability(docs: DataFrame) -> DataFrame:
     )
 
 
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """Type-token ratio + hapax-legomena ratio — the lexical-diversity
+    quality axis (keyword-stuffed spam and template boilerplate have
+    pathologically LOW diversity; gibberish/ID dumps pathologically
+    HIGH): n_types = distinct tokens, TTR = types/tokens, hapax =
+    tokens occurring exactly once, counted over the sorted token array
+    as run-of-one elements (array_sort + neighbor compare — O(n log n)
+    per row, no explode, no shuffle). try_element_at keeps the
+    neighbor reads NULL-safe at the array edges under ANSI mode; the
+    OR guards decide first so NULL never leaks into the predicate.
+    Ratios ship as x1e6 fixed-point integers (cross-engine exact).
+
+    Returns (doc_id, n_tokens, n_types, ttr_x1e6, hapax_ratio_x1e6) —
+    ratios NULL for token-less documents."""
+    toks = F.filter(F.split(norm_text_col(), " "), lambda t: t != "")
+    s = F.array_sort(toks)
+    base = docs.select(
+        "doc_id", s.alias("_s"),
+        F.size(s).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(s)).cast("long").alias("n_types"),
+    )
+    n = F.col("n_tokens")
+    sc = F.col("_s")
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard n=0
+    idx = F.when(n > 0, F.sequence(F.lit(1).cast("long"), n)) \
+        .otherwise(F.array().cast("array<bigint>"))
+    hapax = F.size(F.filter(
+        idx,
+        lambda i: ((i == 1) | (F.try_element_at(sc, i.cast("int"))
+                               != F.try_element_at(sc, (i - 1).cast("int"))))
+        & ((i == n) | (F.try_element_at(sc, i.cast("int"))
+                       != F.try_element_at(sc, (i + 1).cast("int")))),
+    ))
+    return base.select(
+        "doc_id", "n_tokens", "n_types",
+        F.expr("case when n_tokens > 0 then "
+               "(1000000 * n_types) div n_tokens end")
+        .alias("ttr_x1e6"),
+        F.when(n > 0, hapax.cast("long")).alias("_hapax"),
+    ).selectExpr(
+        "doc_id", "n_tokens", "n_types", "ttr_x1e6",
+        "case when n_tokens > 0 then (1000000 * _hapax) div n_tokens "
+        "end as hapax_ratio_x1e6")
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / mean-word-length / stopword-ratio quality features +
     composite score. Rounded to 6 dp (both engines round identically)."""
