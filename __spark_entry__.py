@@ -1804,7 +1804,8 @@ def _duck_jpeg_profile_sql(steps: int = 8) -> str:
         "s0 as (select image_id, hex(bytes) as hx, "
         "case when length(hex(bytes)) >= 4 "
         "and substring(hex(bytes), 1, 4) = 'FFD8' then 3 end as p0, "
-        "cast(null as bigint) as mk, cast(null as bigint) as nc, "
+        "cast(null as bigint) as mk, cast(null as bigint) as sw, "
+        "cast(null as bigint) as sh, cast(null as bigint) as nc, "
         "false as icc from base)",
     ]
     for i in range(steps):
@@ -1813,6 +1814,10 @@ def _duck_jpeg_profile_sql(steps: int = 8) -> str:
             f"s{i + 1} as (select image_id, hx, "
             f"coalesce(mk, case when {s['sof']} "
             f"then {s['marker']} end) as mk, "
+            f"coalesce(sw, case when {s['sof']} "
+            f"then {s['w']} end) as sw, "
+            f"coalesce(sh, case when {s['sof']} "
+            f"then {s['h']} end) as sh, "
             f"coalesce(nc, case when {s['sof']} "
             f"then {s['ncomp']} end) as nc, "
             f"(icc or coalesce({s['icc']}, false)) as icc, "
@@ -1823,12 +1828,17 @@ def _duck_jpeg_profile_sql(steps: int = 8) -> str:
         + f" select image_id, coalesce(mk, -1) as sof_marker, "
           f"case when mk is null then -1 "
           f"when mk in ({prog}) then 1 else 0 end as is_progressive, "
+          "coalesce(sw, -1) as sof_w, coalesce(sh, -1) as sof_h, "
           "coalesce(nc, -1) as n_components, "
           "coalesce(case nc when 1 then 'gray' when 3 then 'ycbcr' "
           "when 4 then 'cmyk' else case when nc is not null "
           "then 'other' end end, 'unknown') as color_mode, "
           "case when icc then 1 when mk is not null then 0 "
-          f"else -1 end as has_icc from s{steps}")
+          f"else -1 end as has_icc, "
+          f"coalesce(case when mk is not null then "
+          f"cast(sw * sh * nc * (case when mk in ({prog}) then 2 "
+          f"else 1 end) as bigint) end, -1) as decode_cost_est "
+          f"from s{steps}")
 
 
 def q_image_jpeg_profile(spark, sf_dir):
@@ -1843,10 +1853,13 @@ def q_image_jpeg_profile(spark, sf_dir):
         "coalesce(sof_marker, -1) as sof_marker",
         "case when is_progressive is null then -1 "
         "when is_progressive then 1 else 0 end as is_progressive",
+        "coalesce(sof_w, -1) as sof_w",
+        "coalesce(sof_h, -1) as sof_h",
         "coalesce(n_components, -1) as n_components",
         "coalesce(color_mode, 'unknown') as color_mode",
         "case when has_icc is null then -1 "
-        "when has_icc then 1 else 0 end as has_icc")
+        "when has_icc then 1 else 0 end as has_icc",
+        "coalesce(decode_cost_est, -1) as decode_cost_est")
 
 
 # Unified animation-probe synthesis (r5): a format MIX so the dispatch

@@ -1694,15 +1694,23 @@ class TestJpegProfile:
             "image_id string, bytes binary")
         got = {r["image_id"]: (r["sof_marker"], r["is_progressive"],
                                r["n_components"], r["color_mode"],
-                               r["has_icc"])
+                               r["has_icc"], r["decode_cost_est"])
                for r in jpeg_profile(df).collect()}
-        assert got["baseline"] == (0xC0, False, 3, "ycbcr", False)
-        assert got["progressive-icc"] == (0xC2, True, 3, "ycbcr", True)
-        assert got["gray"] == (0xC0, False, 1, "gray", False)
-        assert got["cmyk-arith"] == (0xCA, True, 4, "cmyk", False)
-        assert got["app2-other"] == (0xC1, False, 3, "ycbcr", False)
+        # all SOFs store 100x100; cost = w*h*ncomp*(2 if progressive)
+        assert got["baseline"] == (0xC0, False, 3, "ycbcr", False, 30000)
+        assert got["progressive-icc"] == (0xC2, True, 3, "ycbcr", True,
+                                          60000)
+        assert got["gray"] == (0xC0, False, 1, "gray", False, 10000)
+        assert got["cmyk-arith"] == (0xCA, True, 4, "cmyk", False, 80000)
+        assert got["app2-other"] == (0xC1, False, 3, "ycbcr", False,
+                                     30000)
         for k in ("garbage", "not-jpeg", "nulls"):
-            assert got[k] == (None, None, None, None, None)
+            assert got[k] == (None, None, None, None, None, None)
+        # dims surfaced alongside
+        rows = {r["image_id"]: (r["sof_w"], r["sof_h"])
+                for r in jpeg_profile(df).collect()}
+        assert rows["baseline"] == (100, 100)
+        assert rows["nulls"] == (None, None)
 
     def test_zero_shuffle(self, spark):
         from xcrawl3r_spark.operators.images import jpeg_profile

@@ -1723,6 +1723,8 @@ def jpeg_profile_step_sql(p: str, hex2int=spark_hex2int,
     return {
         "sof": sof,
         "marker": hex2int(mk),
+        "h": hex2int(at(10, 4)),
+        "w": hex2int(at(14, 4)),
         "ncomp": hex2int(at(18, 2)),
         "icc": icc,
         "next": (f"case when {valid} and not {sof} "
@@ -1747,11 +1749,18 @@ def jpeg_profile(
 
     One unrolled segment walk (zero UDF, zero shuffle): APP2 ICC flags
     are collected on the way, the walk stops at the first SOF and
-    reads its marker + component count. has_icc is three-valued: true
-    when seen, false only when the walk REACHED a SOF without one
+    reads its marker + dims + component count. has_icc is three-valued:
+    true when seen, false only when the walk REACHED a SOF without one
     (APPn segments precede SOF, so that is definitive), NULL when the
-    walk died early or the budget/window ran out. Appends (sof_marker,
-    is_progressive, n_components, color_mode, has_icc)."""
+    walk died early or the budget/window ran out.
+
+    decode_cost_est = w * h * n_components, doubled for progressive
+    (multiple passes over a fully-buffered image) — the documented
+    integer heuristic a decode tier batches and budgets by (pixels x
+    planes x passes ~ IDCT work; exact constants don't matter for
+    RELATIVE scheduling, determinism does). Appends (sof_marker,
+    is_progressive, sof_w, sof_h, n_components, color_mode, has_icc,
+    decode_cost_est)."""
     hx = "_jpf_hx"
     out = (
         images.withColumn(
@@ -1762,6 +1771,8 @@ def jpeg_profile(
                    f"and substring({hx}, 1, 4) = 'FFD8' "
                    "then cast(3 as bigint) end"))
         .withColumn("sof_marker", F.lit(None).cast("long"))
+        .withColumn("sof_w", F.lit(None).cast("long"))
+        .withColumn("sof_h", F.lit(None).cast("long"))
         .withColumn("n_components", F.lit(None).cast("long"))
         .withColumn("_jpf_icc", F.lit(False))
     )
@@ -1772,6 +1783,14 @@ def jpeg_profile(
                 "sof_marker",
                 F.expr(f"coalesce(sof_marker, case when {s['sof']} "
                        f"then {s['marker']} end)"))
+            .withColumn(
+                "sof_w",
+                F.expr(f"coalesce(sof_w, case when {s['sof']} "
+                       f"then {s['w']} end)"))
+            .withColumn(
+                "sof_h",
+                F.expr(f"coalesce(sof_h, case when {s['sof']} "
+                       f"then {s['h']} end)"))
             .withColumn(
                 "n_components",
                 F.expr(f"coalesce(n_components, case when {s['sof']} "
@@ -1787,6 +1806,12 @@ def jpeg_profile(
             "is_progressive",
             F.expr(f"case when sof_marker is not null "
                    f"then sof_marker in ({prog}) end"))
+        .withColumn(
+            "decode_cost_est",
+            F.expr(f"case when sof_marker is not null then "
+                   f"sof_w * sof_h * n_components * "
+                   f"(case when sof_marker in ({prog}) then 2 "
+                   "else 1 end) end").cast("long"))
         .withColumn(
             "color_mode",
             F.expr("case n_components when 1 then 'gray' "
