@@ -212,6 +212,33 @@ def near_dup_clusters(
     )
 
 
+def near_dup_drops(
+    docs: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Just the REMOVAL side of ``near_dup_clusters``: the doc_ids that
+    lost their cluster (non-canonicals). Equals
+    ``near_dup_clusters(docs).filter(~is_canonical).select("doc_id")``
+    but derived straight from the component table — a doc is
+    non-canonical iff its component label (min reachable id) differs
+    from its own id, and every such doc appears in the component table,
+    so the full-corpus join-back is unnecessary. The cleaning composites
+    use this as their broadcast anti-join side: at corpus scale the drop
+    set is tiny relative to the corpus and the 100 TB side never
+    shuffles for it."""
+    from xcrawl3r_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, n_bands, rows_per_band)
+    comp = connected_components(pairs, max_iters=max_iters,
+                                src="doc_a", dst="doc_b")
+    return (
+        comp.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+
+
 def source_similarity(
     docs: DataFrame, k: int = 256, group: str = "source",
     shingle_k: int = SHINGLE_K, n_salt: int = 16,
@@ -573,7 +600,14 @@ def simhash_near_dup(
     ``log_dropped``), the same posting-list control as ngram_jaccard's.
     The uncapped default is exact.
     """
-    sig = simhash(docs, bits)
+    from pyspark import StorageLevel
+
+    # one narrow (doc_id, simhash) row per doc, materialized once: the
+    # banded join references the signature relation on BOTH sides, and an
+    # unmaterialized sig re-runs the 60-bit explode + double aggregation
+    # per side. Lazy DISK_ONLY (see plans/crawl._ckpt for the level).
+    sig = simhash(docs, bits).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY)
     return hamming_near_dup(
         sig, id_col="doc_id", hash_col="simhash",
         hamming_max=hamming_max, bits=bits,

@@ -78,8 +78,19 @@ def pagerank(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        # LOOP-INVARIANT, referenced every round (stepped join + rank_0 +
+        # dangling ids): materialize once instead of re-running the
+        # union+distinct per reference per round. DISK_ONLY (the
+        # deserialized default anti-scales with cores, plans/crawl._ckpt)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # the per-round contribution join needs BOTH the edge list and the
+    # source's out-degree; their equi-join is loop-invariant too, so pay
+    # it once and let every round join ranks against the weighted edges —
+    # one shuffle join per round instead of two (guide §2.4)
+    e_w = e.join(outdeg, "src").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY)
     base = (100 - damping_pct) * SCALE // 100
     rank = nodes.withColumn("rank", F.lit(SCALE).cast("long"))
     if dangling == "redistribute":
@@ -88,8 +99,7 @@ def pagerank(
             outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
     for i in range(iters):
         contrib = (
-            e.join(rank.withColumnRenamed("id", "src"), "src")
-            .join(outdeg, "src")
+            e_w.join(rank.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
                 F.expr(f"(rank * {damping_pct}) div (100 * outdeg)")

@@ -32,7 +32,7 @@ near-dup drops are both small relative to the corpus).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xcrawl3r_spark.functions.hashing import md5_long
@@ -42,30 +42,37 @@ from xcrawl3r_spark.operators import dedupops, textops
 def corpus_clean(docs: DataFrame) -> DataFrame:
     """documents(doc_id, text, ...) -> surviving rows with quality + lang
     annotations. Deterministic: survivors and annotations depend only on
-    content."""
+    content.
+
+    r6 shape (guide §2.3/§2.4): the exact-dup key, the Gopher features,
+    and the language-ID all come from ONE text-bearing scan; keep-min-
+    doc_id is a row_number over content_fp instead of a groupBy + join-
+    back (one shuffle, no self-join); the near-dup losers stay a
+    broadcast anti-join. The r1-r5 formulation joined four separately
+    scanned frames on doc_id — three extra corpus scans and three extra
+    shuffles for the same rows (proven value-identical vs the unchanged
+    DuckDB twin)."""
     norm = textops.norm_text_col()
-    with_fp = docs.select("doc_id", md5_long(norm).alias("content_fp"))
-    keepers = (
-        with_fp.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    gr = textops.gopher_raw_cols()
+    ranked = textops.lang_ranked_col()
+    flags = docs.select(
+        "doc_id",
+        md5_long(norm).alias("content_fp"),
+        gr["n"].alias("n_words"),
+        F.round(gr["mean_wlen"], 6).alias("mean_word_len"),
+        textops.gopher_passes_col().alias("_gq"),
+        ranked[0]["lang"].alias("lang_pred"),
     )
-    gq = textops.gopher_quality(docs)
     # drop = cluster NON-canonicals (the near-dup losers) — the small
     # side at corpus scale (canonicals are ~the whole corpus; their
     # complement is only the docs that lost their cluster), so the
     # anti-join side stays broadcastable
-    near_drops = (
-        dedupops.near_dup_clusters(docs)
-        .filter(~F.col("is_canonical")).select("doc_id")
-    )
-    lang = textops.lang_id(docs).select("doc_id", "lang_pred")
+    near_drops = dedupops.near_dup_drops(docs)
+    fp_w = Window.partitionBy("content_fp").orderBy("doc_id")
     return (
-        docs.select("doc_id")
-        .join(keepers, "doc_id")                       # exact-dup keepers
-        .join(gq.filter(F.col("passes")).select(
-            "doc_id", "n_words", "mean_word_len"), "doc_id")
+        flags.withColumn("_rk", F.row_number().over(fp_w))
+        .filter((F.col("_rk") == 1) & F.col("_gq"))
         .join(F.broadcast(near_drops), "doc_id", "left_anti")
-        .join(lang, "doc_id")
         .select("doc_id", "n_words", "mean_word_len", "lang_pred")
     )
 
@@ -185,8 +192,6 @@ def corpus_curate(
     default — it adds the dense window-hash shuffle, which is the single
     most expensive stage at corpus scale.
     """
-    from pyspark.sql import Window
-
     from xcrawl3r_spark.functions.hashing import seeded
     from xcrawl3r_spark.operators import curation
 
@@ -213,12 +218,21 @@ def corpus_curate(
                 & F.col("rep_ok"))
         .drop("_fp_rk", "gq_ok", "c4_ok", "rep_ok", "content_fp")
     )
-    canon = dedupops.near_dup_clusters(docs).filter(
-        F.col("is_canonical")).select("doc_id")
-    clean = curation.decontaminate(
+    # r6 shape: both removal decisions attach as BROADCAST ANTI-joins of
+    # their (small) drop sets instead of inner joins against full-corpus
+    # frames — the gated side is never shuffled for them (guide §3.1;
+    # same complement argument as corpus_clean's near_drops). Semantics
+    # unchanged: near_dup_clusters covers every doc exactly once, and
+    # decontaminate emits one row per doc (explode_outer), so keeping
+    # is_canonical / ~contaminated rows == dropping their complements.
+    drops = dedupops.near_dup_drops(docs)
+    contaminated = curation.decontaminate(
         docs, docs.filter(F.col("doc_id") % bench_mod == 0), n=decon_ngram
-    ).filter(~F.col("contaminated")).select("doc_id")
-    survivors = gated.join(canon, "doc_id").join(clean, "doc_id")
+    ).filter(F.col("contaminated")).select("doc_id")
+    survivors = (
+        gated.join(F.broadcast(drops), "doc_id", "left_anti")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
     pack_w = (
         Window.partitionBy("source").orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -549,6 +549,8 @@ def winnow_pairs(
     integer counts + one rounded division — cross-engine exact.
     Output: (doc_a, doc_b, n_shared, containment) for doc_a < doc_b.
     """
+    from pyspark import StorageLevel
+
     fps = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
     if max_fp_df is not None:
         from pyspark.sql import Window as W
@@ -557,6 +559,12 @@ def winnow_pairs(
             fps.withColumn("_df", F.count("*").over(W.partitionBy("fp")))
             .filter(F.col("_df") <= max_fp_df).drop("_df")
         )
+    # ONE materialization serves all three consumers (sizes + both join
+    # sides): without it each plan reference re-runs the dense per-char
+    # md5 fingerprint fan-out — the dominant cost of the operator — three
+    # times. Lazy DISK_ONLY, same rationale as ngram_jaccard's cap path
+    # (deserialized-memory localCheckpoint anti-scales with cores).
+    fps = fps.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
@@ -609,15 +617,23 @@ def winnow_spans(
     detection is one window pass per (pair, side) — the partition is a
     single pair's matched buckets, trivially memory-safe. All-integer
     output (plus the 'a'/'b' side tag), cross-engine exact."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
-    fpb = winnow_fingerprints(docs, k, w)  # (doc_id, bucket, fp)
+    # (doc_id, bucket, fp), materialized ONCE: the plan references fpb
+    # twice (side_a/side_b) and fps four times (pair join sides + both
+    # membership joins) — uncheckpointed, every reference re-runs the
+    # dense md5 fingerprint fan-out (measured the dominant cost). Lazy
+    # DISK_ONLY as in winnow_pairs/ngram_jaccard.
+    fpb = winnow_fingerprints(docs, k, w).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY)
     fps = fpb.select("doc_id", "fp").distinct()
     if max_fp_df is not None:
         fps = (
             fps.withColumn("_df", F.count("*").over(W.partitionBy("fp")))
             .filter(F.col("_df") <= max_fp_df).drop("_df")
         )
+    fps = fps.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     pairs = (
