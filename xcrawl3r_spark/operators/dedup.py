@@ -212,6 +212,15 @@ def anti_join_seen(
         probed = bloom_probe_maybe_seen(
             candidates, bloom, bloom_partitions, bloom_bits, bloom_hashes,
             key=key)
+    # the fresh/maybe split consumes `probed` in BOTH union branches, and
+    # Spark does not share common subplans across branches — without a
+    # materialization the Python probe stage executes twice per batch.
+    # One lazy DISK_ONLY checkpoint (bounded: one frontier wave) makes it
+    # run once; both branches then read the materialized blocks.
+    from pyspark import StorageLevel
+
+    probed = probed.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = maybe.join(seen_keys, key, "left_anti")
