@@ -107,7 +107,15 @@ def minhash_lsh_pairs(
     per-band projections would re-evaluate the signature plan n_bands
     times); pairs from a per-(band, key) self-join, deduped, doc_a < doc_b.
     """
-    sig = minhash_signatures(docs, n_bands * rows_per_band)
+    from pyspark import StorageLevel
+
+    # one narrow row per doc, materialized once: the band self-join
+    # references the signature relation on BOTH sides, and without a
+    # materialization each side re-runs the shingle explode + md5 +
+    # n_hashes-min aggregation (the expensive part of the operator).
+    # Lazy DISK_ONLY (see plans/crawl._ckpt for the storage level).
+    sig = minhash_signatures(docs, n_bands * rows_per_band).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY)
     entries = []
     for b in range(n_bands):
         key = md5_long(
@@ -154,8 +162,15 @@ def minhash_verified_pairs(
     (<< n²), joining each side back to its shingle set.
     Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
+    from pyspark import StorageLevel
+
     pairs = minhash_lsh_pairs(docs, n_bands, rows_per_band)
-    sh = docs.select("doc_id", F.explode(shingles_col(k=k)).alias("sh"))
+    # the exploded shingle relation feeds three consumers (sizes + both
+    # verify sides) — materialize it once instead of re-hashing every
+    # shingle per consumer (lazy DISK_ONLY, as in the capped jaccard path)
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(k=k)).alias("sh")
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -280,11 +295,17 @@ def source_similarity(
         .filter(F.col("_rn") <= k).drop("_rn")
     )
     w2 = Window.partitionBy("g").orderBy("hv")
+    # #groups rows of k longs each — materialize once so the pairwise
+    # stage's two sides don't each re-run the distinct + double top-k
+    # sketch pipeline (lazy DISK_ONLY; the frame is tiny by construction)
+    from pyspark import StorageLevel
+
     sketch = (
         part.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .groupBy("g")
         .agg(F.array_sort(F.collect_list("hv")).alias("sk"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     a = sketch.select(F.col("g").alias("group_a"), F.col("sk").alias("sa"))
     b = sketch.select(F.col("g").alias("group_b"), F.col("sk").alias("sb"))
@@ -429,13 +450,20 @@ def remove_dup_spans(
     # keep-first rank ((doc_id, pos) is a total order: doc_id is unique
     # per document and pos within it)
     w_sorted = Window.partitionBy("wh").orderBy("doc_id", "pos")
+    # removable (rn > 1) and protected (rn == 1) positions both read
+    # `marked`: materialize the dense window-hash pass once instead of
+    # re-running the posexplode + per-hash sort per consumer (lazy
+    # DISK_ONLY; bounded by the duplicated-window position count)
+    from pyspark import StorageLevel
+
     marked = pos.withColumn(
         "df",
         F.count("*").over(
             w_sorted.rowsBetween(Window.unboundedPreceding,
                                  Window.unboundedFollowing)),
     ).withColumn("rn", F.row_number().over(w_sorted)).filter(
-        F.col("df") >= min_df)
+        F.col("df") >= min_df).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY)
 
     def _doc_spans(positions: DataFrame, out_col: str) -> DataFrame:
         w_doc = Window.partitionBy("doc_id").orderBy("pos")
