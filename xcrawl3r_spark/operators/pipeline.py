@@ -226,9 +226,27 @@ def corpus_curate(
     # decontaminate emits one row per doc (explode_outer), so keeping
     # is_canonical / ~contaminated rows == dropping their complements.
     drops = dedupops.near_dup_drops(docs)
-    contaminated = curation.decontaminate(
-        docs, docs.filter(F.col("doc_id") % bench_mod == 0), n=decon_ngram
-    ).filter(F.col("contaminated")).select("doc_id")
+    # contaminated = "shares >= 1 benchmark n-gram" — a broadcast
+    # SEMI-join of the doc n-gram fan-out against the benchmark hash set
+    # plus a distinct over the (tiny) hit set. decontaminate()'s full
+    # per-doc aggregation counts every doc's every n-gram to produce
+    # n_hits we would only compare against 0; the semi-join prunes the
+    # fan-out before any aggregation (guide §2.3 "aggregate before you
+    # shuffle" — here: don't aggregate at all). Hit-for-hit identical to
+    # decontaminate(...).filter(contaminated) by definition of n_hits.
+    bench_ng = F.broadcast(
+        docs.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode(curation.ngrams_col(decon_ngram)).alias("ng"))
+        .select(md5_long(F.col("ng")).alias("bh"))
+        .distinct()
+    )
+    contaminated = (
+        docs.select("doc_id",
+                    F.explode(curation.ngrams_col(decon_ngram)).alias("ng"))
+        .withColumn("ng_hash", md5_long(F.col("ng")))
+        .join(bench_ng, F.col("ng_hash") == F.col("bh"), "left_semi")
+        .select("doc_id").distinct()
+    )
     survivors = (
         gated.join(F.broadcast(drops), "doc_id", "left_anti")
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
