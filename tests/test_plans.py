@@ -432,9 +432,17 @@ class TestR3OperatorPlans:
         from xcrawl3r_spark.operators import dedupops
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        plan = plan_of(dedupops.source_similarity(docs, k=16))
+        # materialize=False: the r6 default materializes the sketch table
+        # once (the pairwise stage reads it twice), which truncates the
+        # returned plan at the checkpoint scan — audit the sketch
+        # pipeline's shape on the unmaterialized form (same expressions)
+        plan = plan_of(dedupops.source_similarity(
+            docs, k=16, materialize=False))
         assert count_nodes(plan, "WindowGroupLimit") >= 4, plan
         assert count_nodes(plan, "CartesianProduct") == 0, plan
+        # and the default (materialized) form must stay cartesian-free
+        dflt = plan_of(dedupops.source_similarity(docs, k=16))
+        assert count_nodes(dflt, "CartesianProduct") == 0, dflt
 
     def test_substring_spans_stays_jvm_native(self, spark, sf_dir):
         """Dense-window substring dedup must stay fully native (its scale

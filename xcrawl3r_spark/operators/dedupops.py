@@ -257,6 +257,7 @@ def near_dup_drops(
 def source_similarity(
     docs: DataFrame, k: int = 256, group: str = "source",
     shingle_k: int = SHINGLE_K, n_salt: int = 16,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairwise content overlap BETWEEN document groups (sources/dumps/
     snapshots) via K-minimum-values sketches — the corpus-level dedup
@@ -295,18 +296,23 @@ def source_similarity(
         .filter(F.col("_rn") <= k).drop("_rn")
     )
     w2 = Window.partitionBy("g").orderBy("hv")
-    # #groups rows of k longs each — materialize once so the pairwise
-    # stage's two sides don't each re-run the distinct + double top-k
-    # sketch pipeline (lazy DISK_ONLY; the frame is tiny by construction)
-    from pyspark import StorageLevel
-
     sketch = (
         part.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .groupBy("g")
         .agg(F.array_sort(F.collect_list("hv")).alias("sk"))
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
+    if materialize:
+        # #groups rows of k longs each — materialize once so the pairwise
+        # stage's two sides don't each re-run the distinct + double top-k
+        # sketch pipeline (lazy DISK_ONLY; the frame is tiny by
+        # construction). materialize=False keeps the sketch pipeline
+        # visible in the returned plan — the WindowGroupLimit audit in
+        # tests/test_plans.py pins the bounded-memory shape there.
+        from pyspark import StorageLevel
+
+        sketch = sketch.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY)
     a = sketch.select(F.col("g").alias("group_a"), F.col("sk").alias("sa"))
     b = sketch.select(F.col("g").alias("group_b"), F.col("sk").alias("sb"))
     union_k = F.slice(
