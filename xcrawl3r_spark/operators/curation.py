@@ -392,8 +392,18 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, group: str = "source") -> DataF
     (operators/graph.py). Ranking is (score desc, term asc) — fully
     deterministic. Output: (group, term, tf, df, score, rk).
     """
+    from pyspark import StorageLevel
+
     tok = docs.select(group, F.explode(tokens_col()).alias("term"))
-    tf = tok.groupBy(group, "term").agg(F.count("*").alias("tf"))
+    # tf feeds TWO consumers (the scored join's left side and the dfreq
+    # aggregation) and Spark shares no common subplans across them — an
+    # unmaterialized tf re-runs the tokenize+explode+hash-agg pass per
+    # consumer. One narrow (group, term, tf) row per distinct pair,
+    # materialized once (lazy DISK_ONLY, the r6 shared-relation pattern;
+    # see plans/crawl._ckpt for the storage-level rationale).
+    tf = tok.groupBy(group, "term").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_groups = docs.select(
         F.count_distinct(group).alias("n_groups")

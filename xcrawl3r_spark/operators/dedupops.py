@@ -105,17 +105,23 @@ def minhash_lsh_pairs(
     band_key = md5_long(band || ':' || concat of the band's minhashes).
     All band keys are computed in ONE projection and exploded (a union of
     per-band projections would re-evaluate the signature plan n_bands
-    times); pairs from a per-(band, key) self-join, deduped, doc_a < doc_b.
-    """
-    from pyspark import StorageLevel
+    times).
 
-    # one narrow row per doc, materialized once: the band self-join
-    # references the signature relation on BOTH sides, and without a
-    # materialization each side re-runs the shingle explode + md5 +
-    # n_hashes-min aggregation (the expensive part of the operator).
-    # Lazy DISK_ONLY (see plans/crawl._ckpt for the storage level).
-    sig = minhash_signatures(docs, n_bands * rows_per_band).localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    r6 shape (guide §2.4): pair generation is ONE hash aggregation on
+    (band, band_key) + an ordered-pair fan-out from each bucket's doc
+    list — the r1-r5 per-(band, key) SELF-join referenced the signature
+    relation on both sides, so the shingle explode + md5 + n_hashes-min
+    aggregation (the expensive part of the operator) either executed
+    twice per query or had to be materialized to disk (the interim r6
+    localCheckpoint, whose build-time planning + write cost exceeded
+    the recompute it saved at bench scale — measured in the r6 ABBA).
+    The groupBy form executes the signature pipeline exactly ONCE, with
+    no materialization, and emits the identical pair set: a bucket's
+    ordered doc pairs == the self-join's doc_a < doc_b matches. Memory:
+    one bucket's doc list rides one aggregation row — bounded by bucket
+    fan-in, the same quantity that bounded the join's fan-out.
+    """
+    sig = minhash_signatures(docs, n_bands * rows_per_band)
     entries = []
     for b in range(n_bands):
         key = md5_long(
@@ -132,12 +138,12 @@ def minhash_lsh_pairs(
         sig.select("doc_id", F.explode(F.array(*entries)).alias("e"))
         .select("doc_id", "e.band", "e.band_key")
     )
-    a = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
-    b_ = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.collect_list("doc_id").alias("ids"))
     return (
-        a.join(b_, ["band", "band_key"])
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -634,14 +640,14 @@ def simhash_near_dup(
     ``log_dropped``), the same posting-list control as ngram_jaccard's.
     The uncapped default is exact.
     """
-    from pyspark import StorageLevel
-
-    # one narrow (doc_id, simhash) row per doc, materialized once: the
-    # banded join references the signature relation on BOTH sides, and an
-    # unmaterialized sig re-runs the 60-bit explode + double aggregation
-    # per side. Lazy DISK_ONLY (see plans/crawl._ckpt for the level).
-    sig = simhash(docs, bits).localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # deliberately UNMATERIALIZED (r6, measured): the banded join
+    # references sig on both sides, so the 60-bit explode + double
+    # aggregation runs twice — and at bench scale that recompute is
+    # CHEAPER than either alternative tried this round: a lazy
+    # DISK_ONLY localCheckpoint (2.2x cold regression — build-time
+    # planning + disk write) or a groupBy+collect_list pair fan-out
+    # (slower still; see hamming_near_dup's shape note).
+    sig = simhash(docs, bits)
     return hamming_near_dup(
         sig, id_col="doc_id", hash_col="simhash",
         hamming_max=hamming_max, bits=bits,
@@ -668,7 +674,21 @@ def hamming_near_dup(
     ``id_col`` (callers alias). Same recall/caps semantics as
     ``simhash_near_dup``: exact (recall 1) uncapped; ``max_chunk_df``
     drops overfull buckets, trading recall in boilerplate buckets for a
-    hard bound on join fan-out."""
+    hard bound on pair fan-out.
+
+    Shape note (r6, measured): this engine KEEPS the per-(chunk, key)
+    self-join. The groupBy+collect_list pair fan-out that replaced the
+    self-joins in the minhash/ngram/winnow engines was tried here too
+    and measured SLOWER (image_phash_near_dup cold 1.95x): those
+    engines save an expensive fan-out pipeline from executing per join
+    side, but this one's signature input is typically a plain table
+    column (phash) or a caller-computed frame — re-scanning it for the
+    second side is cheaper than funneling every row through an
+    ObjectHashAggregate. Callers with an EXPENSIVE signature pipeline
+    (text simhash) still execute it twice by design — at bench scale
+    that double execution beat both the interim r6 localCheckpoint
+    (2.2x cold regression: build-time planning + disk write) and the
+    groupBy fan-out."""
     n_chunks = hamming_max + 1
     width = bits // n_chunks
     sig = sig.select(F.col(id_col).alias("doc_id"),
@@ -693,9 +713,14 @@ def hamming_near_dup(
         if log_dropped:
             import logging
 
-            logging.getLogger(__name__).info(
-                "hamming_near_dup: dropped %d buckets with df > %d",
-                full.count(), max_chunk_df)
+            log = logging.getLogger(__name__)
+            # the count is its own Spark job run at frame-CONSTRUCTION
+            # time; don't pay for it when the message would be discarded
+            # (root logger defaults to WARNING — guide §1.2)
+            if log.isEnabledFor(logging.INFO):
+                log.info(
+                    "hamming_near_dup: dropped %d buckets with df > %d",
+                    full.count(), max_chunk_df)
         bands = bands.join(F.broadcast(full), ["chunk", "key"], "left_anti")
     a = bands.select(F.col("doc_id").alias("doc_a"),
                      F.col("simhash").alias("sh_a"), "chunk", "key")
@@ -729,56 +754,69 @@ def ngram_jaccard_pairs(
     docs (posting-list cap). This is the load-bearing web-scale knob, not
     an optimization: the shared-shingle self-join is quadratic in
     per-shingle document frequency, so one stop-word-like shingle with
-    df=10^6 alone yields ~5*10^11 candidate pairs. The cap is computed
-    as an unbounded count window over partitionBy(sh) — the SAME hash
-    shuffle the downstream self-join needs anyway, so the cap adds no
-    extra pass over the posting list (it is NOT a broadcast; the posting
-    list is the big side and rides its one shuffle). ``log_dropped``
-    additionally counts and logs the dropped shingles (one tiny extra
-    action; silent truncation reads as "covered everything" when it
-    didn't). None = exact all-pairs-sharing-a-shingle.
+    df=10^6 alone yields ~5*10^11 candidate pairs. ``log_dropped``
+    additionally counts and logs the dropped shingles (one extra
+    action, skipped unless INFO logging is enabled; silent truncation
+    reads as "covered everything" when it didn't). None = exact
+    all-pairs-sharing-a-shingle.
+
+    r6 shape (guide §2.4): the shingle fan-out — the expensive pass —
+    executes exactly ONCE. The posting list is grouped per shingle
+    (one hash aggregation), the cap becomes a plain
+    ``size(ids) <= max_shingle_df`` filter on that aggregate, per-doc
+    sizes ride the exploded capped rows as ONE count window, and pairs
+    fan out from each shingle's doc list map-side (ordered-pair
+    explode == the old self-join's doc_a < doc_b matches, occurrence
+    multiplicity preserved by collect_list). The r1-r5 shape
+    re-executed the fan-out per consumer (sizes + both join sides) or
+    — interim r6 — materialized it to disk, whose planning + write
+    cost exceeded the recompute at bench scale (r6 ABBA). The sizes
+    join-back (two shuffle joins) is gone: na/nb ride the pair rows.
     """
     sh = docs.select("doc_id", F.explode(shingles_col(k=k)).alias("sh"))
-    if max_shingle_df is not None:
-        from pyspark import StorageLevel
-
-        # df per shingle via an unbounded window over the SAME shuffle the
-        # downstream self-join needs (hash-partitioned by sh) — no second
-        # aggregation pass over the posting list. One materialization
-        # (DISK_ONLY local checkpoint; the deserialized default anti-scales
-        # with cores — see plans/crawl._ckpt) serves the cap filter, the
-        # optional drop-count log, the sizes agg, and both join sides —
-        # the uncapped path recomputes the shingle projection per consumer.
-        # eager=False: materialize at the FIRST action, not at plan
-        # construction (building the query must not run Spark jobs —
-        # plan audits and bench setup call this without executing).
-        w = Window.partitionBy("sh")
-        sh_df = sh.withColumn("df", F.count("*").over(w)).localCheckpoint(
-            eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    if max_shingle_df is None:
+        # uncapped: per-doc sizes can be attached BEFORE the posting
+        # aggregation (they are unfiltered counts), saving a shuffle
+        withn = sh.withColumn(
+            "n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        g = withn.groupBy("sh").agg(
+            F.collect_list(F.struct("doc_id", "n_sh")).alias("ids"))
+    else:
+        posting = sh.groupBy("sh").agg(
+            F.collect_list("doc_id").alias("ids"))
         if log_dropped:
             import logging
 
-            n_dropped = (
-                sh_df.filter(F.col("df") > max_shingle_df)
-                .agg(F.countDistinct("sh")).first()[0]
-            )
-            logging.getLogger(__name__).info(
-                "ngram_jaccard: dropped %d shingles with df > %d",
-                n_dropped, max_shingle_df)
-        sh = sh_df.filter(F.col("df") <= max_shingle_df).drop("df")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    shared = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+            log = logging.getLogger(__name__)
+            # an eager count job at frame-construction time — skip it
+            # when INFO is off and the result would be discarded
+            # (guide §1.2: don't compute things you throw away)
+            if log.isEnabledFor(logging.INFO):
+                log.info(
+                    "ngram_jaccard: dropped %d shingles with df > %d",
+                    posting.filter(
+                        F.size("ids") > max_shingle_df).count(),
+                    max_shingle_df)
+        posting = posting.filter(F.size("ids") <= max_shingle_df)
+        # sizes must count the CAPPED occurrence rows per doc (the
+        # jaccard denominator the oracle mirrors), so re-expand and
+        # count over doc_id before regrouping per shingle
+        e = posting.select("sh", F.explode("ids").alias("doc_id"))
+        withn = e.withColumn(
+            "n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        g = withn.groupBy("sh").agg(
+            F.collect_list(F.struct("doc_id", "n_sh")).alias("ids"))
     return (
-        shared.join(sa, "doc_a").join(sb, "doc_b")
+        g.select(F.explode("ids").alias("x"), "ids")
+        .select("x", F.explode("ids").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("x.n_sh").alias("na"),
+            F.min("y.n_sh").alias("nb"))
         .withColumn(
             "jaccard",
             F.round(F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6),

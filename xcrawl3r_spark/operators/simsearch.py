@@ -174,13 +174,18 @@ def embedding_near_dup(
         if log_dropped:
             import logging
 
-            n_dropped = (
-                base.filter(F.col("df") > max_bucket_df)
-                .agg(F.countDistinct("bucket")).first()[0]
-            )
-            logging.getLogger(__name__).info(
-                "embedding_near_dup: dropped %d buckets with df > %d",
-                n_dropped, max_bucket_df)
+            log = logging.getLogger(__name__)
+            # an eager count-distinct job at frame-construction time —
+            # skip it when INFO is off and the result would be discarded
+            # (guide §1.2: don't compute things you throw away)
+            if log.isEnabledFor(logging.INFO):
+                n_dropped = (
+                    base.filter(F.col("df") > max_bucket_df)
+                    .agg(F.countDistinct("bucket")).first()[0]
+                )
+                log.info(
+                    "embedding_near_dup: dropped %d buckets with df > %d",
+                    n_dropped, max_bucket_df)
         base = base.filter(F.col("df") <= max_bucket_df).drop("df")
     a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")

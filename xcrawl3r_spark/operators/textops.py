@@ -544,43 +544,47 @@ def winnow_pairs(
     the same shuffle the self-join needs.
 
     Scale posture: fingerprints are ~len/w rows per doc (map-side
-    partial min), the pair join is an equi-join on fp bounded by the
-    cap, and the per-doc size join is an equi-join on doc_id. All
-    integer counts + one rounded division — cross-engine exact.
-    Output: (doc_a, doc_b, n_shared, containment) for doc_a < doc_b.
+    partial min); pairs fan out from per-fp posting sets bounded by
+    the cap. All integer counts + one rounded division — cross-engine
+    exact. Output: (doc_a, doc_b, n_shared, containment) for
+    doc_a < doc_b.
+
+    r6 shape (guide §2.4): the dense per-char md5 fingerprint fan-out
+    — the dominant cost — executes exactly ONCE. collect_set per fp
+    folds the (doc, fp) distinct into the posting aggregation, the cap
+    becomes a ``size(ds) <= max_fp_df`` filter on that aggregate (no
+    separate count window), capped per-doc sizes ride the re-expanded
+    rows as ONE count window, and pairs fan out from each fp's doc
+    list map-side — identical to the old self-join's doc_a < doc_b
+    matches. The r1-r5 shape re-executed the fan-out per consumer
+    (sizes + both join sides); the interim r6 localCheckpoint's
+    build-time planning + write cost exceeded the recompute it saved
+    at bench scale (r6 ABBA). The sizes join-back is gone: na/nb ride
+    the pair rows.
     """
-    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
 
-    fps = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    fpb = winnow_fingerprints(docs, k, w)
+    sets = fpb.groupBy("fp").agg(F.collect_set("doc_id").alias("ds"))
     if max_fp_df is not None:
-        from pyspark.sql import Window as W
-
-        fps = (
-            fps.withColumn("_df", F.count("*").over(W.partitionBy("fp")))
-            .filter(F.col("_df") <= max_fp_df).drop("_df")
-        )
-    # ONE materialization serves all three consumers (sizes + both join
-    # sides): without it each plan reference re-runs the dense per-char
-    # md5 fingerprint fan-out — the dominant cost of the operator — three
-    # times. Lazy DISK_ONLY, same rationale as ngram_jaccard's cap path
-    # (deserialized-memory localCheckpoint anti-scales with cores).
-    fps = fps.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
-    shared = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+        sets = sets.filter(F.size("ds") <= max_fp_df)
+    e = sets.select("fp", F.explode("ds").alias("doc_id"))
+    withn = e.withColumn(
+        "n_fp", F.count("*").over(W.partitionBy("doc_id")))
+    g = withn.groupBy("fp").agg(
+        F.collect_list(F.struct("doc_id", "n_fp")).alias("ids"))
     return (
-        shared
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("n_fp", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_fp", "nb"), "doc_b")
+        g.select(F.explode("ids").alias("x"), "ids")
+        .select("x", F.explode("ids").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("x.n_fp").alias("na"),
+            F.min("y.n_fp").alias("nb"))
+        .filter(F.col("n_shared") >= min_shared)
         .select(
             "doc_a", "doc_b", "n_shared",
             F.round(F.col("n_shared") / F.least("na", "nb"), 6)
@@ -617,51 +621,54 @@ def winnow_spans(
     detection is one window pass per (pair, side) — the partition is a
     single pair's matched buckets, trivially memory-safe. All-integer
     output (plus the 'a'/'b' side tag), cross-engine exact."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
-    # (doc_id, bucket, fp), materialized ONCE: the plan references fpb
-    # twice (side_a/side_b) and fps four times (pair join sides + both
-    # membership joins) — uncheckpointed, every reference re-runs the
-    # dense md5 fingerprint fan-out (measured the dominant cost). Lazy
-    # DISK_ONLY as in winnow_pairs/ngram_jaccard.
-    fpb = winnow_fingerprints(docs, k, w).localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    fps = fpb.select("doc_id", "fp").distinct()
+    # r6 shape (guide §2.4): the dense md5 fingerprint fan-out executes
+    # exactly ONCE — one aggregation per fp collects both the bucket
+    # occurrences (for span positions) and the distinct doc set (for
+    # the cap + membership), then every (occurrence x other-doc) match
+    # fans out MAP-SIDE with its side tag. The r1-r5 shape referenced
+    # fpb twice and fps four times (re-running the fan-out per
+    # reference); the interim r6 localCheckpoints' build-time planning
+    # + triple materialization exceeded the recompute they saved at
+    # bench scale (r6 ABBA). The pair qualification (>= min_shared
+    # shared distinct fps) rides the SAME matched relation as a
+    # collect_set window — no separate pairs join. One row per
+    # (pair, side, bucket) as before: a (doc, bucket) has exactly one
+    # fp, and pairs with exactly one other doc per shared fp.
+    fpb = winnow_fingerprints(docs, k, w)
+    sets = fpb.groupBy("fp").agg(
+        F.collect_list(F.struct("doc_id", "bucket")).alias("occ"),
+        F.collect_set("doc_id").alias("ds"),
+    )
     if max_fp_df is not None:
-        fps = (
-            fps.withColumn("_df", F.count("*").over(W.partitionBy("fp")))
-            .filter(F.col("_df") <= max_fp_df).drop("_df")
+        sets = sets.filter(F.size("ds") <= max_fp_df)
+    x, d = F.col("x"), F.col("d")
+    matched = (
+        sets.select("fp", F.explode("occ").alias("x"), "ds")
+        .select("fp", "x", F.explode("ds").alias("d"))
+        .filter(x["doc_id"] != d)
+        .select(
+            "fp",
+            F.when(x["doc_id"] < d, x["doc_id"]).otherwise(d)
+            .alias("doc_a"),
+            F.when(x["doc_id"] < d, d).otherwise(x["doc_id"])
+            .alias("doc_b"),
+            F.when(x["doc_id"] < d, F.lit("a")).otherwise(F.lit("b"))
+            .alias("side"),
+            x["bucket"].alias("bucket"),
         )
-    fps = fps.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-        .select("doc_a", "doc_b")
     )
-    # matched buckets per (pair, side): a side's bucket qualifies when its
-    # fingerprint is in the OTHER side's capped set. fpb needs no separate
-    # cap — a capped-out fp is gone from every doc's `fps` set, so the
-    # equi-join drops it globally. One row per (pair, side, bucket) by
-    # construction (fpb is unique per (doc, bucket)).
-    side_a = (
-        fpb.select(F.col("doc_id").alias("doc_a"), "bucket", "fp")
-        .join(fps.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
-        .join(pairs, ["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", F.lit("a").alias("side"), "bucket")
+    # shared distinct fps per pair as a window over the pair partition
+    # (both sides contribute the same fp set); >= min_shared gates the
+    # pair exactly as the old pairs join did
+    w_pair = W.partitionBy("doc_a", "doc_b")
+    matched = (
+        matched.withColumn(
+            "_ns", F.size(F.collect_set("fp").over(w_pair)))
+        .filter(F.col("_ns") >= min_shared)
+        .drop("fp", "_ns")
     )
-    side_b = (
-        fpb.select(F.col("doc_id").alias("doc_b"), "bucket", "fp")
-        .join(fps.select(F.col("doc_id").alias("doc_a"), "fp"), "fp")
-        .join(pairs, ["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", F.lit("b").alias("side"), "bucket")
-    )
-    matched = side_a.unionByName(side_b)
     win = W.partitionBy("doc_a", "doc_b", "side").orderBy("bucket")
     isl = (
         matched
@@ -730,9 +737,15 @@ def normalize_text(
     decomposed accents, compatibility ligatures/width under NFKC).
 
     Spark SQL has no normalizer builtin, so this is an Arrow-batched
-    pandas UDF (``Series.str.normalize`` — vectorized at the pandas
-    layer, the same boundary class as the codec stages; everything
-    around it stays relational). Deterministic: normalization is a pure
+    pandas UDF (``Series.str.normalize`` — CPython's
+    ``unicodedata.normalize`` quick-check returns already-normalized
+    strings untouched, so the per-element cost on mostly-NFC corpora is
+    one C-level check; everything around it stays relational).
+    NOTE (r6, measured): ``pyarrow.compute.utf8_normalize`` is NOT a
+    valid replacement on this Arrow build — it emits decomposed output
+    regardless of the requested form (é -> e+U+0301 under form="NFC"),
+    so the vectorized-C++ swap the optimization guide §4.2 suggests
+    would change results. Deterministic: normalization is a pure
     per-row function. The NFC form is oracle-checked against DuckDB's
     ``nfc_normalize`` (``text_normalize`` gate query); NFKC/NFD/NFKD are
     the same code path with no DuckDB twin.
