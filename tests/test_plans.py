@@ -528,3 +528,53 @@ class TestR3OperatorPlans:
         assert count_nodes(plan, "BatchEvalPython") == 0, plan
         assert count_nodes(plan, "ArrowEvalPython") == 0, plan
         assert count_nodes(plan, "CartesianProduct") == 0, plan
+
+
+class TestR6PairEngines:
+    """r6 optimization audits: the minhash/ngram/winnow candidate
+    generators emit pairs from ONE groupBy per bucket key (collect_list
+    + ordered-pair explode) instead of a self-join — so their plans
+    must contain NO join nodes at all (the fan-out pipeline would
+    otherwise execute once per join side), and no Python stages. The
+    hamming engine deliberately KEEPS its self-join (see its shape
+    note), covered by the existing simhash/phash audits."""
+
+    def _assert_joinless(self, plan):
+        for node in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "CartesianProduct",
+                     "BroadcastNestedLoopJoin"):
+            assert count_nodes(plan, node) == 0, (node, plan)
+        assert count_nodes(plan, "BatchEvalPython") == 0, plan
+        assert count_nodes(plan, "ArrowEvalPython") == 0, plan
+        # the bucket aggregation (collect_list/set) + the pair fan-out
+        assert "ObjectHashAggregate" in plan, plan
+        assert "Generate" in plan, plan
+
+    def test_minhash_pairs_joinless(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        self._assert_joinless(plan_of(dedupops.minhash_lsh_pairs(docs)))
+
+    def test_ngram_jaccard_joinless_both_paths(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        self._assert_joinless(plan_of(dedupops.ngram_jaccard_pairs(docs)))
+        self._assert_joinless(plan_of(
+            dedupops.ngram_jaccard_pairs(docs, max_shingle_df=64)))
+
+    def test_winnow_pairs_joinless_both_paths(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        self._assert_joinless(plan_of(textops.winnow_pairs(docs)))
+        self._assert_joinless(plan_of(
+            textops.winnow_pairs(docs, max_fp_df=64)))
+
+    def test_winnow_spans_joinless_and_shares_exchanges(self, spark, sf_dir):
+        """Spans additionally: the pair-qualification window (pair key)
+        and the island window (pair+side key) must NOT add exchanges
+        beyond the bucket aggregation + the pair window — the island
+        window's (a, b, side) requirement is satisfied by the pair
+        window's hashpartitioning(a, b)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(textops.winnow_spans(docs, max_fp_df=64))
+        self._assert_joinless(plan)
+        # fp-group agg + pair window (+ AQE may coalesce, never add):
+        # the r1-r5 join formulation carried 8+ exchanges here
+        assert count_nodes(plan, "Exchange") <= 4, plan
